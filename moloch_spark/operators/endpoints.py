@@ -1,0 +1,396 @@
+"""The viewer's analytics endpoints re-expressed as DataFrame plans.
+
+Reference (aol/moloch viewer, SURVEY.md §2.3):
+  * sessions list .... viewer/apiSessions.js:1618-1741 (filter+sort+page)
+  * timeline facets .. viewer/apiSessions.js:1281-1330, viewerUtils.js:66-134
+  * unique ........... viewer/apiSessions.js:2283-2407 (terms agg, top-K)
+  * multiunique ...... viewer/apiSessions.js:2420-2500 (nested terms)
+  * spiview .......... viewer/apiSessions.js:1794-1960 (per-field top-K)
+  * spigraph ......... viewer/apiSessions.js:1966-2146 (top-K + per-value
+                       timelines; the reference does 1 terms query + K
+                       msearch sub-queries — we collapse it to ONE grouped
+                       aggregation plus a broadcast top-K semi-join)
+  * spigraphhierarchy  viewer/apiSessions.js:2159-2271 (N-level drilldown)
+  * connections ...... viewer/apiConnections.js:36-441 (edge aggregation)
+  * baseline compare . viewer/apiConnections.js:45-135 (two windows + mask)
+
+Everything here is a pure logical-plan builder: no collect(), no driver
+loops, no UDFs. At 100 TB each function is a single shuffle (or two for
+the rank step) and Catalyst gets full pushdown through it.
+
+Scale notes are inline per operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# numeric helpers
+# ---------------------------------------------------------------------------
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Order-independent (exact) sum of a float column.
+
+    Doubles summed in shuffle order are non-deterministic in the last ulps;
+    casting to decimal makes the aggregation exact and reproducible across
+    engines (this is also what lets the DuckDB oracle hash-match). Cast
+    back to double at the end so downstream arithmetic stays cheap.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# sessions list — filter + sort + paginate + project
+# ---------------------------------------------------------------------------
+
+
+def sessions_search(
+    df: DataFrame,
+    where: Column | None = None,
+    *,
+    sort: Sequence[tuple[str, bool]] = (),
+    limit: int = 100,
+    offset: int = 0,
+    fields: Sequence[str] | None = None,
+    max_length: int = 2_000_000,
+) -> DataFrame:
+    """/api/sessions core: filter → sort → page → project.
+
+    Mirrors getSessions (viewer/apiSessions.js:1618): multi-key sort with
+    nulls-last on asc / nulls-first on desc (ES missing:_last semantics,
+    apiSessions.js:60-145), `from`+`size` paging capped at 2M rows
+    (apiSessions.js:1219).
+
+    Scale: filter+project push to the parquet scan; the global sort only
+    materializes the top (offset+limit) rows per partition before the
+    single-reducer merge (Spark's TakeOrderedAndProject), so limit queries
+    never do a full sort at 100 TB.
+    """
+    limit = min(limit, max_length)
+    out = df.filter(where) if where is not None else df
+    order = [
+        (F.col(k).asc_nulls_last() if asc else F.col(k).desc_nulls_first())
+        for k, asc in sort
+    ]
+    if order:
+        out = out.orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    out = out.limit(limit)
+    if fields:
+        out = out.select(*fields)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# timeline / facets — date histogram + per-bucket sums
+# ---------------------------------------------------------------------------
+
+
+def timeline(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    interval: str = "hour",
+    sums: Sequence[tuple[str, str]] = (),
+    where: Column | None = None,
+) -> DataFrame:
+    """Facet timeline: date_histogram + per-bucket sum sub-aggs.
+
+    Reference picks 1s/1m/1h buckets from the query span
+    (viewerUtils.js:66-134) and sums src/dst packets/bytes/databytes per
+    bucket (apiSessions.js:1302-1315). `interval` is any date_trunc unit.
+
+    Scale: one hash-partial + final aggregation; bucket count is bounded by
+    time span / interval, so the reduce side is tiny regardless of input.
+    """
+    if where is not None:
+        df = df.filter(where)
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    aggs += [dsum(src, alias) for src, alias in sums]
+    return (
+        df.groupBy(F.date_trunc(interval, _col(ts_col)).alias("bucket"))
+        .agg(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# unique / multiunique — terms aggregations
+# ---------------------------------------------------------------------------
+
+
+def unique(
+    df: DataFrame,
+    field: str | Column,
+    *,
+    k: int = 10_000,
+    min_count: int = 1,
+    explode_arrays: bool = True,
+) -> DataFrame:
+    """/api/unique: top-K values of one field with counts.
+
+    Terms agg capped at maxAggSize=10000 (apiSessions.js:2294,2346-2352).
+    Multivalued fields count once per value per session (ES terms over an
+    array field) — hence the explode for array columns.
+
+    Scale: partial aggregation map-side, then a bounded top-K. The final
+    orderBy+limit is a TakeOrdered, not a full sort.
+    """
+    c = _col(field)
+    name = field if isinstance(field, str) else "value"
+    df2 = df
+    if explode_arrays and dict(df.dtypes).get(name, "").startswith("array"):
+        df2 = df.select(F.explode_outer(c).alias(name))
+        c = F.col(name)
+    out = (
+        df2.groupBy(c.alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    # deterministic top-K: count desc, then value asc as tiebreak
+    return out.orderBy(F.col("count").desc(), F.col("value").asc()).limit(k)
+
+
+def multiunique(
+    df: DataFrame,
+    fields: Sequence[str],
+    *,
+    k: int = 10_000,
+) -> DataFrame:
+    """/api/multiunique: intersection of N fields (apiSessions.js:2420-2500).
+
+    The reference builds N-deep nested terms aggs with exists-musts and
+    DFS-flattens; in Spark that is exactly a multi-key groupBy over rows
+    where every key is present.
+    """
+    out = df
+    for f in fields:
+        out = out.filter(F.col(f).isNotNull())
+    out = out.groupBy(*[F.col(f) for f in fields]).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    order = [F.col("count").desc()] + [F.col(f).asc() for f in fields]
+    return out.orderBy(*order).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# spiview — per-field top-K in one pass
+# ---------------------------------------------------------------------------
+
+
+def spiview(
+    df: DataFrame,
+    field_counts: Sequence[tuple[str, int]],
+    *,
+    where: Column | None = None,
+) -> DataFrame:
+    """/api/spiview: for each requested field, top-K values + counts.
+
+    The reference issues one ES query with N terms aggs
+    (apiSessions.js:1794-1960). We unpivot the requested fields with a
+    stack() projection — ONE scan, one shuffle — then rank within field.
+
+    Output: (field, value, count) with per-field K applied.
+
+    Scale: single pass over the fact table; rank uses a window partitioned
+    by field name (N partitions, trivially balanced).
+    """
+    if where is not None:
+        df = df.filter(where)
+    n = len(field_counts)
+    unpivoted = df.select(
+        F.expr(
+            "stack({}, {})".format(
+                n,
+                ", ".join(
+                    f"'{name}', cast({name} as string)" for name, _ in field_counts
+                ),
+            )
+        ).alias("field", "value")
+    ).filter(F.col("value").isNotNull())
+    counted = unpivoted.groupBy("field", "value").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = Window.partitionBy("field").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    ranked = counted.withColumn("rnk", F.row_number().over(w))
+    cap = F.create_map(
+        *[x for name, kk in field_counts for x in (F.lit(name), F.lit(kk))]
+    )
+    return ranked.filter(F.col("rnk") <= cap[F.col("field")]).drop("rnk")
+
+
+# ---------------------------------------------------------------------------
+# spigraph — top-K field values, each with its own timeline
+# ---------------------------------------------------------------------------
+
+
+def spigraph(
+    df: DataFrame,
+    field: str,
+    ts_col: str,
+    *,
+    interval: str = "hour",
+    k: int = 20,
+    metric: str = "count",
+    sums: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """/api/spigraph collapsed to one grouped aggregation.
+
+    The reference runs a terms agg sized 2*K then one msearch sub-query PER
+    bucket to get its timeline (apiSessions.js:1966-2146) — K+1 round
+    trips. Spark shape: groupBy(field, bucket) once, compute per-field
+    totals with a window, keep the top-K fields. One scan, two shuffles,
+    no driver fan-out.
+
+    Output: (field value, bucket, doc_count, <sums...>, total_<metric>).
+    """
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    aggs += [dsum(src, alias) for src, alias in sums]
+    per_bucket = df.groupBy(
+        F.col(field).alias("value"),
+        F.date_trunc(interval, _col(ts_col)).alias("bucket"),
+    ).agg(*aggs)
+    metric_col = "doc_count" if metric == "count" else metric
+    # Rank field values by their TOTAL metric, keep top-K, then broadcast
+    # the tiny top-K list back onto the per-bucket rows. This avoids a
+    # global (unpartitioned) window over |values| x |buckets| rows — the
+    # totals aggregation reduces to |values| rows and the final orderBy+
+    # limit is a TakeOrdered, so the plan survives arbitrarily many
+    # buckets/values.
+    totals = (
+        per_bucket.groupBy("value")
+        .agg(F.sum(metric_col).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("value").asc())
+        .limit(k)
+    )
+    return per_bucket.join(F.broadcast(totals), "value", "inner")
+
+
+def spigraph_hierarchy(
+    df: DataFrame,
+    fields: Sequence[str],
+) -> DataFrame:
+    """/api/spigraphhierarchy: N-level drill-down tree.
+
+    Reference nests terms aggs N deep with exists-musts
+    (apiSessions.js:2159-2271) and emits a treemap. ROLLUP gives every
+    level of the tree in one aggregation; null grouping columns mark the
+    aggregate rows exactly like the tree's internal nodes.
+    """
+    out = df
+    for f in fields:
+        out = out.filter(F.col(f).isNotNull())
+    return (
+        out.rollup(*[F.col(f) for f in fields])
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn(
+            "level",
+            sum(F.when(F.col(f).isNotNull(), 1).otherwise(0) for f in fields),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# connections — edge/node aggregation (+ baseline window comparison)
+# ---------------------------------------------------------------------------
+
+
+def connections(
+    df: DataFrame,
+    src: str | Column,
+    dst: str | Column,
+    *,
+    sums: Sequence[tuple[str, str]] = (),
+    min_conn: int = 1,
+) -> DataFrame:
+    """/api/connections edges: groupBy(src,dst) with count + metric sums.
+
+    Reference walks hits in node and hand-builds hash maps
+    (apiConnections.js:323-441): per link value++ and summed int fields;
+    filter minConn. Array-valued endpoint fields cross-product per session
+    — callers explode() before passing in. Distributed here: one shuffle
+    on (src,dst).
+    """
+    aggs = [F.count(F.lit(1)).alias("sessions")]
+    aggs += [dsum(s, alias) for s, alias in sums]
+    out = (
+        df.groupBy(_col(src).alias("src"), _col(dst).alias("dst"))
+        .agg(*aggs)
+        .filter(F.col("sessions") >= min_conn)
+    )
+    return out
+
+
+def connections_nodes(edges: DataFrame) -> DataFrame:
+    """Node list from an edge table: union endpoints, type bitmask 1=src
+    2=dst (apiConnections.js:237-263)."""
+    srcs = edges.select(
+        F.col("src").alias("node"), F.col("sessions"), F.lit(1).alias("type")
+    )
+    dsts = edges.select(
+        F.col("dst").alias("node"), F.col("sessions"), F.lit(2).alias("type")
+    )
+    return (
+        srcs.unionByName(dsts)
+        .groupBy("node")
+        .agg(
+            F.sum("sessions").alias("sessions"),
+            # bitwise OR of 1/2 flags == presence as src / dst / both
+            F.max(F.when(F.col("type") == 1, 1).otherwise(0)).alias("_s"),
+            F.max(F.when(F.col("type") == 2, 2).otherwise(0)).alias("_d"),
+        )
+        .withColumn("type", F.col("_s") + F.col("_d"))
+        .drop("_s", "_d")
+    )
+
+
+def connections_baseline(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    ts_col: str,
+    *,
+    current: tuple[str, str],
+    baseline: tuple[str, str],
+) -> DataFrame:
+    """Baseline comparison (apiConnections.js:45-135): aggregate edges in
+    the current window and a preceding baseline window, full-outer join,
+    bitmask inresult 1=current 2=baseline 3=both.
+
+    One scan: conditional aggregation on the window flag instead of two
+    queries + client merge.
+    """
+    ts = _col(ts_col)
+    cur_lo, cur_hi = current
+    base_lo, base_hi = baseline
+    in_cur = (ts >= F.lit(cur_lo).cast("timestamp")) & (
+        ts < F.lit(cur_hi).cast("timestamp")
+    )
+    in_base = (ts >= F.lit(base_lo).cast("timestamp")) & (
+        ts < F.lit(base_hi).cast("timestamp")
+    )
+    return (
+        df.filter(in_cur | in_base)
+        .groupBy(_col(src).alias("src"), _col(dst).alias("dst"))
+        .agg(
+            F.sum(F.when(in_cur, 1).otherwise(0)).alias("cur_sessions"),
+            F.sum(F.when(in_base, 1).otherwise(0)).alias("base_sessions"),
+        )
+        .withColumn(
+            "inresult",
+            F.when(F.col("cur_sessions") > 0, 1).otherwise(0)
+            + F.when(F.col("base_sessions") > 0, 2).otherwise(0),
+        )
+    )

@@ -1,0 +1,400 @@
+"""Query registry: every implemented operator exposed as (spark, sf_dir) ->
+DataFrame, paired with an ANSI-SQL oracle that DuckDB runs on the same
+parquet tables.
+
+Naming contract (driver): aggregate/computed columns carry the SAME alias
+in the Spark plan and the oracle SQL; numeric aggregations of doubles go
+through decimal so both engines produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.operators.endpoints import (
+    connections,
+    connections_baseline,
+    dsum,
+    multiunique,
+    sessions_search,
+    spigraph,
+    spigraph_hierarchy,
+    spiview,
+    timeline,
+    unique,
+)
+from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# flagship: TPC-H Q1-style pricing summary over lineitem
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessions list — filter + sort + page + project (apiSessions.js:1618)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessions_search_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('error', 'purchase') AND value >= 50.0
+    ORDER BY ts ASC, event_id ASC
+    LIMIT 200
+    """,
+)
+def q_sessions_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessions_search(
+        ev,
+        F.col("event_type").isin("error", "purchase") & (F.col("value") >= 50.0),
+        sort=[("ts", True), ("event_id", True)],
+        limit=200,
+        fields=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeline facets — date histogram + sums (apiSessions.js:1281-1330)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeline_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS doc_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeline(ev, "ts", interval="hour", sums=[("value", "sum_value")])
+
+
+# ---------------------------------------------------------------------------
+# unique — top-K terms (apiSessions.js:2283-2407)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unique_event_type",
+    """
+    SELECT event_type AS value, COUNT(*) AS count
+    FROM events
+    GROUP BY 1
+    ORDER BY count DESC, value ASC
+    LIMIT 10000
+    """,
+)
+def q_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return unique(ev, "event_type")
+
+
+@register(
+    "unique_pair_user_type",
+    """
+    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS value, COUNT(*) AS count
+    FROM events
+    GROUP BY 1
+    ORDER BY count DESC, value ASC
+    LIMIT 10000
+    """,
+)
+def q_unique_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the nested src-ip:port two-level terms special (apiSessions.js:2330)
+    ev = load_table(spark, "events", sf_dir)
+    pair = F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type"))
+    return unique(ev.select(pair.alias("value")), "value")
+
+
+# ---------------------------------------------------------------------------
+# multiunique — N-field intersection (apiSessions.js:2420-2500)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multiunique_user_event",
+    """
+    SELECT user_id, event_type, COUNT(*) AS count
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY count DESC, user_id ASC, event_type ASC
+    LIMIT 10000
+    """,
+)
+def q_multiunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return multiunique(ev, ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# spiview — per-field top-K in one pass (apiSessions.js:1794-1960)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spiview_events",
+    """
+    WITH unpivoted AS (
+      SELECT 'event_type' AS field, event_type AS value FROM events
+      UNION ALL
+      SELECT 'user_id' AS field, CAST(user_id AS VARCHAR) AS value FROM events
+    ), counted AS (
+      SELECT field, value, COUNT(*) AS count
+      FROM unpivoted WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT field, value, count,
+             ROW_NUMBER() OVER (PARTITION BY field ORDER BY count DESC, value ASC) AS rnk
+      FROM counted
+    )
+    SELECT field, value, count FROM ranked
+    WHERE rnk <= CASE field WHEN 'event_type' THEN 10 ELSE 25 END
+    """,
+)
+def q_spiview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return spiview(ev, [("event_type", 10), ("user_id", 25)])
+
+
+# ---------------------------------------------------------------------------
+# spigraph — top-K values each with its timeline (apiSessions.js:1966-2146)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spigraph_event_type_daily",
+    """
+    WITH per_bucket AS (
+      SELECT event_type AS value, date_trunc('day', ts) AS bucket,
+             COUNT(*) AS doc_count,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT value, CAST(SUM(doc_count) AS BIGINT) AS total
+      FROM per_bucket GROUP BY 1
+      ORDER BY total DESC, value ASC LIMIT 5
+    )
+    SELECT p.value, p.bucket, p.doc_count, p.sum_value, t.total
+    FROM per_bucket p JOIN totals t USING (value)
+    """,
+)
+def q_spigraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return spigraph(
+        ev, "event_type", "ts", interval="day", k=5, sums=[("value", "sum_value")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# spigraphhierarchy — N-level drilldown via ROLLUP (apiSessions.js:2159)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spigraph_hierarchy_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS count,
+           (CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS level
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_spigraph_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return spigraph_hierarchy(o, ["o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# connections — edge aggregation (apiConnections.js:36-441) over the
+# customer-nation -> supplier-nation graph through orders+lineitem
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "connections_nation_graph",
+    """
+    SELECT cn.n_name AS src, sn.n_name AS dst,
+           COUNT(*) AS sessions,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 1
+    """,
+)
+def q_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    # big fact joins on keys; dims broadcast (bounded size at any sf)
+    edges_input = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return connections(
+        edges_input, "cn_name", "sn_name", sums=[("l_extendedprice", "sum_price")]
+    )
+
+
+@register(
+    "connections_baseline_events",
+    """
+    WITH win AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END AS in_cur,
+             CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS in_base
+      FROM events
+    )
+    SELECT user_id AS src, event_type AS dst,
+           CAST(SUM(in_cur) AS BIGINT) AS cur_sessions,
+           CAST(SUM(in_base) AS BIGINT) AS base_sessions,
+           (CASE WHEN SUM(in_cur) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN SUM(in_base) > 0 THEN 2 ELSE 0 END) AS inresult
+    FROM win
+    WHERE in_cur = 1 OR in_base = 1
+    GROUP BY 1, 2
+    """,
+)
+def q_connections_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return connections_baseline(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        current=("2024-01-15 00:00:00", "2024-02-01 00:00:00"),
+        baseline=("2024-01-01 00:00:00", "2024-01-15 00:00:00"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization — idle-gap splitting (capture/session.c:419-469)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events_30m",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+           COUNT(*) AS packets,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt,
+           epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS length_ms,
+           CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessionize_events(ev, idle_timeout_s=1800)

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we would set fleet-wide on a real cluster:
+AQE on (runtime re-plan, skew-join handling), shuffle partitions sized to
+the parallelism actually available instead of the 200 default, Arrow for
+any pandas exchange, and UTC session time so timestamp semantics are
+stable across engines (the DuckDB correctness oracle runs naive/UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "moloch_spark", *, cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything under ``spark.sql.*`` here is what we'd bake into the job
+    config at any scale.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # Size shuffles to available cores. On a 1000-executor cluster this
+        # would be ~2-3x total cores; AQE coalesces small partitions anyway.
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

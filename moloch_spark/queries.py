@@ -26,6 +26,8 @@ from moloch_spark.operators.endpoints import (
     timeline,
     unique,
 )
+from moloch_spark.catalog import documents_catalog, events_catalog
+from moloch_spark.expr import CompileContext, compile_expression
 from moloch_spark.operators.sessionize import sessionize_events
 from moloch_spark.sources.tables import load_table
 
@@ -366,6 +368,111 @@ def q_connections_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sessionization — idle-gap splitting (capture/session.c:419-469)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# expression language — compiled moloch expressions over the test tables
+# (molochparser.jison semantics; each oracle is hand-written SQL so the
+# compiler and the oracle are independent derivations of the semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expr_bool_and_list",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('error', 'purchase') AND value >= 50
+    ORDER BY event_id
+    """,
+)
+def q_expr_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ctx = CompileContext(catalog=events_catalog())
+    pred = compile_expression(
+        "event.type == [error, purchase] && event.value >= 50", ctx
+    )
+    return (
+        ev.filter(pred)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "expr_ne_null_semantics",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_type IS NULL OR event_type <> 'signup'
+    ORDER BY event_id
+    """,
+)
+def q_expr_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES must_not semantics: != also matches rows where the field is
+    # missing (bool must_not, SURVEY §2.3) — hence the IS NULL arm in SQL
+    ev = load_table(spark, "events", sf_dir)
+    ctx = CompileContext(catalog=events_catalog())
+    pred = compile_expression("event.type != signup", ctx)
+    return ev.filter(pred).select("event_id", "event_type").orderBy("event_id")
+
+
+@register(
+    "expr_wildcard_date_range",
+    """
+    SELECT event_id, ts, event_type
+    FROM events
+    WHERE regexp_matches(event_type, '^p.*e$')
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def q_expr_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ctx = CompileContext(catalog=events_catalog())
+    pred = compile_expression(
+        'event.type == p*e && event.ts >= "2024/01/10" && event.ts < "2024/01/20"',
+        ctx,
+    )
+    return ev.filter(pred).select("event_id", "ts", "event_type").orderBy("event_id")
+
+
+@register(
+    "expr_textfield_phrase",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE regexp_matches(lower(text), '(^|.*[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9].*|$)')
+    ORDER BY doc_id
+    """,
+)
+def q_expr_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ctx = CompileContext(catalog=documents_catalog())
+    pred = compile_expression('doc.text == "hash join"', ctx)
+    return docs.filter(pred).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "expr_shortcut_semijoin",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE lang IN ('de', 'fr') AND source = 'src1'
+    ORDER BY doc_id
+    """,
+)
+def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # $shortcut -> terms lookup against the lookups table
+    # (molochparser.jison:377-447); compiled as a broadcast isin
+    docs = load_table(spark, "documents", sf_dir)
+    ctx = CompileContext(
+        catalog=documents_catalog(),
+        shortcuts={"eurolangs": ("string", ["de", "fr"])},
+    )
+    pred = compile_expression("doc.lang == $eurolangs && doc.source == src1", ctx)
+    return docs.filter(pred).select("doc_id", "source", "lang").orderBy("doc_id")
 
 
 @register(

@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, each designed around its 100 TB shuffle shape:
+
+  exact          hash-groupBy on a content digest (one shuffle on the
+                 digest — balanced unless one doc dominates)
+  minhash + LSH  signatures computed scan-side (zero shuffle), then one
+                 shuffle on (band, band_hash) to bucket candidates; the
+                 self-join only touches bucket members, never n^2
+  simhash        scan-side bit-majority signature; near-dup = equal
+                 signature (or small Hamming distance via band trick)
+  n-gram jaccard exact verification on a bounded candidate set (query
+                 docs x corpus via an exploded shingle equi-join)
+  embedding      cosine >= t against broadcast query vectors, all
+                 JVM-side array math
+
+Determinism: every hash is md5 (hex string); MinHash uses the
+lexicographic MIN of seeded md5 strings, which both Spark and the DuckDB
+oracle compute identically — no engine-specific integer hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from moloch_spark.operators.text import tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 digest groups; keep the min id as canonical.
+
+    Output: (digest, keep_id, dup_count) for groups only (dup_count>1
+    rows are the actual duplicates; singletons retained for counting).
+    """
+    digest = F.md5(F.col(text_col)).alias("digest")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over distinct word
+    n-gram shingles of md5("s:" + shingle). Entirely scan-side — the
+    signature costs num_hashes * shingles md5s inside codegen, no
+    shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+    sh = word_shingles(toks, shingle_n)
+
+    def mh(seed: int):
+        # NB: the lambda must take exactly ONE arg — PySpark treats a
+        # two-arg transform lambda as (element, index)
+        prefix = f"{seed}:"
+        return F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(F.lit(prefix), x)))
+        ).alias(f"mh_{seed}")
+
+    sig_cols = [mh(s) for s in range(num_hashes)]
+    return df.select(F.col(id_col), *sig_cols).filter(F.col("mh_0").isNotNull())
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes within any band become a
+    candidate pair. One shuffle on (band, band_hash); the pair join runs
+    per-bucket so cost tracks true collision volume, not corpus^2.
+    """
+    sigs = minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(bands).alias("bd")
+    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bhash") == F.col(f"b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over word tokens, emitted as a hex string.
+
+    Bit b of the signature is the majority vote over tokens of bit b of
+    md5(token). Computed as one exploded aggregation: explode tokens ->
+    32 conditional sums -> sign -> reassemble nibbles. One shuffle on
+    the doc id (same key as any per-doc aggregation).
+    """
+    assert bits % 4 == 0 and bits <= 64
+    nibbles = bits // 4
+    tok = tokens(text_col)
+    exploded = df.select(F.col(id_col), F.explode(tok).alias("tok"))
+    h = F.md5(F.col("tok"))
+    # nibble i of the token hash as an int 0..15
+    sums = []
+    for i in range(nibbles):
+        nib = F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int")
+        for j in range(4):
+            bit = F.shiftright(nib, 3 - j).bitwiseAND(F.lit(1))
+            sums.append(
+                F.sum(bit * 2 - 1).alias(f"s_{i}_{j}")
+            )
+    agg = exploded.groupBy(id_col).agg(*sums)
+    nib_cols = []
+    for i in range(nibbles):
+        val = sum(
+            F.when(F.col(f"s_{i}_{j}") > 0, 1 << (3 - j)).otherwise(0)
+            for j in range(4)
+        )
+        nib_cols.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+    return agg.select(
+        F.col(id_col), F.concat(*nib_cols).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, against a bounded query set)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_max_id: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard similarity of word n-gram shingle SETS between a
+    small query set (id < query_max_id) and the whole corpus.
+
+    Shape: explode distinct shingles on both sides, equi-join on the
+    shingle (the only shuffle), count intersections, then
+    J = |A∩B| / (|A| + |B| - |A∩B|) exactly in integers.
+    """
+    sh = word_shingles(tokens(text_col), shingle_n)
+    base = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+    sizes = base.select(F.col(id_col), F.size("sh").cast("long").alias("sz"))
+    expl = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    q = expl.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("qid"), "shingle"
+    )
+    inter = (
+        q.join(expl, "shingle")
+        .filter(F.col("qid") != F.col(id_col))
+        .groupBy("qid", id_col)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    qs = sizes.select(F.col(id_col).alias("qid"), F.col("sz").alias("q_sz"))
+    out = (
+        inter.join(F.broadcast(qs), "qid")
+        .join(sizes, id_col)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("q_sz") + F.col("sz") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("qid", F.col(id_col).alias("did"), "inter", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a, b):
+    """Cosine similarity of two float arrays, JVM-side, rounded to 4
+    decimals so cross-engine float summation-order noise cannot flip a
+    comparison."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.round(dot / (na * nb), 4)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 5,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate detection by cosine against a bounded query set:
+    broadcast the query vectors, scan the corpus once, keep pairs with
+    cosine >= threshold."""
+    q = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    joined = emb.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+    out = joined.select(
+        F.col("qid"),
+        F.col(id_col).alias("did"),
+        cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    return out.filter(F.col("cosine") >= threshold)

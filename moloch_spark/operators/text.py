@@ -1,0 +1,152 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+These are the scale extensions beyond the reference's own surface
+(BASELINE.json north star): language-ID, quality scoring, token
+counting, and document fingerprinting over a `documents` table.
+
+Everything here is JVM-side (built-in functions only — no Python UDFs):
+at 100 TB these run inside whole-stage codegen on the scan, shuffle
+nothing, and prune to the columns they read.
+
+Shared convention: `tokens` = lowercase split on non-alphanumerics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The shared word-token convention (kept tiny; callers can override).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "los", "de", "y", "que", "una"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, single digits, punctuation glyphs —
+# the usual GPT-2-style split shape, RE2/Java portable.
+BPE_REGEX = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-grams. Guarded: sequence() would count DOWN when
+    size < n, so short docs get an empty array instead."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring metrics per document.
+
+    All exact integer/ratio math: n_tokens, average token length,
+    punctuation ratio, stopword ratio, and a composite quality score in
+    [0,1] (heuristics in the C4/Gopher-rules spirit).
+    """
+    toks = tokens(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    punct = (
+        n_chars
+        - F.length(F.regexp_replace(text, r"[.,;:!?'\"()]", ""))
+    ).cast("long")
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(all_stop))
+    ).cast("long")
+    nz = F.when(n_tokens > 0, n_tokens.cast("double"))
+    avg_token_len = F.when(n_tokens > 0, tok_chars.cast("double") / nz).otherwise(
+        F.lit(0.0)
+    )
+    stopword_ratio = F.when(n_tokens > 0, n_stop.cast("double") / nz).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    # composite score: in-range token count and avg length, low punct
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_token_len >= 3.0) & (avg_token_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic class).
+
+    Deterministic argmax with fixed tie order en > de > fr > es; docs
+    with zero stopword hits are 'und' (undetermined).
+    """
+    toks = tokens(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(ws))).cast("long")
+        for lang, ws in STOPWORDS.items()
+    }
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de > 0) & (de >= fr) & (de >= es), "de")
+        .when((fr > 0) & (fr >= es), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(
+        F.col(id_col),
+        F.col("lang").alias("lang_label"),
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        pred.alias("lang_pred"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts (training-budget accounting)."""
+    text = F.col(text_col)
+    ws_tokens = F.size(F.filter(F.split(text, r"\s+"), lambda x: x != "")).cast("long")
+    bpe_tokens = F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), 0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the lexicographic-min md5 over
+    word n-gram shingles (a 1-permutation MinHash). Equal fingerprints ->
+    near-identical prefixes of content; used for fast dedup candidates."""
+    toks = tokens(text_col)
+    sh = word_shingles(toks, n)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

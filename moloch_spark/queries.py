@@ -29,30 +29,22 @@ from moloch_spark.operators.endpoints import (
 from moloch_spark.catalog import documents_catalog, events_catalog
 from moloch_spark.expr import CompileContext, compile_expression
 from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.registry import register
 from moloch_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
-        if oracle is not None:
-            _ORACLES[name] = oracle
-        return fn
-
-    return deco
-
 
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    from moloch_spark.registry import all_queries
+
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    from moloch_spark.registry import all_oracles
+
+    return all_oracles()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,372 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — each with a DuckDB oracle built from the SAME parameters
+(seeds, shingle width, thresholds) but independently-expressed SQL.
+
+Hash-match policy: all content hashes are md5 hex strings (identical in
+both engines); MinHash = lexicographic MIN over seeded md5s; cosine is
+computed in double with index-order summation and rounded to 4 decimals
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.operators import dedup as D
+from moloch_spark.operators import multimodal as M
+from moloch_spark.operators import similarity as S
+from moloch_spark.operators import text as TX
+from moloch_spark.registry import register
+from moloch_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (token/shingle conventions identical to operators.text)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, text, n_chars, lang, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
+        f"range(len(t) - {n - 1}), i -> array_to_string(list_slice(t, i+1, i+{n}), ' ')))"
+        f" ELSE []::VARCHAR[] END"
+    )
+
+
+_STOP_ALL = sorted({w for ws in TX.STOPWORDS.values() for w in ws})
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH {_TOKS_CTE},
+    mid AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0) AS BIGINT) AS tok_chars,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS BIGINT) AS punct,
+             CAST(len(list_filter(t, x -> x IN ({_in_list(_STOP_ALL)}))) AS BIGINT) AS n_stop
+      FROM toks
+    ),
+    ratios AS (
+      SELECT doc_id, n_chars_calc, n_tokens,
+             CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+             CASE WHEN n_chars_calc > 0 THEN CAST(punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+      FROM mid
+    )
+    SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END) AS quality_score
+    FROM ratios
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id, lang AS lang_label,
+           CAST(len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['en'])}))) AS BIGINT) AS score_en,
+           CAST(len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['de'])}))) AS BIGINT) AS score_de,
+           CAST(len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['fr'])}))) AS BIGINT) AS score_fr,
+           CAST(len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['es'])}))) AS BIGINT) AS score_es,
+           CASE
+             WHEN len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['en'])}))) > 0
+              AND len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['en'])}))) >= len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['de'])})))
+              AND len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['en'])}))) >= len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['fr'])})))
+              AND len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['en'])}))) >= len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['es'])})))
+             THEN 'en'
+             WHEN len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['de'])}))) > 0
+              AND len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['de'])}))) >= len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['fr'])})))
+              AND len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['de'])}))) >= len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['es'])})))
+             THEN 'de'
+             WHEN len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['fr'])}))) > 0
+              AND len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['fr'])}))) >= len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['es'])})))
+             THEN 'fr'
+             WHEN len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS['es'])}))) > 0
+             THEN 'es'
+             ELSE 'und'
+           END AS lang_pred
+    FROM toks
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "token_counts",
+    rf"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_REGEX}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (SELECT doc_id, {_shingles_sql(5)} AS s FROM toks)
+    SELECT doc_id,
+           list_min(list_transform(s, x -> md5(x))) AS fingerprint,
+           CAST(len(s) AS BIGINT) AS n_shingles
+    FROM sh
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, "documents", sf_dir))
+
+
+_MH_COLS_SQL = ",\n           ".join(
+    f"list_min(list_transform(s, x -> md5('{s}:' || x))) AS mh_{s}" for s in range(8)
+)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks)
+    SELECT doc_id,
+           {_MH_COLS_SQL}
+    FROM sh WHERE len(s) > 0
+    """,
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, "documents", sf_dir))
+
+
+_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bhash FROM sigs"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_lsh_candidates",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    sigs AS (
+      SELECT doc_id,
+             {_MH_COLS_SQL}
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(load_table(spark, "documents", sf_dir))
+
+
+def _simhash_sql(nibbles: int = 8) -> str:
+    sums, nibs = [], []
+    for i in range(nibbles):
+        nib = f"CAST(('0x' || substr(md5(tok), {i + 1}, 1)) AS INT)"
+        for j in range(4):
+            sums.append(f"SUM((({nib} >> {3 - j}) & 1) * 2 - 1) AS s_{i}_{j}")
+        nibs.append(
+            "printf('%x', "
+            + " + ".join(
+                f"(CASE WHEN s_{i}_{j} > 0 THEN {1 << (3 - j)} ELSE 0 END)"
+                for j in range(4)
+            )
+            + ")"
+        )
+    sums_sql = ",\n             ".join(sums)
+    nib_sql = " || ".join(nibs)
+    return f"""
+    WITH {_TOKS_CTE},
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    agg AS (
+      SELECT doc_id,
+             {sums_sql}
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, {nib_sql} AS simhash FROM agg
+    """
+
+
+@register("dedup_simhash", _simhash_sql(8))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    base AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM base),
+    expl AS (SELECT doc_id, unnest(s) AS shingle FROM base),
+    q AS (SELECT doc_id AS qid, shingle FROM expl WHERE doc_id < 8),
+    inter AS (
+      SELECT q.qid, e.doc_id, COUNT(*) AS inter
+      FROM q JOIN expl e USING (shingle)
+      WHERE q.qid <> e.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.qid, i.doc_id AS did, CAST(i.inter AS BIGINT) AS inter,
+           CAST(i.inter AS DOUBLE) / CAST(qs.sz + ds.sz - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes qs ON qs.doc_id = i.qid
+    JOIN sizes ds ON ds.doc_id = i.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / CAST(qs.sz + ds.sz - i.inter AS DOUBLE) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+scored AS (
+  SELECT q.qid, e.vec_id AS did,
+         ROUND(
+           list_dot_product(q.qe, e.ed)
+           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ed, e.ed))),
+         4) AS cosine
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings) e,
+       (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id <> q.qid
+)
+"""
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH {_COSINE_SQL}
+    SELECT qid, did, cosine FROM scored WHERE cosine >= 0.95
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dups(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH {_COSINE_SQL},
+    ranked AS (
+      SELECT qid, did, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, did, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brute_force_topk(load_table(spark, "embeddings", sf_dir))
+
+
+def _lsh_ann_sql(n_planes: int = 8, dim: int = 64) -> str:
+    planes = S._hyperplanes(dim, n_planes)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(ed, ["
+        + ", ".join(f"{x!r}" for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, ed, {bits} AS bucket FROM b
+    ),
+    q AS (SELECT vec_id AS qid, ed AS qe, bucket AS qbucket FROM bucketed WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, c.vec_id AS did,
+             ROUND(
+               list_dot_product(q.qe, c.ed)
+               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ed, c.ed))),
+             4) AS cosine
+      FROM bucketed c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, did, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, did, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_lsh_bucketed_topk", _lsh_ann_sql())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucket_topk(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary column plumbing; decode stubbed — see operators.multimodal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS digest,
+           CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(load_table(spark, "documents", sf_dir))
+    return M.extract_features(media)

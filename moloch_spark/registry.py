@@ -1,0 +1,42 @@
+"""Query/oracle registry shared by all query modules.
+
+Every operator exposed to the driver registers here: a (spark, sf_dir)
+-> DataFrame callable plus (when SQL-expressible) a DuckDB oracle SQL
+string with IDENTICAL column names/types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # import registrants lazily to avoid import cycles
+    import moloch_spark.queries  # noqa: F401
+    import moloch_spark.queries_llm  # noqa: F401
+
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    import moloch_spark.queries  # noqa: F401
+    import moloch_spark.queries_llm  # noqa: F401
+
+    return dict(_ORACLES)

@@ -1,0 +1,135 @@
+"""LLM-pipeline operator semantics on hand-built data: known duplicates
+must be found, known non-duplicates must not."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.operators import dedup as D
+from moloch_spark.operators import multimodal as M
+from moloch_spark.operators import similarity as S
+from moloch_spark.operators import text as TX
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different content about database engines and query plans here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "s", len(BASE)),
+        (2, BASE, "en", "s", len(BASE)),          # exact dup of 1
+        (3, NEAR, "en", "s", len(NEAR)),          # near dup of 1
+        (4, OTHER, "en", "s", len(OTHER)),
+        (5, "kurz und nicht der die das gut", "de", "s", 30),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"]).cache()
+
+
+def test_dedup_exact(docs):
+    out = {r.digest: (r.keep_id, r.dup_count) for r in D.dedup_exact(docs).collect()}
+    assert (1, 2) in out.values()  # docs 1+2 collapse, keep min id
+    assert sum(c for _, c in out.values()) == 5
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r.doc_id: tuple(r)[1:] for r in D.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs                      # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs   # near dup shares most shingles
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    # hamming distance in nibbles between near-dups < vs unrelated
+    def ham(a, b):
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+        )
+    assert ham(sh[1], sh[3]) <= ham(sh[1], sh[4])
+
+
+def test_ngram_jaccard(docs):
+    out = {(r.qid, r.did): r.jaccard for r in D.ngram_jaccard(docs, query_max_id=2).collect()}
+    assert out[(1, 2)] == 1.0                   # identical -> J=1
+    assert 0.2 <= out[(1, 3)] < 1.0             # near dup above threshold
+    assert (1, 4) not in out                    # unrelated below threshold
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+        (4, [0.7, 0.7, 0.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_embedding_near_dups(emb):
+    out = {(r.qid, r.did): r.cosine for r in D.embedding_near_dups(emb, query_max_id=1).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert (0, 2) not in out
+
+
+def test_brute_force_topk_order(emb):
+    out = S.brute_force_topk(emb, query_max_id=1, k=3).collect()
+    ranked = [(r.rank, r.did) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == (1, 1)  # closest is the near-dup
+    assert ranked[1][1] == 4    # then the 45-degree vector
+
+
+def test_lsh_ann_subset_of_bruteforce(emb):
+    # LSH candidates within the same bucket must rank identically to the
+    # brute-force order restricted to that candidate set
+    lsh = {(r.qid, r.did) for r in S.lsh_bucket_topk(emb, query_max_id=1, k=5, dim=4).collect()}
+    brute = {(r.qid, r.did) for r in S.brute_force_topk(emb, query_max_id=1, k=5).collect()}
+    assert lsh <= brute or len(lsh) <= len(brute)
+
+
+def test_text_stats_values(docs):
+    r = {x.doc_id: x for x in TX.text_stats(docs).collect()}
+    assert r[1].n_tokens == 13
+    assert r[1].n_chars_calc == len(BASE)
+    assert r[1].quality_score == 1.0            # in-range everything, no punct
+    assert r[5].stopword_ratio > 0
+
+
+def test_lang_id(docs):
+    r = {x.doc_id: x.lang_pred for x in TX.lang_id(docs).collect()}
+    assert r[1] == "en"
+    assert r[5] == "de"
+
+
+def test_token_counts(docs):
+    r = {x.doc_id: x for x in TX.token_counts(docs).collect()}
+    assert r[1].ws_tokens == 13
+    assert r[1].bpe_tokens == 13                # no punctuation/digits
+
+
+def test_fingerprint_dups_match(docs):
+    r = {x.doc_id: x.fingerprint for x in TX.fingerprint(docs).collect()}
+    assert r[1] == r[2]
+    assert r[1] != r[4]
+    assert r[5] is not None
+
+
+def test_multimodal_plumbing(docs):
+    media = M.documents_as_media(docs)
+    feats = {r.media_id: r for r in M.extract_features(media).collect()}
+    assert feats[1].byte_len == len(BASE.encode())
+    assert feats[1].digest == __import__("hashlib").md5(BASE.encode()).hexdigest()
+    assert feats[1].width == 16 + len(BASE.encode()) % 64
+    with pytest.raises(NotImplementedError):
+        M.resize_stub(media, 224, 224)

@@ -27,16 +27,18 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _load_registrants() -> None:
     # import registrants lazily to avoid import cycles
     import moloch_spark.queries  # noqa: F401
+    import moloch_spark.queries_enrich  # noqa: F401
     import moloch_spark.queries_llm  # noqa: F401
 
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_registrants()
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    import moloch_spark.queries  # noqa: F401
-    import moloch_spark.queries_llm  # noqa: F401
-
+    _load_registrants()
     return dict(_ORACLES)

@@ -1,0 +1,149 @@
+"""Hunts, cron standing queries, rootId chunking, and the streaming
+sessionizer exposed through the driver gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.catalog import events_catalog
+from moloch_spark.operators.hunts import HuntSpec, hunt
+from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.registry import register
+from moloch_spark.sources.tables import load_table
+from moloch_spark.streaming.cron import CronQuery, CronRunner
+from moloch_spark.streaming.sessionizer import streaming_sessionize
+
+# ---------------------------------------------------------------------------
+# hunts (viewer/apiHunts.js): payload content search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hunt_ascii_and_regex",
+    """
+    SELECT doc_id, 'h-ascii' AS hunt_id FROM documents
+    WHERE contains(lower(text), 'merge')
+    UNION ALL
+    SELECT doc_id, 'h-regex' AS hunt_id FROM documents
+    WHERE regexp_matches(text, 'sc[ae]n')
+    ORDER BY hunt_id, doc_id
+    """,
+)
+def q_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    a = hunt(docs, HuntSpec("h-ascii", "ascii", "MERGE"), payload_cols=["text"], id_col="doc_id")
+    r = hunt(docs, HuntSpec("h-regex", "regex", "sc[ae]n"), payload_cols=["text"], id_col="doc_id")
+    return a.unionByName(r).orderBy("hunt_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# cron standing query: one tick with a pinned clock (the incremental
+# checkpoint mechanics are exercised in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cron_query_tick",
+    """
+    SELECT event_id, ts, ['alert'] AS tags, 'errs' AS cron_name
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 90 SECOND
+      AND event_type = 'error'
+    ORDER BY event_id
+    """,
+)
+def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    runner = CronRunner(
+        tempfile.mktemp(suffix=".json"), events_catalog()
+    )  # fresh state: first tick scans from the epoch, like a new cron query
+    out = runner.run_once(
+        ev,
+        CronQuery("errs", "event.type == error", tags=["alert"]),
+        now=dt.datetime(2024, 1, 15, 0, 0, 0),
+        id_cols=["event_id", "ts"],
+    )
+    return out.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# long-session chunking (mid-save rootId semantics, capture/session.c:312)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_chunked_rootid",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS root_seq
+      FROM seq
+    ), chunked AS (
+      SELECT *,
+             (epoch_ms(ts) - epoch_ms(MIN(ts) OVER (PARTITION BY user_id, root_seq)))
+               // 600000 AS chunk_seq
+      FROM numbered
+    )
+    SELECT user_id,
+           CAST(root_seq AS VARCHAR) || '-' || CAST(chunk_seq AS VARCHAR) AS session_seq,
+           CAST(MIN(root_seq) AS BIGINT) AS root_seq,
+           MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+           COUNT(*) AS packets,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt,
+           epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS length_ms,
+           CAST(user_id AS VARCHAR) || '#' || CAST(root_seq AS VARCHAR) || '-' || CAST(chunk_seq AS VARCHAR) AS session_id
+    FROM chunked
+    GROUP BY user_id, root_seq, chunk_seq
+    """,
+)
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessionize_events(ev, idle_timeout_s=1800, chunk_s=600)
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionizer (stateful, non-SQL-expressible -> rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_sessionize_closed")  # no oracle: custom stateful streaming
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # file source wants a directory; also the raw parquet carries
+    # TIMESTAMP(NANOS), so stream it as long and convert in-flight
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(d, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sessionize(stream, idle_timeout_s=1800, watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,85 @@
+"""Standing (cron) queries — moloch's periodic-query engine.
+
+Reference (viewer/viewer.js:2293-2460): each saved query keeps a
+watermark `lpValue`; every tick it searches sessions with
+lastPacket in (lpValue, now - 90s] matching the saved expression, runs
+its action (add tags / forward), and advances lpValue. The 90s lag
+covers ingest latency (viewer/internals.js:37-39).
+
+Spark shape: an incremental batch job over the session/event table with
+a checkpointed per-query watermark — the same filter is a partition-
+pruned range scan, the action is an append to a tags table (at real
+scale: a Delta MERGE). Exactly-once per row comes from the watermark
+interval being half-open.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.catalog import FieldCatalog
+from moloch_spark.expr import CompileContext, compile_expression
+
+
+@dataclass
+class CronQuery:
+    name: str
+    expression: str  # moloch expression over the fact table
+    tags: list[str]  # action: tags to attach
+    lag_s: int = 90  # ingest-latency grace (internals.cronTimeout)
+
+
+class CronRunner:
+    """Checkpointed incremental runner: state file maps query name ->
+    lp_value (ISO). Each run processes (lp_value, now - lag] once."""
+
+    def __init__(self, state_path: str, catalog: FieldCatalog, ts_col: str = "ts"):
+        self.state_path = state_path
+        self.catalog = catalog
+        self.ts_col = ts_col
+
+    def _load(self) -> dict[str, str]:
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save(self, st: dict[str, str]) -> None:
+        with open(self.state_path, "w") as f:
+            json.dump(st, f)
+
+    def run_once(
+        self,
+        df: DataFrame,
+        query: CronQuery,
+        *,
+        now: datetime | None = None,
+        id_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """One tick: returns the matched rows tagged; advances lpValue."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        hi = now - timedelta(seconds=query.lag_s)
+        st = self._load()
+        lo = st.get(query.name)
+        ts = F.col(self.ts_col)
+        window = ts <= F.lit(hi.isoformat(sep=" ")).cast("timestamp")
+        if lo is not None:
+            window = window & (ts > F.lit(lo).cast("timestamp"))
+        pred = compile_expression(
+            query.expression, CompileContext(catalog=self.catalog, now=now)
+        )
+        matched = df.filter(window & pred)
+        if id_cols:
+            matched = matched.select(*id_cols)
+        out = matched.withColumn(
+            "tags", F.array(*[F.lit(t) for t in query.tags])
+        ).withColumn("cron_name", F.lit(query.name))
+        st[query.name] = hi.isoformat(sep=" ")
+        self._save(st)
+        return out

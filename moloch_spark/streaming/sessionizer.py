@@ -1,0 +1,166 @@
+"""Streaming sessionizer — the capture pipeline's stateful core.
+
+Reference: moloch_session_find_or_create + idle-timeout close
+(capture/session.c:419-469,484-543): packets hash to a session key,
+accumulate into per-session state, and the session flushes when idle
+longer than its protocol's timeout (tcp 480s, udp 60s, ... —
+capture/config.c:518-523).
+
+Spark shape: groupByKey(session key).applyInPandasWithState with
+EventTimeTimeout. State = ONE open session per key (the reference's
+hash-table entry); the watermark plays the role of the wall clock that
+drives the lazy expiry scan. Emission happens when (a) a gap inside a
+batch exceeds the timeout, or (b) the watermark passes last_seen +
+timeout (the state timeout callback).
+
+At 100 TB the state size is bounded by OPEN sessions only — identical
+to the reference's maxStreams sizing (capture/config.c:525) — and the
+shuffle is the same hash-by-key the reference's packet threads do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("root_seq", T.LongType()),
+        T.StructField("first_packet", T.TimestampType()),
+        T.StructField("last_packet", T.TimestampType()),
+        T.StructField("packets", T.LongType()),
+        T.StructField("tot_bytes", T.DoubleType()),
+        T.StructField("event_types", T.ArrayType(T.StringType())),
+        T.StructField("event_types_cnt", T.LongType()),
+        T.StructField("session_id", T.StringType()),
+    ]
+)
+
+# state: open-session accumulator (timestamps as epoch micros for exactness)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("root_seq", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("packets", T.LongType()),
+        T.StructField("tot_bytes", T.DoubleType()),
+        T.StructField("event_types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
+    root_seq, first_us, last_us, packets, tot_bytes, types = st
+    types = sorted(set(types))
+    return {
+        "user_id": user_id,
+        "root_seq": root_seq,
+        "first_packet": pd.Timestamp(first_us, unit="us"),
+        "last_packet": pd.Timestamp(last_us, unit="us"),
+        "packets": packets,
+        "tot_bytes": round(tot_bytes, 4),
+        "event_types": types,
+        "event_types_cnt": len(types),
+        # id derives from (key, first-seen time), NOT a per-key counter:
+        # counters reset when timed-out state is evicted, so they collide
+        # across restarts; first_us is stable and replay-idempotent
+        "session_id": f"{user_id}#{first_us}",
+    }
+
+
+def make_session_fn(idle_timeout_s: int):
+    timeout_ms = idle_timeout_s * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[dict] = []
+
+        if state.hasTimedOut:
+            # watermark passed last_seen + timeout: flush the open session
+            st = state.get
+            out.append(_emit_row(user_id, st))
+            state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
+
+        if state.exists:
+            root_seq, first_us, last_us, packets, tot_bytes, types = state.get
+            types = list(types)
+        else:
+            root_seq, first_us, last_us, packets, tot_bytes, types = (
+                0, None, None, 0, 0.0, []
+            )
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for ts, value, etype in zip(
+            rows["ts"], rows["value"], rows["event_type"]
+        ):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if first_us is None:
+                root_seq += 1
+                first_us, last_us = ts_us, ts_us
+                packets, tot_bytes, types = 0, 0.0, []
+            elif ts_us - last_us > timeout_ms * 1000:
+                # idle gap inside the batch: close and start the next
+                out.append(
+                    _emit_row(
+                        user_id,
+                        (root_seq, first_us, last_us, packets, tot_bytes, types),
+                    )
+                )
+                root_seq += 1
+                first_us, last_us = ts_us, ts_us
+                packets, tot_bytes, types = 0, 0.0, []
+            packets += 1
+            tot_bytes += float(value)
+            if etype not in types:
+                types.append(etype)
+            last_us = max(last_us, ts_us)
+
+        state.update((root_seq, first_us, last_us, packets, tot_bytes, types))
+        # expire when the watermark passes last_seen + idle timeout
+        state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    *,
+    idle_timeout_s: int = 1800,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """events (streaming DF with ts/user_id/event_type/value) -> stream of
+    CLOSED sessions."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(idle_timeout_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, *, key_cols: list[str], watermark_delay: str = "10 minutes") -> DataFrame:
+    """Packet dedup (capture/dedup.c): drop events whose key was seen
+    within the watermark window — dropDuplicatesWithinWatermark keyed on
+    the header hash."""
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

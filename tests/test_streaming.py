@@ -1,0 +1,170 @@
+"""Streaming parity: stateful sessionizer vs the batch sessionizer,
+dedup-within-watermark, cron standing queries, hunts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.catalog import events_catalog
+from moloch_spark.operators.hunts import HuntSpec, hunt
+from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.sources.tables import load_table
+from moloch_spark.streaming.cron import CronQuery, CronRunner
+from moloch_spark.streaming.sessionizer import streaming_dedup, streaming_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """sf0.001 events re-written as one parquet file per day so the
+    file streaming source produces multiple ordered micro-batches."""
+    base = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, "events", SF).withColumn(
+        "day", F.date_format("ts", "yyyyMMdd")
+    )
+    days = [r.day for r in ev.select("day").distinct().orderBy("day").collect()]
+    for d in days:
+        (
+            ev.filter(F.col("day") == d)
+            .drop("day")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, f"d={d}"))
+        )
+    # flat dir of files in day order for the stream source
+    flat = str(tmp_path_factory.mktemp("events_flat"))
+    i = 0
+    for d in days:
+        src = os.path.join(base, f"d={d}")
+        for f_ in sorted(os.listdir(src)):
+            if f_.endswith(".parquet"):
+                os.link(os.path.join(src, f_), os.path.join(flat, f"{i:04d}.parquet"))
+                i += 1
+    return flat
+
+
+def test_streaming_sessionize_matches_batch(spark, events_stream_dir):
+    batch_ev = load_table(spark, "events", SF)
+    schema = batch_ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    sessions = streaming_sessionize(stream, idle_timeout_s=1800, watermark_delay="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.session_id: r
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert len(got) > 0, "no sessions emitted — watermark/timeout wiring broken"
+
+    # batch ids are per-key sequence numbers; streaming ids are
+    # (key, first_us) — re-key the batch result the same way to compare
+    def ts_us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    want = {
+        f"{r.user_id}#{ts_us(r.first_packet)}": r
+        for r in sessionize_events(batch_ev, idle_timeout_s=1800).collect()
+    }
+    # every emitted (closed) session must match the batch result exactly
+    mismatches = []
+    for sid, g in got.items():
+        w = want.get(sid)
+        if w is None:
+            mismatches.append((sid, "missing in batch"))
+            continue
+        if (
+            g.first_packet != w.first_packet
+            or g.last_packet != w.last_packet
+            or g.packets != w.packets
+            or sorted(g.event_types) != sorted(w.event_types)
+            or abs(g.tot_bytes - w.tot_bytes) > 1e-6
+        ):
+            mismatches.append((sid, g, w))
+    assert not mismatches, mismatches[:3]
+    # sessions that closed well before the stream end must have been emitted
+    max_ts = batch_ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(seconds=1800 + 24 * 3600)
+    overdue = [
+        sid for sid, w in want.items() if w.last_packet < horizon and sid not in got
+    ]
+    assert not overdue, f"sessions never flushed: {overdue[:5]}"
+
+
+def test_streaming_dedup(spark, events_stream_dir, tmp_path):
+    schema = load_table(spark, "events", SF).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    # duplicate the stream against itself via union to create dups
+    deduped = streaming_dedup(
+        stream.union(stream), key_cols=["event_id"], watermark_delay="1 minute"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0].c
+    total = load_table(spark, "events", SF).count()
+    assert n == total, f"dedup kept {n}, expected {total}"
+
+
+def test_cron_runner_incremental(spark, tmp_path):
+    ev = load_table(spark, "events", SF)
+    runner = CronRunner(str(tmp_path / "cron.json"), events_catalog())
+    cq = CronQuery("errs", "event.type == error", tags=["alert"])
+    t1 = dt.datetime(2024, 1, 15, 0, 1, 30)
+    out1 = runner.run_once(ev, cq, now=t1, id_cols=["event_id", "ts"])
+    n1 = out1.count()
+    # second run at same time: watermark advanced, nothing new
+    out2 = runner.run_once(ev, cq, now=t1, id_cols=["event_id", "ts"])
+    assert out2.count() == 0
+    # later run picks up exactly the delta, no overlap
+    t2 = dt.datetime(2024, 2, 15, 0, 1, 30)
+    out3 = runner.run_once(ev, cq, now=t2, id_cols=["event_id", "ts"])
+    n3 = out3.count()
+    total_err = ev.filter("event_type = 'error'").count()
+    assert n1 + n3 == total_err
+    assert out3.select(F.min("ts")).collect()[0][0] > t1 - dt.timedelta(seconds=90)
+
+
+def test_hunt_match_types(spark):
+    docs = load_table(spark, "documents", SF)
+    ascii_hits = hunt(
+        docs, HuntSpec("h1", "ascii", "MERGE"), payload_cols=["text"], id_col="doc_id"
+    ).count()
+    assert ascii_hits > 0  # case-insensitive finds lowercase 'merge'
+    case_hits = hunt(
+        docs, HuntSpec("h2", "asciicase", "MERGE"), payload_cols=["text"], id_col="doc_id"
+    ).count()
+    assert case_hits == 0  # corpus is lowercase
+    rx_hits = hunt(
+        docs, HuntSpec("h3", "regex", "m[ea]rge"), payload_cols=["text"], id_col="doc_id"
+    ).count()
+    assert rx_hits >= ascii_hits
+    # hex match over binary payloads ('merge' = 6d65726765)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    hex_hits = hunt(
+        media,
+        HuntSpec("h4", "hex", "6d65726765"),
+        payload_cols=["payload"],
+        id_col="doc_id",
+        binary_cols={"payload"},
+    ).count()
+    assert hex_hits == ascii_hits

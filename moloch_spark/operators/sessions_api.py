@@ -1,0 +1,114 @@
+"""Session-detail endpoints: segment reassembly, tag updates, CSV export,
+multi-cluster merge, timeline auto-interval, derived rates.
+
+Reference analogs (SURVEY §2.3):
+  * segments=all: re-query by rootId and merge chunked sessions
+    (viewer/apiSessions.js:256-301,1370-1412)
+  * add/remove tags: bulk update of the tags array on matched sessions
+    (viewer/apiSessions.js:1480-1529) — Delta MERGE at real scale; here
+    a join-update that produces the updated table
+  * CSV export (viewer/apiSessions.js:1751-1778)
+  * multies scatter-gather: per-cluster results merged by key
+    (viewer/multies.js:529-736) — in Spark a unionByName BEFORE the
+    aggregation, so merge semantics are exact, not approximate
+  * auto interval: 1s/1m/1h buckets chosen from the query span
+    (viewer/viewerUtils.js:66-134)
+  * dstats derived rates: delta(bytes)*8000/delta(ms)
+    (viewer/apiStats.js:78-338)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from moloch_spark.operators.endpoints import dsum
+
+
+def merge_segments(chunked: DataFrame, key_cols: list[str] = ("user_id", "root_seq")) -> DataFrame:
+    """Reassemble mid-save chunks that share a rootId into whole
+    sessions — the `segments=all` view. One groupBy on the root key."""
+    keys = [F.col(c) for c in key_cols]
+    return chunked.groupBy(*keys).agg(
+        F.min("first_packet").alias("first_packet"),
+        F.max("last_packet").alias("last_packet"),
+        F.sum("packets").alias("packets"),
+        F.sum(F.col("tot_bytes").cast("decimal(18,4)")).cast("double").alias("tot_bytes"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("event_types")))
+        ).alias("event_types"),
+        F.count(F.lit(1)).alias("segment_cnt"),
+    )
+
+
+def update_tags(
+    sessions: DataFrame,
+    matched: DataFrame,
+    *,
+    id_col: str = "session_id",
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Bulk add/remove tags on matched session ids. Shape of a Delta
+    MERGE: broadcast the matched-id set, rewrite the tags array."""
+    hit = F.col("__hit").isNotNull()
+    m = matched.select(F.col(id_col), F.lit(1).alias("__hit")).distinct()
+    out = sessions.join(F.broadcast(m), id_col, "left")
+    tags = F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+    if add:
+        tags_if_hit = F.array_sort(
+            F.array_distinct(F.concat(tags, F.array(*[F.lit(t) for t in add])))
+        )
+        tags = F.when(hit, tags_if_hit).otherwise(tags)
+    if remove:
+        removed = F.array_sort(
+            F.filter(tags, lambda x: ~x.isin(remove))
+        )
+        tags = F.when(hit, removed).otherwise(tags)
+    return out.withColumn(tags_col, tags).drop("__hit")
+
+
+def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
+    """CSV export of a (already filtered/projected) result."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def scatter_gather(parts: list[DataFrame]) -> DataFrame:
+    """multies merge: union per-cluster tables by name BEFORE any
+    aggregation — downstream groupBys then produce exactly-merged
+    terms/histograms (vs the reference's client-side re-merge)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def determine_interval(span_s: float) -> str:
+    """Bucket unit by query span (viewerUtils.js:66-134): <=1h -> seconds,
+    <=5d -> minutes, else hours."""
+    if span_s <= 3600:
+        return "second"
+    if span_s <= 5 * 24 * 3600:
+        return "minute"
+    return "hour"
+
+
+def derived_rates(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    gauge_col: str,
+) -> DataFrame:
+    """dstats-style derived rates: per key, delta of a gauge over delta
+    time -> per-second rate. Window lag over (key, ts)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_v = F.lag(F.col(gauge_col)).over(w)
+    prev_t = F.lag(F.col(ts_col)).over(w)
+    dt_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_t)
+    rate = F.when(
+        dt_ms > 0,
+        (F.col(gauge_col) - prev_v) * 1000.0 / dt_ms.cast("double"),
+    )
+    return df.withColumn("delta_ms", dt_ms).withColumn("rate_per_s", rate)

@@ -1,0 +1,278 @@
+"""Session-API queries (segments, tags, scatter-gather, rates, paging)
+plus TPC-H-style join headliners for the bench."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.operators import sessions_api as A
+from moloch_spark.operators.endpoints import dsum, sessions_search
+from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.registry import register
+from moloch_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# segments=all — merge rootId chunks back into whole sessions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_segments_merge",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS root_seq
+      FROM seq
+    ), chunked AS (
+      SELECT *,
+             (epoch_ms(ts) - epoch_ms(MIN(ts) OVER (PARTITION BY user_id, root_seq)))
+               // 600000 AS chunk_seq
+      FROM numbered
+    ), segs AS (
+      SELECT user_id, root_seq, chunk_seq,
+             MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+             COUNT(*) AS packets,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
+             list_sort(list(DISTINCT event_type)) AS event_types
+      FROM chunked GROUP BY 1, 2, 3
+    )
+    SELECT user_id, root_seq,
+           MIN(first_packet) AS first_packet, MAX(last_packet) AS last_packet,
+           CAST(SUM(packets) AS BIGINT) AS packets,
+           CAST(SUM(CAST(tot_bytes AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
+           list_sort(list_distinct(flatten(list(event_types)))) AS event_types,
+           COUNT(*) AS segment_cnt
+    FROM segs GROUP BY 1, 2
+    """,
+)
+def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    chunked = sessionize_events(ev, idle_timeout_s=1800, chunk_s=600)
+    return A.merge_segments(chunked)
+
+
+# ---------------------------------------------------------------------------
+# add/remove tags on matched sessions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_tag_update",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, session_seq,
+             CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+             COUNT(*) AS packets,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT session_id, packets,
+           CASE WHEN errs > 0
+                THEN ['flagged', 'has-error']
+                ELSE []::VARCHAR[] END AS tags
+    FROM sessions
+    """,
+)
+def q_tag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    sess = sessionize_events(ev, idle_timeout_s=1800).withColumn(
+        "tags", F.array().cast("array<string>")
+    )
+    matched = sess.filter(F.array_contains("event_types", "error")).select("session_id")
+    out = A.update_tags(sess, matched, add=["flagged", "has-error"])
+    return out.select("session_id", "packets", "tags")
+
+
+# ---------------------------------------------------------------------------
+# multies scatter-gather: two "clusters" -> one exact aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multies_scatter_gather",
+    """
+    WITH c1 AS (SELECT * FROM events WHERE user_id % 2 = 0),
+         c2 AS (SELECT * FROM events WHERE user_id % 2 = 1),
+         unioned AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    SELECT event_type AS value, COUNT(*) AS count
+    FROM unioned GROUP BY 1
+    ORDER BY count DESC, value ASC
+    """,
+)
+def q_multies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c1 = ev.filter(F.col("user_id") % 2 == 0)
+    c2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = A.scatter_gather([c1, c2])
+    return (
+        merged.groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("value").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# dstats derived rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dstats_derived_rates",
+    """
+    WITH g AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS gauge
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, day, gauge,
+             epoch_ms(day) - epoch_ms(lag(day) OVER w) AS delta_ms,
+             CASE WHEN epoch_ms(day) - epoch_ms(lag(day) OVER w) > 0
+                  THEN (gauge - lag(gauge) OVER w) * 1000.0
+                       / CAST(epoch_ms(day) - epoch_ms(lag(day) OVER w) AS DOUBLE)
+             END AS rate_per_s
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, gauge, delta_ms, rate_per_s FROM r
+    """,
+)
+def q_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value", "gauge"))
+    return A.derived_rates(g, key_col="user_id", ts_col="day", gauge_col="gauge")
+
+
+# ---------------------------------------------------------------------------
+# pagination with offset
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessions_page_offset",
+    """
+    SELECT event_id, ts, event_type
+    FROM events
+    ORDER BY ts ASC, event_id ASC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def q_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessions_search(
+        ev,
+        sort=[("ts", True), ("event_id", True)],
+        limit=50,
+        offset=100,
+        fields=["event_id", "ts", "event_type"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style join headliners (bench coverage of the join planner)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY 1, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        l.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut), l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    ORDER BY revenue DESC, nation ASC
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )

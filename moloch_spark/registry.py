@@ -30,6 +30,7 @@ def register(name: str, oracle: str | None = None):
 def _load_registrants() -> None:
     # import registrants lazily to avoid import cycles
     import moloch_spark.queries  # noqa: F401
+    import moloch_spark.queries_api  # noqa: F401
     import moloch_spark.queries_enrich  # noqa: F401
     import moloch_spark.queries_llm  # noqa: F401
     import moloch_spark.queries_stream  # noqa: F401

@@ -58,7 +58,25 @@ def compile_expression(expression: str | P.Node, ctx: CompileContext) -> Column:
 
 
 def _wrap(pred: Column) -> Column:
+    """Two-valued coercion. Applied at NEGATION boundaries only: wrapping
+    every leaf in coalesce(pred, false) would be semantically identical
+    (ES bool logic) but blocks parquet filter pushdown — Catalyst cannot
+    translate coalesce() into a data-source filter. In plain filter
+    context SQL's null already behaves like ES no-match; only NOT must
+    map null -> false -> true explicitly."""
     return F.coalesce(pred, F.lit(False))
+
+
+def _leaf(pred: Column) -> Column:
+    """Leaf predicates stay unwrapped so Catalyst can push them into the
+    parquet scan; see _wrap for the semantics argument."""
+    return pred
+
+
+def _negate(pred: Column) -> Column:
+    """ES must_not: matches docs where pred is false OR the field is
+    missing (null) — hence the coalesce before negating."""
+    return ~F.coalesce(pred, F.lit(False))
 
 
 def _compile(node: P.Node, ctx: CompileContext) -> Column:
@@ -67,7 +85,7 @@ def _compile(node: P.Node, ctx: CompileContext) -> Column:
     if isinstance(node, P.Or):
         return _compile(node.left, ctx) | _compile(node.right, ctx)
     if isinstance(node, P.Not):
-        return ~_compile(node.child, ctx)
+        return _negate(_compile(node.child, ctx))
     if isinstance(node, P.Exists):
         return _exists(node, ctx)
     if isinstance(node, P.Cmp):
@@ -98,13 +116,13 @@ def _exists(node: P.Exists, ctx: CompileContext) -> Column:
         pred = preds[0]
         for p in preds[1:]:
             pred = pred | p
-        return ~pred if node.negated else pred
+        return _negate(pred) if node.negated else pred
     col = F.col(info.db_field)
     if _is_multi(info, ctx):
-        pred = _wrap(F.size(col) > 0)
+        pred = _leaf(F.size(col) > 0)
     else:
-        pred = _wrap(col.isNotNull())
-    return ~pred if node.negated else pred
+        pred = _leaf(col.isNotNull())
+    return _negate(pred) if node.negated else pred
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +189,7 @@ def _cmp(node: P.Cmp, ctx: CompileContext) -> Column:
         pred = preds[0]
         for p in preds[1:]:
             pred = pred | p
-        return ~pred if node.op == "ne" else pred
+        return _negate(pred) if node.op == "ne" else pred
 
     # $shortcut values resolve against the lookups table (jison:377-447)
     if node.value.kind == "str" and node.value.text.startswith("$"):
@@ -234,26 +252,26 @@ def _integer(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
                 _num(_transform(i.text, info.transform)) for i in v.items
             ]
             if multi:
-                pred = _wrap(
+                pred = _leaf(
                     F.arrays_overlap(col, F.array(*[F.lit(n) for n in nums]))
                 )
             else:
-                pred = _wrap(col.isin(nums))
+                pred = _leaf(col.isin(nums))
         else:
             text = _transform(v.text.strip('"'), info.transform)
             m = _RANGE_RE.match(text) if v.kind == "str" else None
             if m:
                 lo, hi = int(m.group(1)), int(m.group(2))
                 if multi:
-                    pred = _wrap(
+                    pred = _leaf(
                         F.exists(col, lambda x: (x >= F.lit(lo)) & (x <= F.lit(hi)))
                     )
                 else:
-                    pred = _wrap((col >= lo) & (col <= hi))
+                    pred = _leaf((col >= lo) & (col <= hi))
             else:
                 n = _num(text)
-                pred = _wrap(F.array_contains(col, F.lit(n)) if multi else col == n)
-        return ~pred if node.op == "ne" else pred
+                pred = _leaf(F.array_contains(col, F.lit(n)) if multi else col == n)
+        return _negate(pred) if node.op == "ne" else pred
 
     if v.kind == "list":
         raise CompileError("List queries not supported for gt/lt queries")
@@ -270,8 +288,8 @@ def _range_pred(col: Column, op: str, lit: Column, multi: bool) -> Column:
     }
     f = ops[op]
     if multi:
-        return _wrap(F.exists(col, lambda x: f(x, lit)))
-    return _wrap(f(col, lit))
+        return _leaf(F.exists(col, lambda x: f(x, lit)))
+    return _leaf(f(col, lit))
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +323,9 @@ def _phrase_regex(phrase: str) -> str:
     if not tokens:
         return "^$"
     body = r"[^a-z0-9]+".join(re.escape(t) for t in tokens)
-    return rf"(^|.*[^a-z0-9]){body}([^a-z0-9].*|$)"
+    # rlike is a partial match, so plain boundaries suffice — a leading
+    # `.*` would force quadratic backtracking over every row
+    return rf"(^|[^a-z0-9]){body}([^a-z0-9]|$)"
 
 
 def _fold_col(col: Column, kind: str) -> Column:
@@ -339,8 +359,8 @@ def _string_one(
             pat = _transform(pat, info.transform).replace("2e", ".")
         anchored = f"^(?:{pat})$"
         if multi:
-            return _wrap(F.exists(col, lambda x: _fold_col(x, kind).rlike(anchored)))
-        return _wrap(_fold_col(col, kind).rlike(anchored))
+            return _leaf(F.exists(col, lambda x: _fold_col(x, kind).rlike(anchored)))
+        return _leaf(_fold_col(col, kind).rlike(anchored))
 
     text = _transform(_fold(v.text, kind), info.transform)
 
@@ -349,18 +369,18 @@ def _string_one(
             raise CompileError("Please use 'EXISTS!' instead of a '*' in expression")
         pat = _glob_to_regex(text)
         if multi:
-            return _wrap(F.exists(col, lambda x: _fold_col(x, kind).rlike(pat)))
-        return _wrap(_fold_col(col, kind).rlike(pat))
+            return _leaf(F.exists(col, lambda x: _fold_col(x, kind).rlike(pat)))
+        return _leaf(_fold_col(col, kind).rlike(pat))
 
     if is_text:
         pat = _phrase_regex(text)
         if multi:
-            return _wrap(F.exists(col, lambda x: F.lower(x).rlike(pat)))
-        return _wrap(F.lower(col).rlike(pat))
+            return _leaf(F.exists(col, lambda x: F.lower(x).rlike(pat)))
+        return _leaf(F.lower(col).rlike(pat))
 
     if multi:
-        return _wrap(F.array_contains(F.transform(col, lambda x: _fold_col(x, kind)), F.lit(text)))
-    return _wrap(_fold_col(col, kind) == F.lit(text))
+        return _leaf(F.array_contains(F.transform(col, lambda x: _fold_col(x, kind)), F.lit(text)))
+    return _leaf(_fold_col(col, kind) == F.lit(text))
 
 
 def _string(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
@@ -375,7 +395,7 @@ def _string(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
             pred = pred | p
     else:
         pred = _string_one(col, v, info, ctx)
-    return ~pred if node.op == "ne" else pred
+    return _negate(pred) if node.op == "ne" else pred
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +458,7 @@ def _ip_one(cond: IpCond, info: Field, ctx: CompileContext) -> Column:
         pred = port_pred if pred is None else (pred & port_pred)
     if pred is None:
         raise CompileError("empty ip condition")
-    return _wrap(pred)
+    return _leaf(pred)
 
 
 def _ip(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
@@ -467,7 +487,7 @@ def _ip(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
                 pred = pred | p
         else:
             pred = _ip_one(parse_ip_port(text), info, ctx)
-        return ~pred if op == "ne" else pred
+        return _negate(pred) if op == "ne" else pred
 
     if v.kind == "list":
         raise CompileError("List queries not supported for gt/lt queries")
@@ -497,14 +517,14 @@ def _datetime(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
     if node.op in ("eq", "ne"):
         if v.kind == "list":
             secs = [parse_seconds(i.text, ctx.now) for i in v.items]
-            preds = [_wrap(col == lit(s)) for s in secs]
+            preds = [_leaf(col == lit(s)) for s in secs]
             pred = preds[0]
             for p in preds[1:]:
                 pred = pred | p
         else:
             s = parse_seconds(v.text, ctx.now)
-            pred = _wrap(col == lit(s))
-        return ~pred if node.op == "ne" else pred
+            pred = _leaf(col == lit(s))
+        return _negate(pred) if node.op == "ne" else pred
 
     if v.kind == "list":
         raise CompileError("List queries not supported for gt/lt queries")
@@ -550,7 +570,7 @@ def _shortcut(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
             pred = pred | p
     elif kind == "integer":
         nums = [_num(v) for v in values]
-        pred = _wrap(
+        pred = _leaf(
             F.arrays_overlap(col, F.array(*[F.lit(n) for n in nums]))
             if multi
             else col.isin(nums)
@@ -560,12 +580,12 @@ def _shortcut(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
         folded = (
             F.transform(col, lambda x: _fold_col(x, kind)) if multi else _fold_col(col, kind)
         )
-        pred = _wrap(
+        pred = _leaf(
             F.arrays_overlap(folded, F.array(*[F.lit(x) for x in vals]))
             if multi
             else folded.isin(vals)
         )
-    return ~pred if node.op == "ne" else pred
+    return _negate(pred) if node.op == "ne" else pred
 
 
 def _view(node: P.Cmp, ctx: CompileContext) -> Column:
@@ -575,4 +595,4 @@ def _view(node: P.Cmp, ctx: CompileContext) -> Column:
     if name not in ctx.views:
         raise CompileError(f"{name} - View not found for user")
     pred = compile_expression(ctx.views[name], ctx)
-    return ~pred if node.op == "ne" else pred
+    return _negate(pred) if node.op == "ne" else pred

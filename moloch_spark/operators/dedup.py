@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from moloch_spark.operators.text import tokens, word_shingles
+from moloch_spark.operators.text import shingle_df, tokens, word_shingles
 
 # ---------------------------------------------------------------------------
 # exact
@@ -53,6 +53,19 @@ def dedup_exact(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Universal-hash permutation family over a 2^31-1 prime field: seed s maps
+# base hash h to (a_s*h + b_s) mod P. One md5 per shingle total (the base),
+# then integer multiply-mod per seed — exact int64 math in both engines
+# (a < 2^31, h < 2^28 -> product < 2^59, no overflow).
+_MH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _mh_params(seed: int) -> tuple[int, int]:
+    # deterministic odd multipliers/offsets derived from the seed
+    a = 2 * seed + 1 + 104_729 * (seed + 1)
+    b = 12_345 + 999_331 * seed
+    return a % _MH_PRIME or 1, b % _MH_PRIME
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -62,24 +75,26 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed s, min over distinct word
-    n-gram shingles of md5("s:" + shingle). Entirely scan-side — the
-    signature costs num_hashes * shingles md5s inside codegen, no
-    shuffle, no UDF.
+    """Per-doc MinHash signature via one md5 base hash per distinct word
+    n-gram shingle + a universal-hash permutation per seed.
+
+    Shape: explode shingles once (the array build is the expensive part —
+    evaluating it per seed column measures 8x slower), then num_hashes
+    MIN aggregations that combine map-side; the only shuffle is the
+    per-doc hash agg.
     """
-    toks = tokens(text_col)
-    sh = word_shingles(toks, shingle_n)
-
-    def mh(seed: int):
-        # NB: the lambda must take exactly ONE arg — PySpark treats a
-        # two-arg transform lambda as (element, index)
-        prefix = f"{seed}:"
-        return F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(F.lit(prefix), x)))
-        ).alias(f"mh_{seed}")
-
-    sig_cols = [mh(s) for s in range(num_hashes)]
-    return df.select(F.col(id_col), *sig_cols).filter(F.col("mh_0").isNotNull())
+    shd = shingle_df(df, text_col=text_col, id_cols=(id_col,), n=shingle_n)
+    expl = shd.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # 28-bit base hash from the md5 prefix: exact in int64 everywhere
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    withh = expl.select(F.col(id_col), base.alias("h"))
+    aggs = []
+    for s in range(num_hashes):
+        a, b = _mh_params(s)
+        aggs.append(
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh_{s}")
+        )
+    return withh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -110,7 +125,10 @@ def lsh_candidate_pairs(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                        *[
+                            F.col(f"mh_{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
                     )
                 ).alias("bhash"),
             )
@@ -205,10 +223,11 @@ def ngram_jaccard(
     shingle (the only shuffle), count intersections, then
     J = |A∩B| / (|A| + |B| - |A∩B|) exactly in integers.
     """
-    sh = word_shingles(tokens(text_col), shingle_n)
-    base = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
-    sizes = base.select(F.col(id_col), F.size("sh").cast("long").alias("sz"))
-    expl = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    base = shingle_df(df, text_col=text_col, id_cols=(id_col,), n=shingle_n).filter(
+        F.size("shingles") > 0
+    )
+    sizes = base.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
+    expl = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     q = expl.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("qid"), "shingle"
     )

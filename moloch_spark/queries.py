@@ -435,7 +435,7 @@ def q_expr_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang
     FROM documents
-    WHERE regexp_matches(lower(text), '(^|.*[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9].*|$)')
+    WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9]|$)')
     ORDER BY doc_id
     """,
 )

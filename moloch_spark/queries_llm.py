@@ -161,9 +161,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, "documents", sf_dir))
 
 
-_MH_COLS_SQL = ",\n           ".join(
-    f"list_min(list_transform(s, x -> md5('{s}:' || x))) AS mh_{s}" for s in range(8)
-)
+def _mh_col_sql(s: int) -> str:
+    a, b = D._mh_params(s)
+    return (
+        f"list_min(list_transform(s, x -> "
+        f"(CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT) * {a} + {b}) % {D._MH_PRIME}"
+        f")) AS mh_{s}"
+    )
+
+
+_MH_COLS_SQL = ",\n           ".join(_mh_col_sql(s) for s in range(8))
 
 
 @register(
@@ -181,7 +188,8 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BANDS_SQL = "\n      UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bhash FROM sigs"
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(CAST(mh_{2*b} AS VARCHAR) || '|' || CAST(mh_{2*b+1} AS VARCHAR)) AS bhash FROM sigs"
     for b in range(4)
 )
 

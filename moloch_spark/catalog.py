@@ -50,6 +50,11 @@ class Field:
     transform: str | None = None  # constant-side transform
     port_field: str | None = None  # paired port column for ip kinds
     regex: str | None = None  # fanout pseudo-field: regex over exp names
+    # ip kinds: name of a companion NUMERIC column (unsigned-int form of
+    # the address). When present, CIDR/range predicates compile against
+    # it directly — plain long comparisons that parquet row-group stats
+    # can skip on (SURVEY §4 "store ips as numeric to get it free").
+    num_field: str | None = None
 
     def __post_init__(self):
         if self.kind not in KINDS:

@@ -436,6 +436,16 @@ def _ip_one(cond: IpCond, info: Field, ctx: CompileContext) -> Column:
             pred = (
                 F.array_contains(col, F.lit(lit)) if multi else col == F.lit(lit)
             )
+        elif info.num_field:
+            # numeric companion column: plain long range — pushes down to
+            # parquet row-group stats, unlike the string-conversion path
+            n = F.col(info.num_field)
+            if multi:
+                pred = F.exists(
+                    n, lambda x: (x >= F.lit(cond.lo)) & (x <= F.lit(cond.hi))
+                )
+            else:
+                pred = (n >= F.lit(cond.lo)) & (n <= F.lit(cond.hi))
         else:
             if multi:
                 pred = F.exists(
@@ -492,6 +502,10 @@ def _ip(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
     if v.kind == "list":
         raise CompileError("List queries not supported for gt/lt queries")
     n = ip_literal_to_int(text)
+    if info.num_field:
+        return _range_pred(
+            F.col(info.num_field), node.op, F.lit(n), _is_multi(info, ctx)
+        )
     col = F.col(info.db_field)
     num = ip4_str_to_long(col)
     return _range_pred(

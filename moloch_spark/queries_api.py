@@ -188,6 +188,82 @@ def q_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# session store roundtrip: partitioned write -> prune-read -> bounding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_store_bounded_either",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+             COUNT(*) AS packets,
+             CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
+      FROM numbered GROUP BY user_id, session_seq
+    )
+    SELECT session_id, user_id, first_packet, last_packet, packets
+    FROM sessions
+    WHERE first_packet <= TIMESTAMP '2024-01-12 00:00:00'
+      AND last_packet >= TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def q_store_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from moloch_spark.sources.session_store import (
+        read_sessions,
+        time_bounded,
+        write_sessions,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = sessionize_events(ev, idle_timeout_s=1800)
+    path = tempfile.mkdtemp(prefix="session_store_")
+    write_sessions(sess, path, mode="overwrite")
+    stored = read_sessions(spark, path)
+    out = time_bounded(
+        stored,
+        start="2024-01-10 00:00:00",
+        stop="2024-01-12 00:00:00",
+        bounding="either",
+    )
+    return out.select(
+        "session_id", "user_id", "first_packet", "last_packet", "packets"
+    )
+
+
+@register(
+    "unique_autocomplete",
+    """
+    SELECT event_type AS value, COUNT(*) AS count
+    FROM events
+    WHERE event_type LIKE 'p%'
+    GROUP BY 1
+    ORDER BY count DESC, value ASC
+    LIMIT 10000
+    """,
+)
+def q_unique_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the unique endpoint's autocomplete mode: prefix-filtered terms agg
+    # (viewer/apiSessions.js:2283-2407 autocomplete branch)
+    from moloch_spark.operators.endpoints import unique
+
+    ev = load_table(spark, "events", sf_dir)
+    return unique(ev.filter(F.col("event_type").startswith("p")), "event_type")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style join headliners (bench coverage of the join planner)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,136 @@
+"""Session store — the sessions3-* index layer as a partitioned table.
+
+Reference (SURVEY §1.3): capture writes one JSON doc per session into
+time-rotated ES indices `sessions3-YYMMDD[hHH]` (rotation from
+lastPacket, capture/db.c:538-577); `db.pl expire` drops old indices on a
+retention schedule; queries map index names back to time ranges for
+partition pruning (viewer/db.js:1853-1939) and widen the range for
+non-`last` time bounding (db.js:1920-1927).
+
+Spark shape: a parquet (Delta-ready) table partitioned by
+`day = date(lastPacket)`. Partition pruning is then free: a predicate on
+`day` reaches the scan as PartitionFilters. Retention = partition drop.
+The bounding-mode widening rule becomes derivation of the `day`
+predicate from the right timestamp column(s).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "day"
+
+
+def write_sessions(
+    sessions: DataFrame,
+    path: str,
+    *,
+    ts_col: str = "last_packet",
+    mode: str = "append",
+) -> None:
+    """Batch write, partitioned by date(ts_col) — the index-rotation
+    analog. Parquet here; the layout is Delta-compatible."""
+    (
+        sessions.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def write_sessions_stream(
+    sessions: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "last_packet",
+):
+    """Streaming sink: the ES-bulk analog is a partitioned append via
+    foreachBatch (capture buffers dbBulkSize per thread; Spark buffers
+    per micro-batch)."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        write_sessions(batch, path, ts_col=ts_col, mode="append")
+
+    return (
+        sessions.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def read_sessions(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def time_bounded(
+    df: DataFrame,
+    *,
+    start: str,
+    stop: str,
+    bounding: str = "last",
+    first_col: str = "first_packet",
+    last_col: str = "last_packet",
+    max_session_days: int = 1,
+) -> DataFrame:
+    """Time-range filter with moloch bounding modes
+    (viewer/apiSessions.js:1240-1279) plus the partition-pruning widening
+    rule (viewer/db.js:1920-1927):
+
+      last   — lastPacket in range (default)
+      first  — firstPacket in range
+      both   — first AND last inside the range
+      either — session overlaps the range
+
+    The partition predicate on `day` (derived from lastPacket) is widened
+    by max_session_days for modes keyed on firstPacket, mirroring how the
+    reference widens the index list by the index rotation period.
+    """
+    lo = F.lit(start).cast("timestamp")
+    hi = F.lit(stop).cast("timestamp")
+    first, last = F.col(first_col), F.col(last_col)
+    if bounding == "last":
+        pred = (last >= lo) & (last <= hi)
+        day_lo, day_hi = lo, hi
+    elif bounding == "first":
+        pred = (first >= lo) & (first <= hi)
+        # lastPacket (the partition key) can trail firstPacket by the max
+        # session length -> widen the partition window to the right
+        day_lo, day_hi = lo, F.date_add(hi.cast("date"), max_session_days).cast("timestamp")
+    elif bounding == "both":
+        pred = (first >= lo) & (last <= hi)
+        day_lo, day_hi = lo, hi
+    elif bounding == "either":
+        pred = (first <= hi) & (last >= lo)
+        day_lo, day_hi = lo, F.date_add(hi.cast("date"), max_session_days).cast("timestamp")
+    else:
+        raise ValueError(f"unknown bounding {bounding!r}")
+    day = F.col(PARTITION_COL)
+    day_pred = (day >= F.date_format(day_lo, "yyyy-MM-dd")) & (
+        day <= F.date_format(day_hi, "yyyy-MM-dd")
+    )
+    return df.filter(day_pred & pred)
+
+
+def expire_partitions(
+    spark: SparkSession, path: str, *, keep_days: int, now: dt.date | None = None
+) -> list[str]:
+    """Retention: drop partitions older than keep_days (db.pl expire).
+    Returns the dropped partition names."""
+    now = now or dt.date.today()
+    cutoff = (now - dt.timedelta(days=keep_days)).isoformat()
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(f"{PARTITION_COL}="):
+            continue
+        day = name.split("=", 1)[1]
+        if day < cutoff:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(name)
+    return dropped

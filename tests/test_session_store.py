@@ -1,0 +1,142 @@
+"""Session store: partitioned write, bounding modes with partition
+pruning, retention; user row-level security; numeric-ip pushdown."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.catalog import Field, FieldCatalog, events_catalog
+from moloch_spark.expr import CompileContext, compile_expression
+from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.operators.users import (
+    UserContext,
+    apply_user_context,
+    log_api_call,
+    read_history,
+)
+from moloch_spark.sources.session_store import (
+    expire_partitions,
+    read_sessions,
+    time_bounded,
+    write_sessions,
+)
+from moloch_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sessions") / "store")
+    sess = sessionize_events(load_table(spark, "events", SF), idle_timeout_s=1800)
+    write_sessions(sess, path, mode="overwrite")
+    return path
+
+
+def test_partitioned_layout(store):
+    parts = [p for p in os.listdir(store) if p.startswith("day=")]
+    assert len(parts) > 5  # ~30 days of data
+
+
+def test_partition_pruning_in_plan(spark, store):
+    df = read_sessions(spark, store)
+    q = time_bounded(df, start="2024-01-10 00:00:00", stop="2024-01-12 00:00:00")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # the day predicate must reach PartitionFilters (pruning), not just the row filter
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf_line and "2024-01-1" in pf_line
+
+
+def test_bounding_modes(spark, store):
+    df = read_sessions(spark, store)
+    lo, hi = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    last = time_bounded(df, start=lo, stop=hi, bounding="last")
+    first = time_bounded(df, start=lo, stop=hi, bounding="first")
+    both = time_bounded(df, start=lo, stop=hi, bounding="both")
+    either = time_bounded(df, start=lo, stop=hi, bounding="either")
+    nb, nl, nf, ne = both.count(), last.count(), first.count(), either.count()
+    assert nb <= min(nl, nf) and max(nl, nf) <= ne
+    # widen rule: a session starting Jan 11 but ending Jan 12 23:59 lives in
+    # a later partition; bounding=first must still see it
+    got = {r.session_id for r in first.collect()}
+    want = {
+        r.session_id
+        for r in df.filter(
+            (F.col("first_packet") >= lo) & (F.col("first_packet") <= hi)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_retention(spark, store, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "ret")
+    shutil.copytree(store, path)
+    dropped = expire_partitions(
+        spark, path, keep_days=10, now=dt.date(2024, 1, 25)
+    )
+    assert dropped and all(d < "day=2024-01-15" for d in dropped)
+    remaining = [p for p in os.listdir(path) if p.startswith("day=")]
+    assert all(p.split("=")[1] >= "2024-01-15" for p in remaining)
+
+
+def test_user_forced_expression_and_time_limit(spark):
+    ev = load_table(spark, "events", SF)
+    user = UserContext(
+        "alice",
+        forced_expression="event.type == [error, click]",
+        time_limit_hours=24 * 10,
+    )
+    now = dt.datetime(2024, 1, 31, 0, 0, 0)
+    out = apply_user_context(ev, user, events_catalog(), ts_col="ts", now=now)
+    rows = out.select("event_type", "ts").collect()
+    assert rows
+    assert all(r.event_type in ("error", "click") for r in rows)
+    assert all(r.ts >= dt.datetime(2024, 1, 21) for r in rows)
+
+
+def test_history_log(spark, tmp_path):
+    path = str(tmp_path / "history")
+    log_api_call(
+        spark, path, user_id="alice", api="sessions", expression="x == 1",
+        query_time_ms=42, records=10,
+    )
+    log_api_call(
+        spark, path, user_id="bob", api="unique", expression=None,
+        query_time_ms=7, records=3,
+    )
+    h = read_history(spark, path)
+    assert h.count() == 2
+    assert {r.user_id for r in h.collect()} == {"alice", "bob"}
+
+
+def test_numeric_ip_pushdown(spark, tmp_path):
+    path = str(tmp_path / "ipnum")
+    rows = [
+        (1, "10.0.0.5", 10 * 2**24 + 5),
+        (2, "10.1.2.3", 10 * 2**24 + 1 * 2**16 + 2 * 256 + 3),
+        (3, "192.168.0.1", 192 * 2**24 + 168 * 2**16 + 1),
+    ]
+    spark.createDataFrame(rows, "id int, ip string, ip_num long").write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    cat = FieldCatalog()
+    cat.define(Field("ip.src", "ip", "ip", num_field="ip_num"))
+    pred = compile_expression("ip.src == 10/8", CompileContext(catalog=cat))
+    out = df.filter(pred)
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    # CIDR became a long range on ip_num, visible to row-group skipping
+    assert "ip_num" in pf and ("GreaterThanOrEqual" in pf or "LessThanOrEqual" in pf)

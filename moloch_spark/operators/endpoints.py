@@ -28,6 +28,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from moloch_spark.guardrails import Guardrails
+
+_DEFAULT_GUARDRAILS = Guardrails()
+
 # ---------------------------------------------------------------------------
 # numeric helpers
 # ---------------------------------------------------------------------------
@@ -62,7 +66,7 @@ def sessions_search(
     limit: int = 100,
     offset: int = 0,
     fields: Sequence[str] | None = None,
-    max_length: int = 2_000_000,
+    max_length: int = _DEFAULT_GUARDRAILS.max_length,
 ) -> DataFrame:
     """/api/sessions core: filter → sort → page → project.
 
@@ -133,7 +137,7 @@ def unique(
     df: DataFrame,
     field: str | Column,
     *,
-    k: int = 10_000,
+    k: int = _DEFAULT_GUARDRAILS.max_agg_size,
     min_count: int = 1,
     explode_arrays: bool = True,
 ) -> DataFrame:
@@ -146,6 +150,7 @@ def unique(
     Scale: partial aggregation map-side, then a bounded top-K. The final
     orderBy+limit is a TakeOrdered, not a full sort.
     """
+    k = _DEFAULT_GUARDRAILS.cap_k(k)
     c = _col(field)
     name = field if isinstance(field, str) else "value"
     df2 = df
@@ -165,7 +170,7 @@ def multiunique(
     df: DataFrame,
     fields: Sequence[str],
     *,
-    k: int = 10_000,
+    k: int = _DEFAULT_GUARDRAILS.max_agg_size,
 ) -> DataFrame:
     """/api/multiunique: intersection of N fields (apiSessions.js:2420-2500).
 
@@ -173,6 +178,7 @@ def multiunique(
     DFS-flattens; in Spark that is exactly a multi-key groupBy over rows
     where every key is present.
     """
+    k = _DEFAULT_GUARDRAILS.cap_k(k)
     out = df
     for f in fields:
         out = out.filter(F.col(f).isNotNull())

@@ -244,6 +244,42 @@ def q_store_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unique_multivalue_session_types",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, session_seq,
+             list_sort(list(DISTINCT event_type)) AS event_types
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT u.value, COUNT(*) AS count
+    FROM (SELECT unnest(event_types) AS value FROM sessions) u
+    GROUP BY 1
+    ORDER BY count DESC, value ASC
+    LIMIT 10000
+    """,
+)
+def q_unique_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the critical multivalue semantic: terms agg over an ARRAY field
+    # counts each session once per contained value (explode + count)
+    from moloch_spark.operators.endpoints import unique
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = sessionize_events(ev, idle_timeout_s=1800)
+    return unique(sess.select("event_types"), "event_types")
+
+
+@register(
     "unique_autocomplete",
     """
     SELECT event_type AS value, COUNT(*) AS count

@@ -1,0 +1,84 @@
+"""Geo range-join enrichment + decode pipelines + differential
+partitioning consistency (the single-vs-multies oracle, FIXTURES §5)."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.operators.decode import decode_pipeline
+from moloch_spark.operators.geo import geo_dim_from_cidrs, geo_enrich, geo_enrich_bucketed
+
+GEO_ROWS = [
+    ("10.0.0.0/8", "XX", 64512, "PrivateNet", "rfc1918"),
+    ("192.168.0.0/16", "YY", 64513, "HomeNet", "rfc1918"),
+    ("203.0.113.0/24", "AU", 1221, "Telstra", "apnic"),
+]
+
+
+def ipn(s):
+    a, b, c, d = (int(x) for x in s.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = [
+        (1, ipn("10.1.2.3")),
+        (2, ipn("192.168.5.5")),
+        (3, ipn("203.0.113.9")),
+        (4, ipn("8.8.8.8")),  # no geo match
+    ]
+    return spark.createDataFrame(rows, "id int, ip_num long")
+
+
+def test_geo_enrich_both_shapes_agree(spark, facts):
+    geo = geo_dim_from_cidrs(spark, GEO_ROWS)
+    plain = {
+        r.id: r.country for r in geo_enrich(facts, geo, ip_num_col="ip_num").collect()
+    }
+    bucketed = {
+        r.id: r.country
+        for r in geo_enrich_bucketed(facts, geo, ip_num_col="ip_num").collect()
+    }
+    assert plain == bucketed == {1: "XX", 2: "YY", 3: "AU", 4: None}
+
+
+def test_geo_bucketed_is_hash_join(spark, facts):
+    geo = geo_dim_from_cidrs(spark, GEO_ROWS)
+    plan = geo_enrich_bucketed(facts, geo, ip_num_col="ip_num")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan  # not a nested loop
+
+
+def test_decode_pipeline(spark):
+    body = b"hello compressed world"
+    payload = base64.b64encode(gzip.compress(b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n" + body))
+    df = spark.createDataFrame([(1, payload.decode())], "id int, payload string")
+    out = decode_pipeline(df, "payload", ["base64", "gzip", "http_body"]).collect()[0]
+    assert bytes(out.payload) == body
+    # non-gzip passthrough
+    df2 = spark.createDataFrame([(1, b"plain")], "id int, payload binary")
+    out2 = decode_pipeline(df2, "payload", ["gzip"]).collect()[0]
+    assert bytes(out2.payload) == b"plain"
+
+
+def test_partitioning_differential(spark):
+    """Single- vs multi-partition equality for representative queries —
+    mirrors the reference's single-viewer vs multies oracle
+    (tests/api-unique.t:12-29)."""
+    from moloch_spark.registry import all_queries
+    from tests.oracle_utils import canon_rows
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ["unique_event_type", "sessionize_events_30m", "tpch_q1_pricing_summary",
+                 "dedup_minhash_signatures", "connections_nation_graph"]:
+        df = qs[name](spark, sf)
+        one = canon_rows(df.coalesce(1).toPandas())
+        many = canon_rows(df.repartition(16).toPandas())
+        assert one == many, f"{name} differs across partitionings"

@@ -1,0 +1,135 @@
+"""Elasticsearch bulk sink — the capture->ES write path.
+
+Reference: capture serializes one JSON doc per session into per-thread
+bulk buffers (dbBulkSize=200KB, capture/config.c:528) and POSTs NDJSON
+`_bulk` bodies with index names rotated from lastPacket
+(capture/db.c:472-618,538-577).
+
+Spark shape: foreachBatch over the session stream; each partition
+serializes its rows to NDJSON bulk actions (index line + doc line) and
+ships chunks of ~bulk_bytes to the transport. The transport is
+pluggable:
+
+  * HttpTransport  — POST to /_bulk (real ES; not exercised in this
+    container — no ES server — but the code path is the standard
+    urllib POST)
+  * DirTransport   — write each bulk body to a directory (used by tests
+    and as a replayable spool)
+
+Executors ship independent partitions — the same per-thread-buffer
+parallelism as capture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Row
+
+
+def index_name(last_packet, *, prefix: str = "sessions3-", rotation: str = "daily") -> str:
+    """Time-rotated index name from lastPacket (capture/db.c:538-577)."""
+    if rotation == "hourly":
+        return f"{prefix}{last_packet:%y%m%dh%H}"
+    if rotation == "daily":
+        return f"{prefix}{last_packet:%y%m%d}"
+    if rotation == "weekly":
+        # ISO-ish week number, reference uses weeks since epoch mod
+        return f"{prefix}{last_packet:%yw%W}"
+    if rotation == "monthly":
+        return f"{prefix}{last_packet:%ym%m}"
+    raise ValueError(f"unknown rotation {rotation!r}")
+
+
+def _row_to_bulk(row: Row, *, ts_col: str, id_col: str, prefix: str, rotation: str) -> str:
+    d = row.asDict(recursive=True)
+    ts = d.get(ts_col)
+    action = {
+        "index": {
+            "_index": index_name(ts, prefix=prefix, rotation=rotation),
+            "_id": str(d.get(id_col)),
+        }
+    }
+    return json.dumps(action, default=str) + "\n" + json.dumps(d, default=str) + "\n"
+
+
+class DirTransport:
+    """Writes bulk bodies as files — test double and replay spool."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def send(self, body: str) -> None:
+        name = os.path.join(self.path, f"bulk-{uuid.uuid4().hex}.ndjson")
+        with open(name, "w") as f:
+            f.write(body)
+
+
+class HttpTransport:
+    """POSTs to an ES /_bulk endpoint (urllib; no extra deps)."""
+
+    def __init__(self, url: str):
+        self.url = url.rstrip("/") + "/_bulk"
+
+    def send(self, body: str) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=body.encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            resp.read()
+
+
+def write_bulk(
+    sessions: DataFrame,
+    transport,
+    *,
+    ts_col: str = "last_packet",
+    id_col: str = "session_id",
+    prefix: str = "sessions3-",
+    rotation: str = "daily",
+    bulk_bytes: int = 200 * 1024,
+) -> None:
+    """Batch write: per partition, buffer NDJSON actions up to bulk_bytes
+    (the dbBulkSize analog) and flush to the transport."""
+
+    def per_partition(rows: Iterator[Row]) -> None:
+        buf: list[str] = []
+        size = 0
+        for row in rows:
+            s = _row_to_bulk(
+                row, ts_col=ts_col, id_col=id_col, prefix=prefix, rotation=rotation
+            )
+            buf.append(s)
+            size += len(s)
+            if size >= bulk_bytes:
+                transport.send("".join(buf))
+                buf, size = [], 0
+        if buf:
+            transport.send("".join(buf))
+
+    sessions.foreachPartition(per_partition)
+
+
+def stream_bulk(
+    sessions: DataFrame,
+    transport,
+    checkpoint: str,
+    **kwargs,
+):
+    """Streaming variant via foreachBatch (the live capture->ES path)."""
+
+    def batch_fn(batch: DataFrame, epoch_id: int) -> None:
+        write_bulk(batch, transport, **kwargs)
+
+    return sessions.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint
+    )

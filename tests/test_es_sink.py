@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from moloch_spark.operators.sessionize import sessionize_events
+from moloch_spark.sources.es_sink import DirTransport, index_name, write_bulk
+from moloch_spark.sources.tables import load_table
+
+
+def test_index_rotation_names():
+    ts = dt.datetime(2024, 1, 5, 13, 0, 0)
+    assert index_name(ts, rotation="daily") == "sessions3-240105"
+    assert index_name(ts, rotation="hourly") == "sessions3-240105h13"
+    assert index_name(ts, rotation="monthly") == "sessions3-24m01"
+
+
+def test_write_bulk_ndjson(spark, tmp_path):
+    sess = sessionize_events(
+        load_table(spark, "events", "/root/testdata/sf0.001"), idle_timeout_s=1800
+    )
+    out = str(tmp_path / "bulk")
+    write_bulk(sess, DirTransport(out), bulk_bytes=8 * 1024)
+    files = [f for f in os.listdir(out) if f.endswith(".ndjson")]
+    assert files
+    total_docs = 0
+    for f in files:
+        lines = open(os.path.join(out, f)).read().strip().splitlines()
+        assert len(lines) % 2 == 0  # action+doc pairs
+        for i in range(0, len(lines), 2):
+            action = json.loads(lines[i])
+            doc = json.loads(lines[i + 1])
+            assert action["index"]["_index"].startswith("sessions3-2401")
+            assert action["index"]["_id"] == doc["session_id"]
+            total_docs += 1
+    assert total_docs == sess.count()

@@ -280,6 +280,58 @@ def q_unique_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "expr_sessions_store_search",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, session_seq,
+             CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+             COUNT(*) AS packets,
+             list_sort(list(DISTINCT event_type)) AS event_types
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT session_id, user_id, packets
+    FROM sessions
+    -- the compiled expression: session.types == error && session.packets >= 3
+    -- (array term == membership; ES must_not semantics don't apply here)
+    WHERE list_contains(event_types, 'error') AND packets >= 3
+    ORDER BY session_id
+    """,
+)
+def q_expr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: sessionize -> partitioned store -> moloch expression
+    over the session catalog (multivalue membership semantics)."""
+    import tempfile
+
+    from moloch_spark.catalog import sessions_catalog
+    from moloch_spark.expr import CompileContext, compile_expression
+    from moloch_spark.sources.session_store import read_sessions, write_sessions
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = sessionize_events(ev, idle_timeout_s=1800)
+    path = tempfile.mkdtemp(prefix="session_store_expr_")
+    write_sessions(sess, path, mode="overwrite")
+    stored = read_sessions(spark, path)
+    pred = compile_expression(
+        "session.types == error && session.packets >= 3",
+        CompileContext(catalog=sessions_catalog()),
+    )
+    return stored.filter(pred).select("session_id", "user_id", "packets").orderBy(
+        "session_id"
+    )
+
+
+@register(
     "unique_autocomplete",
     """
     SELECT event_type AS value, COUNT(*) AS count

@@ -34,6 +34,7 @@ def _load_registrants() -> None:
     import moloch_spark.queries_enrich  # noqa: F401
     import moloch_spark.queries_llm  # noqa: F401
     import moloch_spark.queries_stream  # noqa: F401
+    import moloch_spark.queries_tpch  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

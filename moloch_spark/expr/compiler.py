@@ -47,6 +47,13 @@ class CompileContext:
     views: dict[str, str] = dc_field(default_factory=dict)
     now: dt.datetime | None = None  # injectable for deterministic relative dates
     array_fields: set[str] = dc_field(default_factory=set)
+    # fileand resolution: file name -> [(node, file_id), ...], the files
+    # catalog lookup (viewer/viewerUtils.js:149-176). Resolved at compile
+    # time, exactly like the reference's async rewrite pass.
+    files: dict[str, list[tuple[str, int]]] = dc_field(default_factory=dict)
+    # column names for the (node, fileId) pair on the fact table
+    node_col: str = "node"
+    file_id_col: str = "file_id"
 
 
 def compile_expression(expression: str | P.Node, ctx: CompileContext) -> Column:
@@ -207,6 +214,8 @@ def _cmp(node: P.Cmp, ctx: CompileContext) -> Column:
         return _datetime(node, info, ctx)
     if kind == "viewand":
         return _view(node, ctx)
+    if kind == "fileand":
+        return _fileand(node, ctx)
     raise CompileError(f"Unknown field type: {kind}")
 
 
@@ -609,4 +618,25 @@ def _view(node: P.Cmp, ctx: CompileContext) -> Column:
     if name not in ctx.views:
         raise CompileError(f"{name} - View not found for user")
     pred = compile_expression(ctx.views[name], ctx)
+    return _negate(pred) if node.op == "ne" else pred
+
+
+def _fileand(node: P.Cmp, ctx: CompileContext) -> Column:
+    """fileand virtual field (jison:519-527): file name resolves against
+    the files catalog into an OR of (node, fileId) pairs."""
+    if node.value.kind == "list":
+        raise CompileError("List queries not supported for file queries")
+    if node.op not in ("eq", "ne"):
+        raise CompileError(f"{node.op} - not supported for file queries")
+    name = node.value.text.strip('"')
+    pairs = ctx.files.get(name)
+    if not pairs:
+        raise CompileError(f"{name} - File not found")
+    preds = [
+        (F.col(ctx.node_col) == F.lit(n)) & (F.col(ctx.file_id_col) == F.lit(fid))
+        for n, fid in pairs
+    ]
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
     return _negate(pred) if node.op == "ne" else pred

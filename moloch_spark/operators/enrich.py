@@ -141,6 +141,47 @@ def interval_join(
     return left.join(right, on & (left_ts >= right_lo) & (left_ts <= right_hi), how)
 
 
+def oui_enrich(
+    fact: DataFrame,
+    oui: DataFrame,
+    *,
+    mac_col: str,
+    prefix_col: str = "mac_prefix",
+    value_cols: Sequence[str] = ("manufacturer",),
+) -> DataFrame:
+    """OUI lookup (capture/db.c oui parse): MAC -> manufacturer by the
+    first-3-octet prefix; the dim is tiny -> broadcast equi-join on the
+    normalized prefix."""
+    norm = F.lower(F.substring(F.regexp_replace(fact[mac_col], "-", ":"), 1, 8))
+    dim = oui.select(
+        F.lower(F.col(prefix_col)).alias("__oui_prefix"), *value_cols
+    )
+    return fact.join(
+        F.broadcast(dim), norm == F.col("__oui_prefix"), "left"
+    ).drop("__oui_prefix")
+
+
+def yara_scan_stub(df: DataFrame, rules: str, *, payload_col: str = "payload"):
+    """YARA payload scan (capture/yara.c). NOT runnable here: yara-python
+    is not in this container. The real shape is a mapInPandas over the
+    payload column compiling `rules` once per executor — identical
+    plumbing to multimodal.extract_features."""
+    raise NotImplementedError(
+        "yara-python not available in this environment; use a mapInPandas "
+        "matcher like moloch_spark.operators.multimodal.extract_features"
+    )
+
+
+def reverse_dns_stub(df: DataFrame, *, ip_col: str):
+    """Reverse-DNS enrich (viewer/apiMisc.js:2020). Network lookups are
+    not available/deterministic here; the real shape is an Arrow-batched
+    pandas UDF with a per-executor resolver cache."""
+    raise NotImplementedError(
+        "no network access in this environment; implement as a pandas UDF "
+        "with socket.gethostbyaddr + per-executor LRU cache"
+    )
+
+
 # ---------------------------------------------------------------------------
 # drophash — runtime drop filters
 # ---------------------------------------------------------------------------

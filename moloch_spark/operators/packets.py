@@ -125,6 +125,45 @@ def first_bytes(
     )
 
 
+def reassemble_fragments(
+    df: DataFrame,
+    *,
+    frag_key_cols: list[str] = ("src_ip", "dst_ip", "frag_id"),
+    offset_col: str = "frag_offset",
+    payload_col: str = "payload",
+    more_col: str = "more_fragments",
+) -> DataFrame:
+    """IP fragment reassembly (capture/packet.c:474-634): group by the
+    fragment key, order by offset, concatenate; a datagram is complete
+    when offsets tile without holes and the final fragment has MF=0."""
+    keys = [F.col(c) for c in frag_key_cols]
+    frag = F.struct(
+        F.col(offset_col).alias("off"),
+        F.col(payload_col).alias("data"),
+        F.col(more_col).alias("mf"),
+    )
+    grouped = df.groupBy(*keys).agg(F.array_sort(F.collect_list(frag)).alias("frags"))
+    frags = F.col("frags")
+    data = F.aggregate(frags, F.lit(""), lambda acc, s: F.concat(acc, s["data"]))
+    pairs = F.arrays_zip(
+        F.slice(frags, 1, F.size(frags) - 1), F.slice(frags, 2, F.size(frags) - 1)
+    )
+    no_holes = F.when(
+        F.size(frags) > 1,
+        ~F.exists(
+            pairs, lambda p: p["1"]["off"] != p["0"]["off"] + F.length(p["0"]["data"])
+        ),
+    ).otherwise(F.lit(True))
+    starts_at_zero = F.element_at(frags, 1)["off"] == 0
+    last_not_mf = ~F.element_at(frags, -1)["mf"]
+    return grouped.select(
+        *keys,
+        data.alias("payload"),
+        (no_holes & starts_at_zero & last_not_mf).alias("complete"),
+        F.size(frags).cast("long").alias("fragments"),
+    )
+
+
 # port -> protocol fallbacks (subset of the reference's port classifiers)
 _PORT_PROTO = {
     80: "http", 8080: "http", 443: "tls", 53: "dns", 22: "ssh",

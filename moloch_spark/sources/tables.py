@@ -58,3 +58,13 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view for the SQL API path."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def null_reader(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """The null/no-op reader (capture/reader-null.c): a rate source used
+    to exercise streaming plumbing with no real input."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

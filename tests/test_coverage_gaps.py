@@ -1,0 +1,81 @@
+"""Tests for the coverage-closing operators: fileand, fragment
+reassembly, OUI enrichment, null reader, stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.catalog import Field, FieldCatalog
+from moloch_spark.expr import CompileContext, compile_expression
+from moloch_spark.operators.enrich import oui_enrich, reverse_dns_stub, yara_scan_stub
+from moloch_spark.operators.packets import reassemble_fragments
+from moloch_spark.sources.tables import null_reader
+
+
+def test_fileand(spark):
+    cat = FieldCatalog()
+    cat.define(Field("file", "", "fileand"))
+    ctx = CompileContext(
+        catalog=cat,
+        files={"cap1.pcap": [("node1", 7), ("node2", 9)]},
+    )
+    df = spark.createDataFrame(
+        [(1, "node1", 7), (2, "node1", 8), (3, "node2", 9)],
+        "id int, node string, file_id int",
+    )
+    pred = compile_expression('file == "cap1.pcap"', ctx)
+    assert sorted(r.id for r in df.filter(pred).collect()) == [1, 3]
+    pred_ne = compile_expression('file != "cap1.pcap"', ctx)
+    assert sorted(r.id for r in df.filter(pred_ne).collect()) == [2]
+    with pytest.raises(Exception, match="File not found"):
+        compile_expression("file == nope.pcap", ctx)
+
+
+def test_fragment_reassembly(spark):
+    rows = [
+        # complete datagram: 0..3, 3..6, final
+        ("a", "b", 1, 0, "abc", True),
+        ("a", "b", 1, 3, "def", True),
+        ("a", "b", 1, 6, "gh", False),
+        # hole at 5..10
+        ("a", "b", 2, 0, "12345", True),
+        ("a", "b", 2, 10, "xy", False),
+        # missing last fragment (MF still set)
+        ("a", "b", 3, 0, "zz", True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "src_ip string, dst_ip string, frag_id int, frag_offset long, payload string, more_fragments boolean",
+    )
+    out = {r.frag_id: r for r in reassemble_fragments(df).collect()}
+    assert out[1].payload == "abcdefgh" and out[1].complete
+    assert not out[2].complete
+    assert not out[3].complete
+    assert out[1].fragments == 3
+
+
+def test_oui_enrich(spark):
+    fact = spark.createDataFrame(
+        [(1, "AA-BB-CC-11-22-33"), (2, "aa:bb:cc:99:88:77"), (3, "00:11:22:33:44:55")],
+        "id int, mac string",
+    )
+    oui = spark.createDataFrame(
+        [("aa:bb:cc", "AcmeCorp")], "mac_prefix string, manufacturer string"
+    )
+    out = {r.id: r.manufacturer for r in oui_enrich(fact, oui, mac_col="mac").collect()}
+    assert out == {1: "AcmeCorp", 2: "AcmeCorp", 3: None}
+
+
+def test_null_reader(spark):
+    stream = null_reader(spark)
+    assert stream.isStreaming
+    assert {f.name for f in stream.schema.fields} == {"timestamp", "value"}
+
+
+def test_stubs_raise(spark):
+    df = spark.range(1)
+    with pytest.raises(NotImplementedError):
+        yara_scan_stub(df, "rule x {}")
+    with pytest.raises(NotImplementedError):
+        reverse_dns_stub(df, ip_col="x")

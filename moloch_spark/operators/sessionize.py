@@ -27,21 +27,38 @@ from pyspark.sql import functions as F
 from moloch_spark.operators.endpoints import dsum
 
 
+def timeout_by_protocol(
+    proto_col: str | Column,
+    timeouts: dict[str, int],
+    default_s: int = 600,
+) -> Column:
+    """Per-protocol idle timeout in seconds as a column expression —
+    capture/config.c:518-523 (tcp 480, udp 60, icmp 10, sctp 60, esp
+    600, other 600). Pass the result as ``idle_timeout_s``."""
+    c = F.col(proto_col) if isinstance(proto_col, str) else proto_col
+    out = None
+    for name, secs in timeouts.items():
+        out = (out.when if out is not None else F.when)(c == name, secs)
+    return out.otherwise(default_s) if out is not None else F.lit(default_s)
+
+
 def assign_sessions(
     df: DataFrame,
     key_cols: Sequence[str],
     ts_col: str,
     *,
-    idle_timeout_s: int = 1800,
+    idle_timeout_s: int | Column = 1800,
     chunk_s: int | None = None,
 ) -> DataFrame:
     """Add session_seq / root / chunk columns.
 
     A new session starts when the gap to the previous event on the same
-    key exceeds ``idle_timeout_s`` (capture/session.c idle close). If
-    ``chunk_s`` is set, a session is additionally split into chunks of
-    that many seconds from its own start — the mid-save behavior
-    (capture/session.c:312-357); all chunks keep the same ``root_seq``.
+    key exceeds ``idle_timeout_s`` (capture/session.c idle close) —
+    either a constant or a per-row column (use timeout_by_protocol for
+    moloch's per-proto timeouts). If ``chunk_s`` is set, a session is
+    additionally split into chunks of that many seconds from its own
+    start — the mid-save behavior (capture/session.c:312-357); all
+    chunks keep the same ``root_seq``.
     """
     keys = [F.col(k) for k in key_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.monotonically_increasing_id())
@@ -49,7 +66,12 @@ def assign_sessions(
     # to seconds, which would misclassify gaps within 1s of the timeout)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_ts)
-    is_new = F.when(prev_ts.isNull() | (gap > idle_timeout_s * 1000), 1).otherwise(0)
+    timeout_ms = (
+        F.lit(idle_timeout_s * 1000)
+        if isinstance(idle_timeout_s, int)
+        else idle_timeout_s.cast("long") * 1000
+    )
+    is_new = F.when(prev_ts.isNull() | (gap > timeout_ms), 1).otherwise(0)
     out = df.withColumn("_new", is_new).withColumn(
         "root_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("_new")

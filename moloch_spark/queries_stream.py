@@ -116,6 +116,51 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-protocol idle timeouts (capture/config.c:518-523)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_per_proto_timeouts",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >
+                     (CASE event_type WHEN 'error' THEN 600
+                                      WHEN 'click' THEN 1800
+                                      ELSE 3600 END) * 1000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+           COUNT(*) AS packets
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+)
+def q_sessionize_per_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moloch_spark.operators.sessionize import assign_sessions, timeout_by_protocol
+
+    ev = load_table(spark, "events", sf_dir)
+    timeout = timeout_by_protocol(
+        "event_type", {"error": 600, "click": 1800}, default_s=3600
+    )
+    with_ids = assign_sessions(ev, ["user_id"], "ts", idle_timeout_s=timeout)
+    return with_ids.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("first_packet"),
+        F.max("ts").alias("last_packet"),
+        F.count(F.lit(1)).alias("packets"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming sessionizer (stateful, non-SQL-expressible -> rows-only check)
 # ---------------------------------------------------------------------------
 

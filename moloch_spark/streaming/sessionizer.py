@@ -40,6 +40,10 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("event_types", T.ArrayType(T.StringType())),
         T.StructField("event_types_cnt", T.LongType()),
         T.StructField("session_id", T.StringType()),
+        # mid-save linkage (capture/db.c:579-596): chunks of one long
+        # session share root_id; chunk_seq orders them
+        T.StructField("root_id", T.StringType()),
+        T.StructField("chunk_seq", T.LongType()),
     ]
 )
 
@@ -52,12 +56,14 @@ STATE_SCHEMA = T.StructType(
         T.StructField("packets", T.LongType()),
         T.StructField("tot_bytes", T.DoubleType()),
         T.StructField("event_types", T.ArrayType(T.StringType())),
+        T.StructField("root_us", T.LongType()),  # first_us of the ROOT chunk
+        T.StructField("chunk_seq", T.LongType()),
     ]
 )
 
 
 def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
-    root_seq, first_us, last_us, packets, tot_bytes, types = st
+    root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq = st
     types = sorted(set(types))
     return {
         "user_id": user_id,
@@ -68,15 +74,21 @@ def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
         "tot_bytes": round(tot_bytes, 4),
         "event_types": types,
         "event_types_cnt": len(types),
-        # id derives from (key, first-seen time), NOT a per-key counter:
+        # ids derive from (key, first-seen time), NOT a per-key counter:
         # counters reset when timed-out state is evicted, so they collide
         # across restarts; first_us is stable and replay-idempotent
         "session_id": f"{user_id}#{first_us}",
+        "root_id": f"{user_id}#{root_us}",
+        "chunk_seq": chunk_seq,
     }
 
 
-def make_session_fn(idle_timeout_s: int):
+def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
+    """chunk_s = the tcpSaveTimeout analog: a session open longer than
+    chunk_s is flushed as a partial chunk (counters reset, root_id and
+    first-seen identity retained) — capture/session.c:312-357."""
     timeout_ms = idle_timeout_s * 1000
+    chunk_us = chunk_s * 1_000_000 if chunk_s else None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -94,12 +106,14 @@ def make_session_fn(idle_timeout_s: int):
             return
 
         if state.exists:
-            root_seq, first_us, last_us, packets, tot_bytes, types = state.get
+            (root_seq, first_us, last_us, packets, tot_bytes, types,
+             root_us, chunk_seq) = state.get
             types = list(types)
         else:
             root_seq, first_us, last_us, packets, tot_bytes, types = (
                 0, None, None, 0, 0.0, []
             )
+            root_us, chunk_seq = None, 0
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         for ts, value, etype in zip(
@@ -110,24 +124,42 @@ def make_session_fn(idle_timeout_s: int):
                 root_seq += 1
                 first_us, last_us = ts_us, ts_us
                 packets, tot_bytes, types = 0, 0.0, []
+                root_us, chunk_seq = ts_us, 0
             elif ts_us - last_us > timeout_ms * 1000:
                 # idle gap inside the batch: close and start the next
                 out.append(
                     _emit_row(
                         user_id,
-                        (root_seq, first_us, last_us, packets, tot_bytes, types),
+                        (root_seq, first_us, last_us, packets, tot_bytes,
+                         types, root_us, chunk_seq),
                     )
                 )
                 root_seq += 1
                 first_us, last_us = ts_us, ts_us
                 packets, tot_bytes, types = 0, 0.0, []
+                root_us, chunk_seq = ts_us, 0
+            elif chunk_us is not None and ts_us - first_us >= chunk_us:
+                # mid-save: flush the running chunk, keep the session
+                # identity (root_us) and advance the chunk counter
+                out.append(
+                    _emit_row(
+                        user_id,
+                        (root_seq, first_us, last_us, packets, tot_bytes,
+                         types, root_us, chunk_seq),
+                    )
+                )
+                first_us, last_us = ts_us, ts_us
+                packets, tot_bytes, types = 0, 0.0, []
+                chunk_seq += 1
             packets += 1
             tot_bytes += float(value)
             if etype not in types:
                 types.append(etype)
             last_us = max(last_us, ts_us)
 
-        state.update((root_seq, first_us, last_us, packets, tot_bytes, types))
+        state.update(
+            (root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq)
+        )
         # expire when the watermark passes last_seen + idle timeout
         state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
         if out:
@@ -140,15 +172,16 @@ def streaming_sessionize(
     events: DataFrame,
     *,
     idle_timeout_s: int = 1800,
+    chunk_s: int | None = None,
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """events (streaming DF with ts/user_id/event_type/value) -> stream of
-    CLOSED sessions."""
+    CLOSED sessions (and mid-save chunks when chunk_s is set)."""
     return (
         events.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_session_fn(idle_timeout_s),
+            make_session_fn(idle_timeout_s, chunk_s),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -105,6 +105,55 @@ def test_streaming_sessionize_matches_batch(spark, events_stream_dir):
     assert not overdue, f"sessions never flushed: {overdue[:5]}"
 
 
+def test_streaming_midsave_chunks(spark, events_stream_dir):
+    """chunk_s splits long sessions into chunks sharing root_id
+    (capture/session.c:312-357)."""
+    schema = load_table(spark, "events", SF).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    sessions = streaming_sessionize(
+        stream, idle_timeout_s=1800, chunk_s=600, watermark_delay="1 minute"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_chunked")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM sess_chunked").collect()
+    assert rows
+    by_root: dict[str, list] = {}
+    for r in rows:
+        by_root.setdefault(r.root_id, []).append(r)
+    multi = {k: v for k, v in by_root.items() if len(v) > 1}
+    assert multi, "no session produced multiple chunks at chunk_s=600"
+    for root, chunks in multi.items():
+        seqs = sorted(c.chunk_seq for c in chunks)
+        assert seqs == list(range(len(chunks))), (root, seqs)
+        # chunks never overlap in time and each fits the chunk budget+slack
+        ordered = sorted(chunks, key=lambda c: c.chunk_seq)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.last_packet <= b.first_packet
+    # chunked totals must equal the unchunked batch totals
+    batch = {
+        (r.user_id, r.packets)
+        for r in sessionize_events(
+            load_table(spark, "events", SF), idle_timeout_s=1800
+        ).collect()
+    }
+    rebuilt = {}
+    for r in rows:
+        rebuilt[r.root_id] = rebuilt.get(r.root_id, 0) + r.packets
+    # every fully-emitted root's packet total appears in the batch set
+    matched = sum(1 for (uid, p) in batch if p in rebuilt.values())
+    assert matched > 0
+
+
 def test_streaming_dedup(spark, events_stream_dir, tmp_path):
     schema = load_table(spark, "events", SF).schema
     stream = spark.readStream.schema(schema).parquet(events_stream_dir)

@@ -96,6 +96,24 @@ def sessions_search(
     return out
 
 
+def session_list_response(
+    df: DataFrame,
+    where: Column | None = None,
+    **search_kwargs,
+) -> dict:
+    """Full /api/sessions response shape (apiSessions.js:1673-1739):
+    page of rows + recordsTotal (unfiltered table count) +
+    recordsFiltered (matching count). The two counts and the page are
+    three jobs over one scan each — the reference issues the same
+    parallel searchSessions + numberOfDocuments calls."""
+    page = sessions_search(df, where, **search_kwargs)
+    return {
+        "data": page,
+        "recordsTotal": df.count(),
+        "recordsFiltered": df.filter(where).count() if where is not None else df.count(),
+    }
+
+
 # ---------------------------------------------------------------------------
 # timeline / facets — date histogram + per-bucket sums
 # ---------------------------------------------------------------------------
@@ -275,9 +293,16 @@ def spigraph(
     # totals aggregation reduces to |values| rows and the final orderBy+
     # limit is a TakeOrdered, so the plan survives arbitrarily many
     # buckets/values.
+    # count totals are exact longs; double metrics re-sum through decimal
+    # so the rank (and the oracle hash) is shuffle-order-independent
+    total_expr = (
+        F.sum(metric_col)
+        if metric == "count"
+        else F.sum(F.col(metric_col).cast("decimal(18,4)")).cast("double")
+    )
     totals = (
         per_bucket.groupBy("value")
-        .agg(F.sum(metric_col).alias("total"))
+        .agg(total_expr.alias("total"))
         .orderBy(F.col("total").desc(), F.col("value").asc())
         .limit(k)
     )

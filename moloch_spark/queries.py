@@ -234,6 +234,35 @@ def q_spiview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spigraph_sum_metric_rank",
+    """
+    WITH per_bucket AS (
+      SELECT user_id AS value, date_trunc('day', ts) AS bucket,
+             COUNT(*) AS doc_count,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT value, CAST(SUM(CAST(sum_value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM per_bucket GROUP BY 1
+      ORDER BY total DESC, value ASC LIMIT 3
+    )
+    SELECT p.value, p.bucket, p.doc_count, p.sum_value, t.total
+    FROM per_bucket p JOIN totals t USING (value)
+    """,
+)
+def q_spigraph_sum_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spigraph ranked by a SUM metric instead of doc count
+    # (the metric-sort path, apiSessions.js:2081-2092)
+    ev = load_table(spark, "events", sf_dir)
+    out = spigraph(
+        ev, "user_id", "ts", interval="day", k=3, metric="sum_value",
+        sums=[("value", "sum_value")],
+    )
+    return out
+
+
+@register(
     "spigraph_event_type_daily",
     """
     WITH per_bucket AS (

@@ -193,6 +193,40 @@ def test_cron_runner_incremental(spark, tmp_path):
     assert out3.select(F.min("ts")).collect()[0][0] > t1 - dt.timedelta(seconds=90)
 
 
+def test_hunt_over_reassembled_payload(spark):
+    """Hunts run on REASSEMBLED session payload (apiHunts.js reads
+    reassembled packets) — compose reassemble_tcp -> hunt."""
+    from moloch_spark.operators.packets import reassemble_tcp
+
+    rows = [
+        ("s1", 1, "GET /sec"),
+        ("s1", 9, "ret HTTP"),      # 'secret' spans the segment boundary
+        ("s2", 1, "nothing here"),
+    ]
+    segs = spark.createDataFrame(rows, "session_id string, tcp_seq long, payload string")
+    whole = reassemble_tcp(segs)
+    hits = hunt(
+        whole, HuntSpec("h-x", "ascii", "SECRET"),
+        payload_cols=["payload"], id_col="session_id",
+    ).collect()
+    assert [r.session_id for r in hits] == ["s1"]
+
+
+def test_session_list_response(spark):
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators.endpoints import session_list_response
+
+    ev = load_table(spark, "events", SF)
+    resp = session_list_response(
+        ev, F.col("event_type") == "error", limit=5,
+        sort=[("event_id", True)], fields=["event_id"],
+    )
+    assert resp["recordsTotal"] == 1000
+    assert 0 < resp["recordsFiltered"] < 1000
+    assert resp["data"].count() == 5
+
+
 def test_hunt_match_types(spark):
     docs = load_table(spark, "documents", SF)
     ascii_hits = hunt(

@@ -116,10 +116,17 @@ def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
             root_us, chunk_seq = None, 0
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # drop events older than the watermark: they belong to sessions
+        # that may already have been emitted — merging them would corrupt
+        # counters (the watermark delay IS the lateness tolerance, exactly
+        # like dropDuplicatesWithinWatermark's contract)
+        wm_us = state.getCurrentWatermarkMs() * 1000
         for ts, value, etype in zip(
             rows["ts"], rows["value"], rows["event_type"]
         ):
             ts_us = int(pd.Timestamp(ts).value // 1000)
+            if wm_us > 0 and ts_us < wm_us:
+                continue
             if first_us is None:
                 root_seq += 1
                 first_us, last_us = ts_us, ts_us
@@ -160,8 +167,13 @@ def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
         state.update(
             (root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq)
         )
-        # expire when the watermark passes last_seen + idle timeout
-        state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
+        # expire when the watermark passes last_seen + idle timeout; after
+        # a restart the restored watermark may already be past that point
+        # (the session should have closed during downtime) — clamp above
+        # the watermark so it flushes on the next timeout pass instead of
+        # failing INVALID_TIMEOUT_TIMESTAMP
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_us // 1000 + timeout_ms, wm + 1))
         if out:
             yield pd.DataFrame(out)
 

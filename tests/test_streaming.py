@@ -36,14 +36,20 @@ def events_stream_dir(spark, tmp_path_factory):
             .write.mode("overwrite")
             .parquet(os.path.join(base, f"d={d}"))
         )
-    # flat dir of files in day order for the stream source
+    # flat dir of files in day order for the stream source. The file
+    # source orders micro-batches by MODIFICATION TIME — hard links share
+    # the original mtime, so stamp strictly increasing mtimes or batches
+    # arrive out of chronological order.
     flat = str(tmp_path_factory.mktemp("events_flat"))
     i = 0
+    base_mtime = 1_700_000_000
     for d in days:
         src = os.path.join(base, f"d={d}")
         for f_ in sorted(os.listdir(src)):
             if f_.endswith(".parquet"):
-                os.link(os.path.join(src, f_), os.path.join(flat, f"{i:04d}.parquet"))
+                dst = os.path.join(flat, f"{i:04d}.parquet")
+                os.link(os.path.join(src, f_), dst)
+                os.utime(dst, (base_mtime + i, base_mtime + i))
                 i += 1
     return flat
 
@@ -172,6 +178,73 @@ def test_streaming_dedup(spark, events_stream_dir, tmp_path):
     n = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0].c
     total = load_table(spark, "events", SF).count()
     assert n == total, f"dedup kept {n}, expected {total}"
+
+
+def test_streaming_restart_recovers_state(spark, events_stream_dir, tmp_path):
+    """Stop after the first files, restart with the same checkpoint over
+    the grown source: state must recover, no session emitted twice, and
+    in-progress sessions must continue (not restart) across the restart."""
+    import shutil
+
+    src = str(tmp_path / "grow")
+    os.makedirs(src)
+    files = sorted(os.listdir(events_stream_dir))
+    half = len(files) // 2
+
+    def add(names, start):
+        for j, f_ in enumerate(names):
+            dst = os.path.join(src, f_)
+            shutil.copy(os.path.join(events_stream_dir, f_), dst)
+            os.utime(dst, (start + j, start + j))  # keep batch order chronological
+
+    add(files[:half], 1_700_000_000)
+
+    schema = load_table(spark, "events", SF).schema
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = streaming_sessionize(
+            stream, idle_timeout_s=1800, watermark_delay="1 minute"
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # first half, then the query STOPS (simulated shutdown)
+    add(files[half:], 1_700_010_000)
+    run_once()  # restart from checkpoint over the grown source
+
+    got = spark.read.parquet(out_dir).collect()
+    ids = [r.session_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicate sessions across restart"
+
+    # every emitted session must match the batch result exactly — i.e.
+    # sessions spanning the restart boundary were CONTINUED, not split
+    def ts_us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    want = {
+        f"{r.user_id}#{ts_us(r.first_packet)}": r
+        for r in sessionize_events(
+            load_table(spark, "events", SF), idle_timeout_s=1800
+        ).collect()
+    }
+    for r in got:
+        w = want.get(r.session_id)
+        assert w is not None, f"{r.session_id} not a batch session"
+        assert r.packets == w.packets and r.last_packet == w.last_packet, r.session_id
 
 
 def test_cron_runner_incremental(spark, tmp_path):

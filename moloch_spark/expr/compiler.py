@@ -429,22 +429,61 @@ def ip4_str_to_long(col: Column) -> Column:
     )
 
 
+def ip6_str_to_hex(col: Column) -> Column:
+    """v6 string -> 32-char lowercase hex, JVM-side (no UDF).
+
+    Fixed-width hex compares lexicographically in numeric address order,
+    so v6 CIDR/range predicates become plain string BETWEENs — sortable,
+    min/max-skippable when materialized as a store column (same trick as
+    the v4 numeric companion, SURVEY §4). Handles `::` compression and
+    the mixed dotted-quad tail (`::ffff:1.2.3.4`).
+    """
+
+    def grp_hex(g: Column) -> Column:
+        p = F.split(g, r"\.")
+        v4 = (
+            p.getItem(0).cast("long") * 16777216
+            + p.getItem(1).cast("long") * 65536
+            + p.getItem(2).cast("long") * 256
+            + p.getItem(3).cast("long")
+        )
+        return F.when(
+            g.contains("."), F.lpad(F.lower(F.hex(v4)), 8, "0")
+        ).otherwise(F.lpad(F.lower(g), 4, "0"))
+
+    halves = F.split(col, "::")
+    empty = F.array().cast("array<string>")
+    lg = F.when(halves.getItem(0) == "", empty).otherwise(
+        F.split(halves.getItem(0), ":")
+    )
+    rg = F.when(
+        (F.size(halves) > 1) & (halves.getItem(1) != ""),
+        F.split(halves.getItem(1), ":"),
+    ).otherwise(empty)
+    lhex = F.array_join(F.transform(lg, grp_hex), "")
+    rhex = F.array_join(F.transform(rg, grp_hex), "")
+    # zero-fill for the groups `::` elided; dotted-quad groups already
+    # contribute 8 chars so sizing off hex length (not group count) is
+    # exact
+    filler = F.lit("0" * 32).substr(
+        F.lit(1), F.lit(32) - F.length(lhex) - F.length(rhex)
+    )
+    return F.concat(lhex, filler, rhex)
+
+
 def _ip_one(cond: IpCond, info: Field, ctx: CompileContext) -> Column:
     col = F.col(info.db_field)
     multi = _is_multi(info, ctx)
     pred: Column | None = None
     if cond.lo is not None:
         if cond.v6:
-            # v6: canonical-string equality only (range/CIDR on v6 needs
-            # the numeric column pair; documented engine limitation)
-            if cond.lo != cond.hi:
-                raise CompileError("v6 CIDR requires numeric ip columns")
-            import ipaddress
+            lo, hi = format(cond.lo, "032x"), format(cond.hi, "032x")
 
-            lit = str(ipaddress.ip_address(cond.lo))
-            pred = (
-                F.array_contains(col, F.lit(lit)) if multi else col == F.lit(lit)
-            )
+            def v6_pred(x: Column) -> Column:
+                h = ip6_str_to_hex(x)
+                return x.contains(":") & (h >= F.lit(lo)) & (h <= F.lit(hi))
+
+            pred = F.exists(col, v6_pred) if multi else v6_pred(col)
         elif info.num_field:
             # numeric companion column: plain long range — pushes down to
             # parquet row-group stats, unlike the string-conversion path

@@ -34,7 +34,7 @@ def parse_ip_port(value: str) -> IpCond:
     s = value.strip().strip('"')
     port: int | None = None
 
-    if s.startswith(":") or s.startswith("."):
+    if (s.startswith(":") and not s.startswith("::")) or s.startswith("."):
         p = s[1:]
         if not p.isdigit():
             raise ValueError(f"{p} not a valid port")
@@ -43,11 +43,14 @@ def parse_ip_port(value: str) -> IpCond:
     colons = s.split(":")
     if len(colons) > 2:  # v6
         dots = s.split(".")
-        ip_part = dots[0]
-        if len(dots) > 1 and dots[1]:
+        # exactly one '.' with a numeric tail = the v6 port syntax
+        # (1::2.443); more dots = an embedded dotted-quad (::ffff:1.2.3.4)
+        if len(dots) == 2 and dots[1]:
             if not dots[1].isdigit():
                 raise ValueError(f"{dots[1]} not a valid port")
-            port = int(dots[1])
+            ip_part, port = dots[0], int(dots[1])
+        else:
+            ip_part = s
         net = ipaddress.ip_network(ip_part, strict=False)
         return IpCond(
             int(net.network_address), int(net.broadcast_address), True, port

@@ -218,6 +218,47 @@ def test_ipv4_ipv6_specials(df, catalog):
     assert ids(df, catalog, 'ip.src == ipv6') == []
 
 
+def test_ip6_cidr(spark, catalog):
+    rows = [
+        (1, "2001:db8::1", ["2001:db8::1"]),
+        (2, "2001:db8:0:0:0:0:0:2", ["2001:db8::2", "10.0.0.1"]),
+        (3, "2001:db9::1", []),
+        (4, "::ffff:10.1.2.3", ["fe80::1"]),
+        (5, "10.1.2.3", None),  # v4 row must never match a v6 predicate
+    ]
+    df6 = spark.createDataFrame(rows, ["id", "src_ip", "other_ips"])
+    cat = FieldCatalog()
+    cat.define(Field("ip.src", "src_ip", "ip"))
+    cat.define(Field("ip.other", "other_ips", "ip", multi=True))
+
+    assert ids(df6, cat, "ip.src == 2001:db8::/32") == [1, 2]
+    assert ids(df6, cat, "ip.src == 2001:db8::/127") == [1]
+    assert ids(df6, cat, "ip.src == 2001:db8::2") == [2]  # any textual form
+    assert ids(df6, cat, "ip.src == ::ffff:10.1.2.3") == [4]
+    assert ids(df6, cat, "ip.src != 2001:db8::/32") == [3, 4, 5]
+    assert ids(df6, cat, "ip.other == 2001:db8::/32") == [1, 2]
+    assert ids(df6, cat, "ip.other == fe80::/10") == [4]
+
+
+def test_ip6_hex_expansion_matches_python(spark):
+    import ipaddress
+
+    from moloch_spark.expr.compiler import ip6_str_to_hex
+
+    cases = [
+        "::", "::1", "1::", "2001:db8::8a2e:370:7334",
+        "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+        "fe80::204:61ff:fe9d:f156", "::ffff:192.0.2.128",
+        "64:ff9b::255.255.255.255", "ff02::1:ff00:0",
+        "ABCD:EF01:2345:6789:abcd:ef01:2345:6789",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["ip"])
+    got = {r.ip: r.h for r in df.select("ip", ip6_str_to_hex(F.col("ip")).alias("h")).collect()}
+    for c in cases:
+        want = format(int(ipaddress.IPv6Address(c)), "032x")
+        assert got[c] == want, f"{c}: {got[c]} != {want}"
+
+
 def test_ip_rejects_wildcard_regex(df, catalog):
     with pytest.raises(Exception, match="Wildcard"):
         ids(df, catalog, 'ip.src == 10.*')

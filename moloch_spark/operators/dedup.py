@@ -231,8 +231,11 @@ def ngram_jaccard(
     q = expl.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("qid"), "shingle"
     )
+    # the query set is bounded -> broadcast its shingles; the corpus-side
+    # explode then streams through a broadcast hash join with NO shuffle,
+    # and the only shuffle left is the (qid, id) intersection count
     inter = (
-        q.join(expl, "shingle")
+        F.broadcast(q).join(expl, "shingle")
         .filter(F.col("qid") != F.col(id_col))
         .groupBy("qid", id_col)
         .agg(F.count(F.lit(1)).alias("inter"))

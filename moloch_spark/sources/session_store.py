@@ -34,9 +34,16 @@ def write_sessions(
     mode: str = "append",
 ) -> None:
     """Batch write, partitioned by date(ts_col) — the index-rotation
-    analog. Parquet here; the layout is Delta-compatible."""
+    analog. Parquet here; the layout is Delta-compatible.
+
+    Repartition on the partition column first so each writer task owns
+    whole day-partitions: without it every task opens a writer for every
+    day it sees (tasks x days small files — a metastore killer at 100 TB).
+    AQE splits skewed days back across tasks when one day dominates.
+    """
     (
         sessions.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .repartition(F.col(PARTITION_COL))
         .write.mode(mode)
         .partitionBy(PARTITION_COL)
         .parquet(path)

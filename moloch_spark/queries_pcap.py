@@ -1,0 +1,131 @@
+"""PCAP export gate queries: per-session pcap blob synthesis and the
+packetPos offset bookkeeping (viewer/apiSessions.js:836-958,
+capture/db.c:848-850), oracle-checked byte-for-byte via the hex-string
+domain (both engines build the identical hex stream, compare md5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.operators.pcap_export import (
+    GLOBAL_HEADER_HEX,
+    packet_positions,
+    pcap_export,
+)
+from moloch_spark.operators.sessionize import assign_sessions
+from moloch_spark.registry import register
+from moloch_spark.sources.tables import load_table
+
+
+def _le32(e: str) -> str:
+    """DuckDB SQL for an LE32 hex field (mirror of pcap_export.le32_hex)."""
+    h = f"lpad(lower(to_hex(CAST({e} AS BIGINT))),8,'0')"
+    return (
+        f"(substr({h},7,2)||substr({h},5,2)||substr({h},3,2)||substr({h},1,2))"
+    )
+
+
+_SESSION_CTE = """
+    WITH seq AS (
+      SELECT event_id, user_id, ts, props,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM seq
+    )
+"""
+
+_REC = (
+    _le32("ts_us // 1000000")
+    + "||" + _le32("ts_us % 1000000")
+    + "||" + _le32("least(length(ph)//2, 65535)")
+    + "||" + _le32("length(ph)//2")
+    + "||left(ph, CAST(least(length(ph)//2, 65535)*2 AS BIGINT))"
+)
+
+
+@register(
+    "pcap_export_sessions",
+    _SESSION_CTE
+    + f"""
+    , pkt AS (
+      SELECT CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR)
+               AS session_id,
+             epoch_us(ts) AS ts_us, event_id, lower(hex(props)) AS ph
+      FROM numbered
+    ), rec AS (
+      SELECT session_id, ts_us, event_id, {_REC} AS r FROM pkt
+    )
+    SELECT session_id,
+           COUNT(*) AS packets,
+           CAST(length('{GLOBAL_HEADER_HEX}' || string_agg(r, '' ORDER BY ts_us, event_id))//2
+                AS BIGINT) AS pcap_len,
+           md5('{GLOBAL_HEADER_HEX}' || string_agg(r, '' ORDER BY ts_us, event_id))
+             AS pcap_md5
+    FROM rec
+    GROUP BY session_id
+    ORDER BY session_id
+    """,
+)
+def q_pcap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the event stream, then stitch each session's packets
+    into a downloadable libpcap blob (the sessions.pcap endpoint)."""
+    ev = load_table(spark, "events", sf_dir)
+    with_ids = assign_sessions(ev, ["user_id"], "ts", idle_timeout_s=1800)
+    pkts = with_ids.select(
+        F.concat_ws(
+            "#", F.col("user_id"), F.col("session_seq")
+        ).alias("session_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("payload_hex"),
+    )
+    out = pcap_export(pkts)
+    return out.select(
+        "session_id",
+        "packets",
+        "pcap_len",
+        F.md5(F.lower(F.hex(F.col("pcap")))).alias("pcap_md5"),
+    ).orderBy("session_id")
+
+
+@register(
+    "pcap_packet_positions",
+    f"""
+    WITH pkt AS (
+      SELECT event_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS file_num,
+             epoch_us(ts) AS ts_us,
+             length(lower(hex(props)))//2 AS plen
+      FROM events
+    )
+    SELECT event_id, file_num,
+           CAST(24 + COALESCE(SUM(16 + least(plen, 65535)) OVER (
+                  PARTITION BY file_num ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS file_offset
+    FROM pkt
+    ORDER BY event_id
+    """,
+)
+def q_pcap_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packetPos source data: every packet's byte offset inside its
+    rotated (day) capture file — windowed cumsum per file, so state is
+    bounded by file size however large the store grows."""
+    ev = load_table(spark, "events", sf_dir)
+    pkts = ev.select(
+        "event_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "file_num"
+        ),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("payload_hex"),
+    )
+    out = packet_positions(pkts)
+    return out.select("event_id", "file_num", "file_offset").orderBy("event_id")

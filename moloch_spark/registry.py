@@ -33,6 +33,7 @@ def _load_registrants() -> None:
     import moloch_spark.queries_api  # noqa: F401
     import moloch_spark.queries_enrich  # noqa: F401
     import moloch_spark.queries_llm  # noqa: F401
+    import moloch_spark.queries_pcap  # noqa: F401
     import moloch_spark.queries_stream  # noqa: F401
     import moloch_spark.queries_tpch  # noqa: F401
 

@@ -1,0 +1,126 @@
+"""PCAP export: parse the synthesized bytes back with struct and check
+them against an independent Python implementation of the libpcap format
+(not against our own hex builders)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.operators.pcap_export import (
+    gap_encode_positions,
+    packet_positions,
+    pcap_export,
+)
+
+ROWS = [
+    # session, ts_us, event_id, payload(bytes)
+    ("a", 1_700_000_000_123_456, 1, b"hello"),
+    ("a", 1_700_000_001_000_001, 2, b""),
+    ("a", 1_700_000_002_500_000, 3, b"\x00\xffbin"),
+    ("b", 1_700_000_000_000_009, 4, b"x" * 70000),  # > snaplen
+]
+
+
+@pytest.fixture(scope="module")
+def pkts(spark):
+    return spark.createDataFrame(
+        [(s, t, e, p.hex()) for s, t, e, p in ROWS],
+        ["session_id", "ts_us", "event_id", "payload_hex"],
+    )
+
+
+def parse_pcap(blob: bytes):
+    magic, vmaj, vmin, tz, sig, snap, net = struct.unpack("<IHHiIII", blob[:24])
+    assert magic == 0xA1B2C3D4 and (vmaj, vmin) == (2, 4)
+    assert snap == 65535 and net == 1
+    out, off = [], 24
+    while off < len(blob):
+        sec, usec, incl, orig = struct.unpack("<IIII", blob[off : off + 16])
+        out.append((sec, usec, incl, orig, blob[off + 16 : off + 16 + incl]))
+        off += 16 + incl
+    assert off == len(blob)
+    return out
+
+def test_pcap_roundtrip(spark, pkts):
+    got = {r.session_id: r for r in pcap_export(pkts).collect()}
+    a = parse_pcap(bytes(got["a"].pcap))
+    assert got["a"].packets == 3 and got["a"].pcap_len == len(bytes(got["a"].pcap))
+    for (sec, usec, incl, orig, data), (_, ts, _, pay) in zip(a, ROWS[:3]):
+        assert sec == ts // 1_000_000 and usec == ts % 1_000_000
+        assert incl == orig == len(pay) and data == pay
+
+    # snaplen: incl capped at 65535, orig keeps the true size
+    b = parse_pcap(bytes(got["b"].pcap))
+    sec, usec, incl, orig, data = b[0]
+    assert incl == 65535 and orig == 70000 and data == b"x" * 65535
+
+
+def test_packet_positions_and_gap_encoding(spark, pkts):
+    # session a packets in one file, session b in another
+    with_file = pkts.withColumn(
+        "file_num", F.when(F.col("session_id") == "a", 7).otherwise(9)
+    )
+    pos = packet_positions(with_file)
+    rows = {r.event_id: r for r in pos.collect()}
+    # file 7: offsets accumulate 24 -> +16+5 -> +16+0
+    assert rows[1].file_offset == 24
+    assert rows[2].file_offset == 24 + 16 + 5
+    assert rows[3].file_offset == 24 + 16 + 5 + 16
+    assert rows[4].file_offset == 24
+
+    enc = {
+        r.session_id: r.packet_pos
+        for r in gap_encode_positions(pos).collect()
+    }
+    # [-file, first_offset, deltas...] per capture/db.c gap encoding
+    assert enc["a"] == [-7, 24, 21, 16]
+    assert enc["b"] == [-9, 24]
+
+
+def test_gap_encoding_file_switch(spark):
+    df = spark.createDataFrame(
+        [
+            ("s", 1, 1, 3, 24),
+            ("s", 2, 2, 3, 100),
+            ("s", 3, 3, 4, 24),
+            ("s", 4, 4, 4, 60),
+        ],
+        ["session_id", "ts_us", "event_id", "file_num", "file_offset"],
+    )
+    enc = gap_encode_positions(df).collect()[0].packet_pos
+    assert enc == [-3, 24, 76, -4, 24, 36]
+
+
+def test_packet_blob_store_rotation(spark, pkts, tmp_path):
+    import glob
+    import os
+
+    from moloch_spark.sources.pcap_store import (
+        read_packet_blobs,
+        write_packet_blobs,
+    )
+
+    df = pkts.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).withColumn(
+        "payload", F.unhex("payload_hex")
+    )
+    path = str(tmp_path / "blobs")
+    write_packet_blobs(df, path, mode="overwrite", max_records_per_file=2)
+    # 4 packets, same day, cap 2/file -> at least 2 rotated files
+    day_dirs = glob.glob(os.path.join(path, "capture_day=*"))
+    assert len(day_dirs) == 1
+    files = glob.glob(os.path.join(day_dirs[0], "*.parquet"))
+    assert len(files) >= 2
+
+    back = read_packet_blobs(spark, path)
+    assert back.count() == 4
+    got = {r.event_id: bytes(r.payload) for r in back.collect()}
+    assert got[1] == b"hello" and got[3] == b"\x00\xffbin"
+
+    # partition pruning: day filter must reach PartitionFilters, not the scan
+    day = os.path.basename(day_dirs[0]).split("=")[1]
+    pruned = read_packet_blobs(spark, path, days=[day])
+    assert pruned.count() == 4
+    assert read_packet_blobs(spark, path, days=["1999-01-01"]).count() == 0

@@ -121,3 +121,151 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "did", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer cells + probe-limited search
+# ---------------------------------------------------------------------------
+
+
+def _dot_lit(vec: Column, row: list[float]) -> Column:
+    lit = F.array(*[F.lit(x) for x in row])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (md5-seeded, same
+    values in every engine/run). Stands in for a trained quantizer when
+    cross-engine reproducibility matters; kmeans_train fits real ones."""
+    cells = []
+    for c in range(n_cells):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"ivf:{c}:{j}".encode()).digest()
+            (v,) = struct.unpack(">I", h[:4])
+            row.append((v / 2**31) - 1.0)
+        cells.append(row)
+    return cells
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """Per-cell L2 ranking score: |c|^2 - 2 v.c (the |v|^2 term is
+    constant per vector, so this orders cells identically to true L2).
+    Rounded so Spark and the SQL oracle argmin over identical values."""
+    out = []
+    for i, c in enumerate(centroids):
+        c2 = sum(x * x for x in c)
+        out.append(F.round(F.lit(c2) - 2.0 * _dot_lit(vec, c), 6))
+    return out
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment as a PER-ROW argmin over cell literals
+    (array_min of (score, cell) structs): scan-side, zero shuffle, no
+    K-fold row multiplication — the shape that survives a 100 TB corpus.
+    Ties break to the lowest cell id via the struct ordering."""
+    vec = F.col(vec_col).cast("array<double>")
+    scores = _cell_scores(vec, centroids)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).cast("long").alias("cell"))
+            for i, s in enumerate(scores)
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(pairs)["cell"])
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest cell's inverted
+    list; each query probes only its `nprobe` closest cells and runs
+    exact cosine there. Corpus cost per query drops from O(n) to
+    O(n * nprobe / n_cells); the only shuffle is the (bounded,
+    broadcast) probe-list equi-join plus the final top-k window over
+    candidates."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
+    corpus = ivf_assign(emb, cents, vec_col=vec_col)
+
+    vec = F.col(vec_col).cast("array<double>")
+    pairs = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).cast("long").alias("cell"))
+            for i, s in enumerate(_cell_scores(vec, cents))
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda p: p["cell"]
+    )
+    q = (
+        emb.filter(F.col(id_col) < query_max_id)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(probes).alias("pcell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        F.col(id_col).alias("did"),
+        cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("did").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "did", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Lloyd's iterations as DataFrame jobs: broadcast centroid
+    literals -> per-row argmin assignment (scan-side) -> new centroids
+    via posexplode + (cell, pos) mean. Per iteration: one scan + one
+    K*dim-sized aggregation; the only driver transfer is the K*dim
+    model itself. Empty cells keep their previous centroid."""
+    cents = ivf_centroids(dim, n_cells)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r.cell][r.pos] = r.m
+        cents = new
+    return cents

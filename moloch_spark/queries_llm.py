@@ -359,6 +359,55 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    cents = S.ivf_centroids(dim, n_cells)
+    values = ", ".join(
+        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    # same ranking score as ivf_assign: |c|^2 - 2 v.c, rounded identically
+    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
+    c2_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
+    ) + " END"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    cells(cell, c) AS (VALUES {values}),
+    cell_rank AS (
+      SELECT vec_id, ed, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
+             ) AS rn
+      FROM b CROSS JOIN cells
+    ),
+    assign AS (SELECT vec_id, ed, cell FROM cell_rank WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, ed AS qe, cell
+               FROM cell_rank WHERE vec_id < 5 AND rn <= {nprobe}),
+    scored AS (
+      SELECT p.qid, a.vec_id AS did,
+             ROUND(
+               list_dot_product(p.qe, a.ed)
+               / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.ed, a.ed))),
+             4) AS cosine
+      FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, did, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, did, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_ivf_topk", _ivf_ann_sql())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: inverted-list cells from a deterministic coarse
+    quantizer; queries probe their nprobe nearest cells only."""
+    return S.ann_ivf_topk(load_table(spark, "embeddings", sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary column plumbing; decode stubbed — see operators.multimodal)
 # ---------------------------------------------------------------------------

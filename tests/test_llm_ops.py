@@ -133,3 +133,64 @@ def test_multimodal_plumbing(docs):
     assert feats[1].width == 16 + len(BASE.encode()) % 64
     with pytest.raises(NotImplementedError):
         M.resize_stub(media, 224, 224)
+
+
+def test_ivf_assign_and_recall(emb):
+    cents = S.ivf_centroids(4, 4)
+    assigned = S.ivf_assign(emb, cents, vec_col="embedding")
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    # every vector lands in exactly one valid cell
+    assert set(cells.values()) <= set(range(4))
+
+    # probing ALL cells must equal brute force exactly (recall = 1)
+    bf = {(r.qid, r.rank): r.did for r in S.brute_force_topk(emb, k=5).collect()}
+    ivf = {
+        (r.qid, r.rank): r.did
+        for r in S.ann_ivf_topk(
+            emb, k=5, n_cells=4, nprobe=4, dim=4, centroids=cents
+        ).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_probe_subset(emb):
+    # with fewer probes, results are a subset of candidates whose cell is
+    # probed — never an invented neighbor
+    cents = S.ivf_centroids(4, 4)
+    assigned = {r.vec_id: r.cell for r in S.ivf_assign(emb, cents).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def probes(v, nprobe):  # same ranking as _cell_scores, python-side
+        s = [
+            (round(sum(x * x for x in c) - 2 * sum(a * b for a, b in zip(v, c)), 6), i)
+            for i, c in enumerate(cents)
+        ]
+        return {i for _, i in sorted(s)[:nprobe]}
+
+    out = S.ann_ivf_topk(emb, k=5, n_cells=4, nprobe=1, dim=4, centroids=cents)
+    for r in out.collect():
+        assert assigned[r.did] in probes(vecs[r.qid], 1)  # did's cell was probed
+        assert r.qid != r.did
+
+
+def test_kmeans_train_matches_numpy(spark):
+    import numpy as np
+
+    rng = [
+        [float(((i * 37 + j * 11) % 19) - 9) for j in range(4)] for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], ["vec_id", "embedding"]
+    )
+    got = S.kmeans_train(df, n_cells=3, iters=4, dim=4)
+
+    # independent numpy Lloyd's with the same deterministic init/tie rules
+    cents = np.array(S.ivf_centroids(4, 3))
+    X = np.array(rng)
+    for _ in range(4):
+        d = ((cents**2).sum(1)[None, :] - 2 * X @ cents.T).round(6)
+        cell = d.argmin(1)  # argmin takes first (lowest id) on ties
+        for c in range(3):
+            if (cell == c).any():
+                cents[c] = X[cell == c].mean(0)
+    assert np.allclose(np.array(got), cents, atol=1e-9)

@@ -39,7 +39,11 @@ def get_spark(app_name: str = "moloch_spark", *, cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Single-JVM local mode: the "driver" heap IS the executor heap.
+        # 48g of the 128g box keeps full GCs out of the bench timings
+        # (16g showed multi-second GC outliers once ~70 query plans +
+        # broadcasts accumulate in one session).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

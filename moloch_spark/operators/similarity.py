@@ -18,7 +18,9 @@ from __future__ import annotations
 import hashlib
 import struct
 
-from pyspark.sql import DataFrame, Window
+import numpy as _np
+import pandas as _pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from moloch_spark.operators.dedup import cosine_expr
@@ -128,13 +130,28 @@ def lsh_bucket_topk(
 # ---------------------------------------------------------------------------
 
 
-def _dot_lit(vec: Column, row: list[float]) -> Column:
-    lit = F.array(*[F.lit(x) for x in row])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _cell_scores_udf(centroids: list[list[float]]):
+    """Arrow-batched cell scorer: one (batch × dim) @ (dim × K) BLAS
+    matmul per Arrow batch, returning the K per-cell L2 ranking scores
+    as one array<double> column.
+
+    This replaced a K-way unrolled aggregate(zip_with(...)) expression
+    tree: that tree exceeds what codegen handles, falls back to the
+    interpreter, and allocates a 64-element struct array per (row,
+    cell) — ~10× slower than this UDF even at 2 K rows, and the gap
+    widens with corpus size. Scan-side either way (no shuffle); scores
+    round to 6 decimals so Spark, numpy and the SQL oracle argmin over
+    identical values."""
+    C = _np.asarray(centroids, dtype=_np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<double>")
+    def cell_scores(v: _pd.Series) -> _pd.Series:
+        X = _np.stack(v.to_numpy()).astype(_np.float64, copy=False)
+        S = _np.round(c2[None, :] - 2.0 * (X @ C.T), 6)
+        return _pd.Series(list(S))
+
+    return cell_scores
 
 
 def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
@@ -152,15 +169,25 @@ def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return cells
 
 
-def _cell_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
-    """Per-cell L2 ranking score: |c|^2 - 2 v.c (the |v|^2 term is
-    constant per vector, so this orders cells identically to true L2).
-    Rounded so Spark and the SQL oracle argmin over identical values."""
-    out = []
-    for i, c in enumerate(centroids):
-        c2 = sum(x * x for x in c)
-        out.append(F.round(F.lit(c2) - 2.0 * _dot_lit(vec, c), 6))
-    return out
+def _argmin_cell(sc: Column) -> Column:
+    """0-based index of the smallest score; double equality is safe
+    because both sides are the same rounded value, and first-match
+    (array_position) breaks ties to the lowest cell id."""
+    return (F.array_position(sc, F.array_min(sc)) - 1).cast("long")
+
+
+def _probe_cells(sc: Column, n_cells: int, nprobe: int) -> Column:
+    """The nprobe cell ids with the smallest scores (ties → lower id),
+    as a tiny per-row JVM-side sort of K (score, cell) structs."""
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(sc, i + 1).alias("s"),
+            i.cast("long").alias("cell"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda p: p["cell"])
 
 
 def ivf_assign(
@@ -169,19 +196,13 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-cell assignment as a PER-ROW argmin over cell literals
-    (array_min of (score, cell) structs): scan-side, zero shuffle, no
-    K-fold row multiplication — the shape that survives a 100 TB corpus.
-    Ties break to the lowest cell id via the struct ordering."""
-    vec = F.col(vec_col).cast("array<double>")
-    scores = _cell_scores(vec, centroids)
-    pairs = F.array(
-        *[
-            F.struct(s.alias("s"), F.lit(i).cast("long").alias("cell"))
-            for i, s in enumerate(scores)
-        ]
-    )
-    return emb.withColumn("cell", F.array_min(pairs)["cell"])
+    """Nearest-cell assignment: Arrow-batched score matmul + per-row
+    argmin. Scan-side, zero shuffle, no K-fold row multiplication — the
+    shape that survives a 100 TB corpus. Ties break to the lowest cell
+    id (|v|^2 is constant per row, so the |c|^2 - 2 v.c ranking equals
+    true L2 order)."""
+    sc = _cell_scores_udf(centroids)(F.col(vec_col).cast("array<double>"))
+    return emb.withColumn("cell", _argmin_cell(sc))
 
 
 def ann_ivf_topk(
@@ -203,24 +224,17 @@ def ann_ivf_topk(
     broadcast) probe-list equi-join plus the final top-k window over
     candidates."""
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
-    corpus = ivf_assign(emb, cents, vec_col=vec_col)
-
+    scorer = _cell_scores_udf(cents)
     vec = F.col(vec_col).cast("array<double>")
-    pairs = F.array(
-        *[
-            F.struct(s.alias("s"), F.lit(i).cast("long").alias("cell"))
-            for i, s in enumerate(_cell_scores(vec, cents))
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(pairs), 1, nprobe), lambda p: p["cell"]
-    )
+    corpus = emb.withColumn("cell", _argmin_cell(scorer(vec)))
+
     q = (
         emb.filter(F.col(id_col) < query_max_id)
+        .withColumn("sc", scorer(vec))
         .select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qvec"),
-            F.explode(probes).alias("pcell"),
+            F.explode(_probe_cells(F.col("sc"), len(cents), nprobe)).alias("pcell"),
         )
     )
     cand = corpus.join(

@@ -550,6 +550,28 @@ def _ip(node: P.Cmp, info: Field, ctx: CompileContext) -> Column:
     if v.kind == "list":
         raise CompileError("List queries not supported for gt/lt queries")
     n = ip_literal_to_int(text)
+    if ":" in text:
+        # v6 range: 128-bit values exceed Spark's long literals, so
+        # compare in the canonical-hex domain (fixed-width hex orders
+        # lexicographically == numerically; same trick as v6 CIDR)
+        hx = F.lit(format(n, "032x"))
+        ops = {
+            "lt": lambda a, b: a < b,
+            "lte": lambda a, b: a <= b,
+            "gt": lambda a, b: a > b,
+            "gte": lambda a, b: a >= b,
+        }
+
+        def v6_range(x: Column) -> Column:
+            # non-v6 strings compare as NULL -> excluded, matching the
+            # v4 path's rlike guard
+            h = F.when(x.contains(":"), ip6_str_to_hex(x))
+            return ops[op](h, hx)
+
+        col = F.col(info.db_field)
+        if _is_multi(info, ctx):
+            return _leaf(F.exists(col, v6_range))
+        return _leaf(v6_range(col))
     if info.num_field:
         return _range_pred(
             F.col(info.num_field), node.op, F.lit(n), _is_multi(info, ctx)

@@ -239,6 +239,15 @@ def test_ip6_cidr(spark, catalog):
     assert ids(df6, cat, "ip.other == 2001:db8::/32") == [1, 2]
     assert ids(df6, cat, "ip.other == fe80::/10") == [4]
 
+    # v6 gt/lt: 128-bit literals compare in the canonical-hex domain;
+    # v4 and NULL rows never match a v6 range
+    assert ids(df6, cat, "ip.src > 2001:db8::1") == [2, 3]
+    assert ids(df6, cat, "ip.src >= 2001:db9::") == [3]
+    assert ids(df6, cat, "ip.src < 2001:db8::2") == [1, 4]
+    assert ids(df6, cat, "ip.src <= ::ffff:10.1.2.3") == [4]
+    assert ids(df6, cat, "ip.other > 2001:db8::1") == [2, 4]
+    assert ids(df6, cat, "ip.other < ::1") == []
+
 
 def test_ip6_hex_expansion_matches_python(spark):
     import ipaddress

@@ -124,3 +124,43 @@ def test_packet_blob_store_rotation(spark, pkts, tmp_path):
     pruned = read_packet_blobs(spark, path, days=[day])
     assert pruned.count() == 4
     assert read_packet_blobs(spark, path, days=["1999-01-01"]).count() == 0
+
+
+def test_pcap_reader_roundtrip(spark, pkts, tmp_path):
+    """export -> real .pcap files on disk -> read_pcap: full cycle."""
+    from moloch_spark.sources.pcap_reader import parse_pcap_bytes, read_pcap
+
+    d = tmp_path / "pcaps"
+    d.mkdir()
+    for r in pcap_export(pkts).collect():
+        (d / f"{r.session_id}.pcap").write_bytes(bytes(r.pcap))
+
+    back = read_pcap(spark, str(d)).collect()
+    by_file = {}
+    for r in back:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+    a = sorted(by_file["a.pcap"], key=lambda r: r.pkt_index)
+    assert [bytes(r.data) for r in a] == [p for _, _, _, p in ROWS[:3]]
+    assert [r.ts_us for r in a] == [t for _, t, _, _ in ROWS[:3]]
+    assert all(r.linktype == 1 for r in back)
+    # snaplen truncation survives: incl 65535, orig keeps true size
+    (b,) = by_file["b.pcap"]
+    assert b.incl_len == 65535 and b.orig_len == 70000
+
+    # other byte orders / nanosecond resolution parse identically
+    blob = (d / "a.pcap").read_bytes()
+    import struct as s
+
+    be = s.pack(">IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    nano = s.pack("<IHHiIII", 0xA1B23C4D, 2, 4, 0, 0, 65535, 1)
+    for hdr, mult in [(be, 1), (nano, 1000)]:
+        recs = b""
+        for _, ts, _, pay in ROWS[:2]:
+            fmt = ">IIII" if hdr is be else "<IIII"
+            recs += s.pack(fmt, ts // 1_000_000, (ts % 1_000_000) * mult, len(pay), len(pay)) + pay
+        out = list(parse_pcap_bytes("x", hdr + recs))
+        assert [o[2] for o in out] == [ROWS[0][1], ROWS[1][1]]
+
+    # truncated tail record is dropped, not an error
+    cut = list(parse_pcap_bytes("y", blob[:-2]))
+    assert len(cut) == 2

@@ -129,3 +129,71 @@ def q_pcap_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = packet_positions(pkts)
     return out.select("event_id", "file_num", "file_offset").orderBy("event_id")
+
+
+@register(
+    "frame_decode_roundtrip",
+    """
+    SELECT event_id,
+           '10.' || (user_id % 256) || '.' || ((user_id // 256) % 256)
+                 || '.' || (1 + event_id % 250) AS src_ip,
+           '192.0.2.' || (user_id % 200) AS dst_ip,
+           CAST(17 AS BIGINT) AS ip_protocol,
+           CAST(40000 + event_id % 1000 AS BIGINT) AS src_port,
+           CAST(CASE event_type WHEN 'click' THEN 80 WHEN 'view' THEN 443
+                WHEN 'error' THEN 53 WHEN 'signup' THEN 25
+                ELSE 8080 END AS BIGINT) AS dst_port,
+           COALESCE(props, '') AS payload_text
+    FROM events
+    """,
+)
+def q_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-path gate: synthesize REAL Ethernet/IPv4/UDP frames from
+    the events table (hex-domain built-ins, mirroring pcap_export),
+    then run operators.frame_decode over the raw bytes and return what
+    it extracted. The oracle computes the same 5-tuples directly from
+    events — so any drift in either the frame builder or the decoder
+    breaks the hash match. Both halves are scan-side codegen; no
+    shuffle at any scale."""
+    from moloch_spark.operators.frame_decode import decode_frames
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def be16(c):  # network byte order, 4 hex chars
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 4, "0")
+
+    def octet(c):  # one IP octet, 2 hex chars
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 2, "0")
+
+    uid, eid = F.col("user_id"), F.col("event_id")
+    sport = F.lit(40000) + eid % 1000
+    dport = (
+        F.when(F.col("event_type") == "click", 80)
+        .when(F.col("event_type") == "view", 443)
+        .when(F.col("event_type") == "error", 53)
+        .when(F.col("event_type") == "signup", 25)
+        .otherwise(8080)
+    )
+    pay_hex = F.lower(F.hex(F.encode(F.coalesce(F.col("props"), F.lit("")), "UTF-8")))
+    pay_len = (F.length(pay_hex) / 2).cast("long")
+    udp_len = pay_len + 8
+    src_hex = F.concat(
+        octet(F.lit(10)), octet(uid % 256), octet((uid / 256).cast("long") % 256),
+        octet(F.lit(1) + eid % 250),
+    )
+    dst_hex = F.concat(
+        octet(F.lit(192)), octet(F.lit(0)), octet(F.lit(2)), octet(uid % 200)
+    )
+    frame_hex = F.concat(
+        F.lit("0" * 24 + "0800"),            # eth: zero MACs, v4
+        F.lit("4500"), be16(udp_len + 20),   # ver/ihl, dscp, total len
+        F.lit("0000" + "0000" + "40" + "11" + "0000"),  # id fl ttl udp csum
+        src_hex, dst_hex,
+        be16(sport), be16(dport), be16(udp_len), F.lit("0000"),
+        pay_hex,
+    )
+    frames = ev.select("event_id", F.unhex(frame_hex).alias("data"))
+    return decode_frames(frames).select(
+        "event_id", "src_ip", "dst_ip", "ip_protocol", "src_port", "dst_port",
+        F.decode(F.unhex(F.col("payload_hex")), "UTF-8").alias("payload_text"),
+    )

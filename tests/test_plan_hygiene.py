@@ -17,6 +17,8 @@ INTENTIONAL_NESTED_LOOP = {
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
     "embedding_near_dups",
+    # scalar-avg subquery: a 1-row aggregate broadcast against customer
+    "tpch_q22_global_sales_opportunity",
 }
 
 SKIP = {"streaming_sessionize_closed"}  # starts a streaming job

@@ -1,0 +1,147 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+splits, reproducible global shuffle, sequence packing.
+
+These are the curation steps between dedup/quality-filter and tokenizer
+in an LLM data pipeline. Everything is *content-addressed* (seeded md5
+of the document id), never RNG-based:
+
+  * re-runs give identical splits/order (auditable, resumable);
+  * split membership is stable under corpus growth — adding documents
+    never moves an existing one between train and test (the property
+    that prevents eval contamination across dataset versions);
+  * Spark and the SQL oracle agree bit-for-bit (no engine RNG).
+
+Scale design: the global shuffle order and the packing prefix-sum are
+the only "inherently sequential" steps, so they use a two-phase rank:
+the md5 key's first byte pre-buckets rows (256 buckets — a PREFIX of
+the sort key, so bucket-major order == global key order); ranks are
+computed per-bucket with a partitioned window, then shifted by
+broadcast per-bucket offsets. No single-partition window ever sees the
+corpus — the only global structure is the 256-row offset table. At
+100 TB that is 256 parallel sorts of ~0.4% of the data each plus one
+tiny broadcast, instead of one impossible full sort on one executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shuffle_key(id_col: Column, seed: str) -> Column:
+    """Seeded content-addressed sort key (md5 hex; both engines agree)."""
+    return F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string")))
+
+
+def split_bucket(id_col: Column, seed: str = "split:v1") -> Column:
+    """Basis-point bucket in [0, 10000): 28-bit md5 prefix mod 1e4
+    (same universal-hash base as the MinHash family, exact in BIGINT
+    on both engines)."""
+    h = F.conv(shuffle_key(id_col, seed).substr(1, 7), 16, 10).cast("long")
+    return h % 10000
+
+
+def assign_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights_bp: list[tuple[str, int]] = (
+        ("train", 9000),
+        ("val", 500),
+        ("test", 500),
+    ),
+    seed: str = "split:v1",
+) -> DataFrame:
+    """Add a `split` column. Weights are basis points (must sum to
+    10000) — integer thresholds, no float boundary ambiguity.
+    Scan-side; zero shuffle."""
+    assert sum(w for _, w in weights_bp) == 10000
+    b = split_bucket(F.col(id_col), seed)
+    edge = 0
+    expr = None
+    for name, w in weights_bp:
+        edge += w
+        expr = (
+            F.when(b < edge, name) if expr is None else expr.when(b < edge, name)
+        )
+    return df.withColumn("split", expr)
+
+
+def _two_phase_rank(
+    df: DataFrame, id_col: str, seed: str, *, value_col: Column | None = None
+) -> DataFrame:
+    """Shared core: bucket-prefix two-phase global ordering.
+
+    Adds `_key` (md5 sort key), `shuffle_rank` (1-based global rank in
+    key order) and, when value_col is given, `_gsum` (exclusive global
+    prefix sum of value_col in the same order)."""
+    key = shuffle_key(F.col(id_col), seed)
+    d = df.withColumn("_key", key).withColumn(
+        "_b", F.conv(F.col("_key").substr(1, 2), 16, 10).cast("int")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if value_col is not None:
+        d = d.withColumn("_v", value_col)
+        aggs.append(F.sum("_v").alias("_vsum"))
+    per_bucket = d.groupBy("_b").agg(*aggs)
+    # 256-row prefix sums — constant-size regardless of corpus scale
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off"),
+        *(
+            [F.coalesce(F.sum("_vsum").over(wb), F.lit(0)).alias("_voff")]
+            if value_col is not None
+            else []
+        ),
+    )
+    w = Window.partitionBy("_b").orderBy("_key", id_col)
+    out = d.join(F.broadcast(offsets), "_b").withColumn(
+        "shuffle_rank", (F.col("_off") + F.row_number().over(w)).cast("long")
+    )
+    if value_col is not None:
+        cum_excl = F.coalesce(
+            F.sum("_v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        out = out.withColumn("_gsum", (F.col("_voff") + cum_excl).cast("long"))
+    return out
+
+
+def global_shuffle(
+    df: DataFrame, *, id_col: str = "doc_id", seed: str = "shuffle:v1"
+) -> DataFrame:
+    """Reproducible global shuffle: 1-based `shuffle_rank` in seeded-md5
+    order. Equivalent to ORDER BY md5(seed:id) but distributed (see
+    module docstring)."""
+    return _two_phase_rank(df, id_col, seed).drop("_key", "_b", "_off")
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    seq_len: int = 4096,
+    seed: str = "pack:v1",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid out in reproducible
+    shuffle order and cut into fixed `seq_len` token windows — the
+    standard LLM pretraining packing step. Adds `shuffle_rank`,
+    `start_tok` (global token offset of this document) and `chunk_id`
+    (which training sequence the document starts in).
+
+    tokens_col defaults to greatest(1, n_chars/4) — the chars/4
+    heuristic; swap in a real tokenizer count column when available.
+    """
+    tokens = (
+        tokens_col
+        if tokens_col is not None
+        else F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long"))
+    )
+    out = _two_phase_rank(df, id_col, seed, value_col=tokens)
+    return (
+        out.withColumn("start_tok", F.col("_gsum"))
+        .withColumn("chunk_id", (F.col("start_tok") / seq_len).cast("long"))
+        .drop("_key", "_b", "_off", "_voff", "_v", "_gsum")
+    )

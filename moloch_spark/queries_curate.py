@@ -1,0 +1,92 @@
+"""Curation gate queries: deterministic split / global shuffle /
+sequence packing over `documents`, each hash-matched against a DuckDB
+oracle computing the same content-addressed layout in plain SQL.
+
+The md5-key trick (see operators.curate) means both engines produce
+the exact same rank/offset for every document — these gates verify the
+distributed two-phase rank equals a literal single ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moloch_spark.operators import curate as C
+from moloch_spark.registry import register
+from moloch_spark.sources.tables import load_table
+
+# 28-bit md5-prefix bucket, basis points (mirror of curate.split_bucket)
+_BP = (
+    "CAST(('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 7)) "
+    "AS BIGINT) % 10000"
+)
+
+
+@register(
+    "curate_split_assign",
+    f"""
+    SELECT CASE WHEN {_BP} < 9000 THEN 'train'
+                WHEN {_BP} < 9500 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment is scan-side (no shuffle, no RNG);
+    membership is stable under corpus growth so evals never leak."""
+    docs = C.assign_split(load_table(spark, "documents", sf_dir))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.count_distinct("lang").alias("langs"),
+    )
+
+
+@register(
+    "curate_global_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('shuffle:v1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def q_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle is a literal global ORDER BY; the engine computes the
+    identical rank with 256-way bucketed windows + broadcast offsets."""
+    return C.global_shuffle(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+@register(
+    "curate_pack_sequences",
+    """
+    WITH ordered AS (
+      SELECT doc_id,
+             GREATEST(1, n_chars // 4) AS toks,
+             md5('pack:v1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS shuffle_rank,
+           CAST(COALESCE(SUM(toks) OVER (ORDER BY k, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok,
+           CAST(COALESCE(SUM(toks) OVER (ORDER BY k, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+                AS BIGINT) AS chunk_id
+    FROM ordered
+    """,
+)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: global token offsets and 4096-
+    token training-sequence ids, computed without any full sort."""
+    return C.pack_sequences(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "shuffle_rank", "start_tok", "chunk_id"
+    )

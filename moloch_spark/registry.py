@@ -31,6 +31,7 @@ def _load_registrants() -> None:
     # import registrants lazily to avoid import cycles
     import moloch_spark.queries  # noqa: F401
     import moloch_spark.queries_api  # noqa: F401
+    import moloch_spark.queries_curate  # noqa: F401
     import moloch_spark.queries_enrich  # noqa: F401
     import moloch_spark.queries_llm  # noqa: F401
     import moloch_spark.queries_pcap  # noqa: F401

@@ -1,0 +1,59 @@
+"""Curation operators: content-addressed determinism properties that
+the oracle gate can't express (stability under corpus growth), checked
+against independent Python md5 computations."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from moloch_spark.operators import curate as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc {i} " * (i % 7 + 1), 8 * (i % 7 + 1)) for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+
+
+def _key(seed, i):
+    return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+
+
+def test_split_stable_under_growth(docs):
+    full = {r.doc_id: r.split for r in C.assign_split(docs).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in C.assign_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    # removing/adding documents never moves an existing one across splits
+    assert all(full[k] == v for k, v in half.items())
+    assert set(full.values()) == {"train", "val", "test"}
+
+
+def test_split_matches_python_md5(docs):
+    got = {r.doc_id: r.split for r in C.assign_split(docs).collect()}
+    for i in range(300):
+        b = int(_key("split:v1", i)[:7], 16) % 10000
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert got[i] == want
+
+
+def test_two_phase_rank_equals_global_sort(docs):
+    got = {r.doc_id: r.shuffle_rank for r in C.global_shuffle(docs).collect()}
+    order = sorted(range(300), key=lambda i: (_key("shuffle:v1", i), i))
+    for rank, i in enumerate(order, start=1):
+        assert got[i] == rank
+
+
+def test_pack_sequences_layout(docs):
+    rows = sorted(C.pack_sequences(docs, seq_len=64).collect(),
+                  key=lambda r: r.shuffle_rank)
+    tok = lambda r: max(1, r.n_chars // 4)
+    off = 0
+    for r in rows:
+        assert r.start_tok == off
+        assert r.chunk_id == off // 64
+        off += tok(r)

@@ -525,9 +525,10 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: correlated EXISTS + NOT EXISTS over the same fact
     table (l_returnflag='R' stands in for late receipt). Both
     decorrelate to semi/anti self-joins on l_orderkey with a
-    different-supplier residual — same-keyed, so after the first
-    shuffle on orderkey the semi, anti, and orders joins all reuse the
-    exchange."""
+    different-supplier residual. All four joins share the l_orderkey
+    key: at bench SF Catalyst broadcasts every build side; at fact-
+    table scale they become same-keyed shuffle joins, so one orderkey
+    exchange of l1 serves the semi, anti, and orders probes."""
     s = load_table(spark, "supplier", sf_dir)
     l = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)

@@ -425,3 +425,58 @@ def connections_baseline(
             + F.when(F.col("base_sessions") > 0, 2).otherwise(0),
         )
     )
+
+
+def field_cardinality(
+    df: DataFrame,
+    fields: Sequence[str],
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct-value cardinality for N fields in one pass.
+
+    The reference serves field cardinalities ("Cnt" columns, field
+    stats) with the ES `cardinality` aggregation — which is HLL++, not
+    exact (viewer/apiSessions.js terms/cardinality aggs). approx=True
+    is that same algorithm (Spark's approx_count_distinct is HLL++
+    with configurable rsd): one pass, constant memory per field,
+    mergeable sketches — the only shape that works on a 100 TB field.
+    approx=False is exact; note Catalyst plans multi-count_distinct
+    via Expand (row replication ×N fields), so at scale prefer approx
+    or one field per job.
+    """
+    agg = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    return df.agg(
+        *[agg(f).alias(f"{f}_card") for f in fields]
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    col: str | Column,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    *,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Latency-style percentile stats (ES `percentiles` agg parity).
+
+    percentile_approx is a mergeable quantile sketch (one pass,
+    bounded memory) — exact percentiles need a full sort, which is not
+    a thing you do to a 100 TB column. Accuracy trades memory for
+    error: at 10000 the p99 of a uniform million-row column is within
+    ~0.01%.
+    """
+    c = _col(col)
+    return df.agg(
+        *[
+            F.percentile_approx(c, p, accuracy).alias(
+                f"p{str(p).replace('0.', '').ljust(2, '0')}"
+            )
+            for p in probs
+        ]
+    )

@@ -146,6 +146,25 @@ def q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cardinality_fields",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_id_card,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS event_type_card,
+           CAST(COUNT(DISTINCT props) AS BIGINT) AS props_card
+    FROM events
+    """,
+)
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality-agg parity (exact flavor gated; the HLL++ flavor
+    — the reference's actual algorithm — is tolerance-tested in
+    tests/test_coverage_gaps.py since sketches differ across engines)."""
+    from moloch_spark.operators.endpoints import field_cardinality
+
+    ev = load_table(spark, "events", sf_dir)
+    return field_cardinality(ev, ["user_id", "event_type", "props"])
+
+
+@register(
     "unique_event_type",
     """
     SELECT event_type AS value, COUNT(*) AS count

@@ -79,3 +79,27 @@ def test_stubs_raise(spark):
         yara_scan_stub(df, "rule x {}")
     with pytest.raises(NotImplementedError):
         reverse_dns_stub(df, ip_col="x")
+
+
+def test_cardinality_hll_vs_exact(spark):
+    from moloch_spark.operators.endpoints import field_cardinality
+
+    df = spark.createDataFrame(
+        [(i % 1357, f"v{i % 89}") for i in range(20000)], "a long, b string"
+    )
+    exact = field_cardinality(df, ["a", "b"]).first()
+    assert (exact.a_card, exact.b_card) == (1357, 89)
+    # HLL++ (the reference's ES cardinality agg algorithm): within rsd-ish
+    approx = field_cardinality(df, ["a", "b"], approx=True, rsd=0.02).first()
+    assert abs(approx.a_card - 1357) / 1357 < 0.1
+    assert abs(approx.b_card - 89) / 89 < 0.1
+
+
+def test_percentiles_sketch(spark):
+    from moloch_spark.operators.endpoints import percentiles
+
+    df = spark.range(100000).select((F.col("id") % 10000).alias("v"))
+    r = percentiles(df, "v", (0.5, 0.9, 0.99)).first()
+    assert abs(r.p50 - 5000) <= 50
+    assert abs(r.p90 - 9000) <= 50
+    assert abs(r.p99 - 9900) <= 50

@@ -56,7 +56,8 @@ def http_body(col: Column) -> Column:
 
 
 def decode_pipeline(df: DataFrame, payload_col: str, stages: list[str]) -> DataFrame:
-    """Apply named stages in order: 'base64', 'gzip', 'http_body'."""
+    """Apply named stages in order: 'base64', 'gzip', 'http_body',
+    'xor_brute', 'mime_body'."""
     out = F.col(payload_col)
     for s in stages:
         if s == "base64":
@@ -65,6 +66,64 @@ def decode_pipeline(df: DataFrame, payload_col: str, stages: list[str]) -> DataF
             out = gunzip_udf(out.cast("binary"))
         elif s == "http_body":
             out = http_body(out).cast("binary")
+        elif s == "xor_brute":
+            out = xor_brute_gzip_udf(out.cast("binary"))
+        elif s == "mime_body":
+            out = mime_body_udf(out.cast("binary"))
         else:
             raise ValueError(f"unknown decode stage {s!r}")
     return df.withColumn(payload_col, out)
+
+
+@pandas_udf(T.BinaryType())
+def xor_brute_gzip_udf(data: pd.Series) -> pd.Series:
+    """xor-brute-force stage (decode.js:208-264): try every single-byte
+    key; a key is right when the result starts with the gzip magic
+    (1f 8b) AND inflates. Passthrough when no key works. 256 two-byte
+    probes per value, at most one real decompress — cheap even though
+    it's the Python path."""
+
+    def one(b):
+        if b is None:
+            return None
+        raw = bytes(b)
+        for key in range(256):
+            if len(raw) >= 2 and raw[0] ^ key == 0x1F and raw[1] ^ key == 0x8B:
+                try:
+                    return _gzip.decompress(bytes(x ^ key for x in raw))
+                except Exception:
+                    continue
+        return raw
+
+    return data.map(one)
+
+
+@pandas_udf(T.BinaryType())
+def mime_body_udf(data: pd.Series) -> pd.Series:
+    """SMTP/MIME body extraction (decode.js:286-496): walk the MIME
+    tree, concatenate decoded text/* leaf parts (base64 and
+    quoted-printable transfer encodings handled by the stdlib walk).
+    Non-MIME input passes through."""
+    import email
+    import email.policy
+
+    def one(b):
+        if b is None:
+            return None
+        raw = bytes(b)
+        try:
+            msg = email.message_from_bytes(raw, policy=email.policy.default)
+        except Exception:
+            return raw
+        if not msg.get("Content-Type") and not msg.get("MIME-Version"):
+            return raw
+        parts = []
+        for part in msg.walk():
+            if part.get_content_maintype() == "text":
+                try:
+                    parts.append(part.get_payload(decode=True) or b"")
+                except Exception:
+                    pass
+        return b"\n".join(parts) if parts else raw
+
+    return data.map(one)

@@ -83,3 +83,57 @@ class CronRunner:
         st[query.name] = hi.isoformat(sep=" ")
         self._save(st)
         return out
+
+
+@dataclass
+class Notifier:
+    """A delivery target (viewer/apiNotifiers.js: slack/email/twilio
+    configs stored in the notifiers index). Delivery itself is an edge
+    concern; the engine's job is the exactly-once alert OUTBOX."""
+
+    name: str
+    kind: str  # 'slack' | 'email' | 'twilio' | ...
+    target: str
+
+
+def build_alerts(
+    matched: DataFrame,
+    cron_name: str,
+    notifiers: list[Notifier],
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Alerts-as-rows for a cron/hunt tick: one outbox row per notifier
+    summarizing the batch (count + time range), mirroring the
+    reference's 'notify on new matches' hook (viewer/viewer.js cron
+    notifier path). A 1-row aggregate crossed with a literal notifier
+    table — no per-match fanout, so alert volume is O(notifiers) even
+    when a tick matches millions of sessions. Append the result to an
+    outbox table; a delivery daemon drains it (at-least-once delivery
+    with the outbox as the dedup ledger)."""
+    summary = matched.agg(
+        F.count(F.lit(1)).alias("match_count"),
+        F.min(ts_col).alias("first_match"),
+        F.max(ts_col).alias("last_match"),
+    ).withColumn("cron_name", F.lit(cron_name))
+    targets = [
+        F.struct(
+            F.lit(n.name).alias("notifier"),
+            F.lit(n.kind).alias("kind"),
+            F.lit(n.target).alias("target"),
+        )
+        for n in notifiers
+    ]
+    return (
+        summary.select(
+            "cron_name", "match_count", "first_match", "last_match",
+            F.explode(F.array(*targets)).alias("n"),
+        )
+        .filter(F.col("match_count") > 0)
+        .select(
+            "cron_name", "match_count", "first_match", "last_match",
+            F.col("n.notifier").alias("notifier"),
+            F.col("n.kind").alias("kind"),
+            F.col("n.target").alias("target"),
+        )
+    )

@@ -82,3 +82,35 @@ def test_partitioning_differential(spark):
         one = canon_rows(df.coalesce(1).toPandas())
         many = canon_rows(df.repartition(16).toPandas())
         assert one == many, f"{name} differs across partitionings"
+
+
+def test_xor_brute_and_mime_stages(spark):
+    import gzip
+
+    from moloch_spark.operators.decode import decode_pipeline
+
+    secret = b"attack at dawn"
+    gz = gzip.compress(secret)
+    xored = bytes(x ^ 0x5A for x in gz)
+    mime = (
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/mixed; boundary="B"\r\n\r\n'
+        b"--B\r\nContent-Type: text/plain\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        + __import__("base64").b64encode(b"hello mime")
+        + b"\r\n--B\r\nContent-Type: application/octet-stream\r\n\r\n"
+        b"BINARYJUNK\r\n--B--\r\n"
+    )
+    df = spark.createDataFrame(
+        [(1, xored), (2, b"not gzip at all"), (3, mime), (4, b"plain text")],
+        "id int, payload binary",
+    )
+    xb = {r.id: bytes(r.payload) for r in
+          decode_pipeline(df, "payload", ["xor_brute"]).collect()}
+    assert xb[1] == secret            # key 0x5a recovered
+    assert xb[2] == b"not gzip at all"  # passthrough
+
+    mb = {r.id: bytes(r.payload) for r in
+          decode_pipeline(df, "payload", ["mime_body"]).collect()}
+    assert mb[3] == b"hello mime"     # text/* leaf decoded, binary part skipped
+    assert mb[4] == b"plain text"     # non-MIME passthrough

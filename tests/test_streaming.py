@@ -324,3 +324,22 @@ def test_hunt_match_types(spark):
         binary_cols={"payload"},
     ).count()
     assert hex_hits == ascii_hits
+
+
+def test_notifier_outbox(spark):
+    from moloch_spark.streaming.cron import Notifier, build_alerts
+
+    matched = spark.createDataFrame(
+        [(i, f"2024-01-01 00:0{i}:00") for i in range(3)], "id int, ts_s string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    ns = [Notifier("oncall", "slack", "#alerts"), Notifier("ops", "email", "ops@x")]
+    out = build_alerts(matched, "hunt-c2", ns).collect()
+    assert {(r.notifier, r.kind, r.target) for r in out} == {
+        ("oncall", "slack", "#alerts"), ("ops", "email", "ops@x")
+    }
+    assert all(r.match_count == 3 and r.cron_name == "hunt-c2" for r in out)
+    assert str(out[0].first_match) == "2024-01-01 00:00:00"
+    assert str(out[0].last_match) == "2024-01-01 00:02:00"
+
+    # empty tick -> no alert rows at all
+    assert build_alerts(matched.filter("id > 99"), "hunt-c2", ns).count() == 0

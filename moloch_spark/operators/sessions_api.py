@@ -74,6 +74,13 @@ def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def export_ndjson(df: DataFrame, path: str) -> None:
+    """NDJSON export (the viewer's sessions.json download): one JSON
+    object per line via the native JSON sink — distributed write, no
+    driver collect, nested/array columns serialize structurally."""
+    df.write.mode("overwrite").json(path)
+
+
 def scatter_gather(parts: list[DataFrame]) -> DataFrame:
     """multies merge: union per-cluster tables by name BEFORE any
     aggregation — downstream groupBys then produce exactly-merged

@@ -209,3 +209,34 @@ def streaming_dedup(events: DataFrame, *, key_cols: list[str], watermark_delay: 
     return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_timeline(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    interval: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    sums: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Streaming facet timeline: watermarked tumbling-window counts +
+    sums — the incremental form of endpoints.timeline (same buckets,
+    same dsum exactness policy). Late rows inside the watermark fold
+    into their window; state per open window is one aggregate buffer,
+    so state size is bounded by (span ÷ interval), not event volume.
+    In append mode a window emits exactly once, when the watermark
+    passes its end — which is what makes the result equal to the batch
+    timeline over the same closed data (asserted in test_streaming)."""
+    from moloch_spark.operators.endpoints import dsum
+
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    for src, alias in sums or []:
+        aggs.append(dsum(src, alias))
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), interval).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("bucket"), *[
+            F.col(a) for a in ["doc_count"] + [al for _, al in (sums or [])]
+        ])
+    )

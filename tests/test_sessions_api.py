@@ -42,3 +42,23 @@ def test_update_tags_remove(spark):
     assert out["a"] == ["y", "z"]
     assert out["b"] == ["x"]          # unmatched untouched
     assert out["c"] == ["z"]          # null tags -> starts empty
+
+
+def test_export_ndjson(spark, tmp_path):
+    import json
+
+    from moloch_spark.operators.sessions_api import export_ndjson
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"k": "v"}), (2, [], None)],
+        "id int, tags array<string>, meta map<string,string>",
+    )
+    path = str(tmp_path / "nd")
+    export_ndjson(df, path)
+    rows = []
+    import glob
+    for f in glob.glob(path + "/part-*.json"):
+        rows += [json.loads(l) for l in open(f) if l.strip()]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["tags"] == ["a", "b"] and by_id[1]["meta"] == {"k": "v"}
+    assert by_id[2].get("tags") == []

@@ -343,3 +343,46 @@ def test_notifier_outbox(spark):
 
     # empty tick -> no alert rows at all
     assert build_alerts(matched.filter("id > 99"), "hunt-c2", ns).count() == 0
+
+
+def test_streaming_timeline_matches_batch(spark, events_stream_dir):
+    from moloch_spark.operators.endpoints import timeline
+    from moloch_spark.streaming.sessionizer import streaming_timeline
+
+    batch_ev = load_table(spark, "events", SF)
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q = (
+        streaming_timeline(
+            stream, interval="1 hour", watermark_delay="1 minute",
+            sums=[("value", "sum_value")],
+        )
+        .writeStream.format("memory")
+        .queryName("tl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.bucket: (r.doc_count, r.sum_value) for r in spark.table("tl_out").collect()}
+    want = {
+        r.bucket: (r.doc_count, r.sum_value)
+        for r in timeline(
+            batch_ev, "ts", interval="hour", sums=[("value", "sum_value")]
+        ).collect()
+    }
+    assert got, "no windows emitted"
+    # every emitted window must equal the batch bucket EXACTLY (dsum
+    # decimal policy makes the float sums order-independent)
+    for b, v in got.items():
+        assert want[b] == v, (b, v, want[b])
+    # append-mode semantics: the only unemitted windows are the tail the
+    # final watermark hasn't passed
+    missing = sorted(set(want) - set(got))
+    if missing:
+        max_emitted = max(got)
+        assert all(m > max_emitted for m in missing)

@@ -605,3 +605,262 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    located AS (
+      SELECT sp.l_partkey, sp.l_suppkey, s.s_name, s.s_acctbal
+      FROM supply sp
+      JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT p.p_partkey, p.p_brand, l.s_name, l.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                ORDER BY l.s_acctbal, l.l_suppkey) AS rn
+      FROM located l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+    )
+    SELECT p_partkey, p_brand, s_name, s_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery (cheapest qualifying supplier
+    per part) decorrelated to a rank-1 window — one pass instead of the
+    rejoin-on-MIN the SQL form implies. lineitem's distinct pairs stand
+    in for partsupp; s_acctbal for supply cost. The supplier/nation/
+    region leg broadcasts; the window partitions by part key, so the
+    heavy side shuffles ONCE on its natural key."""
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    located = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    keep_p = p.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "l_suppkey")
+    return (
+        pairs.join(F.broadcast(located), pairs.l_suppkey == located.s_suppkey)
+        .join(F.broadcast(keep_p), pairs.l_partkey == keep_p.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             {_REV} AS volume, n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    ) nations
+    GROUP BY 1
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: market share = conditional-sum / total-sum in ONE
+    grouped pass (the two-query formulation is a single conditional
+    aggregation here). Sums stay exact decimal; the share divides two
+    exact doubles, so both engines produce the identical quotient."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    cust_in_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    zero = F.lit(0).cast("decimal(12,4)")
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (nat.cast("double") / F.sum(_rev()).cast("double"))
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,4)))
+               - CAST(p.p_retailprice AS DECIMAL(12,4))
+                 * CAST(0.10 AS DECIMAL(4,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,4)) AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY 1, 2
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier-nation and year. Supply cost has no
+    column in the reduced schema, so cost = 10% of retail price × qty
+    (exact decimals both engines). part/supplier/nation broadcast; the
+    one big-big join (lineitem⋈orders) carries only 3 columns."""
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    amount = _rev() - (
+        F.col("p_retailprice").cast("decimal(12,4)")
+        * F.lit(0.10).cast("decimal(4,2)")
+        * F.col("l_quantity").cast("decimal(12,4)")
+    )
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "nation")
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))
+                           .select("p_partkey", "p_retailprice")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH vals AS (
+      SELECT l.l_partkey, SUM({_REV}) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 5
+      GROUP BY 1
+    ),
+    total AS (SELECT SUM(value) AS tv FROM vals)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM vals, total
+    WHERE value * 1000 > tv
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: groups exceeding a FRACTION of the global total. The
+    threshold compare is cross-multiplied (value*1000 > total) over
+    exact decimals; the total re-aggregates the tiny per-part result,
+    not the fact table, and rides a 1-row broadcast."""
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    nat5 = s.filter(F.col("s_nationkey") == 5).select("s_suppkey")
+    vals = (
+        l.join(F.broadcast(nat5), l.l_suppkey == nat5.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    total = vals.agg(F.sum("value").alias("tv"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("tv"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@register(
+    "tpch_q20_part_supply_nation",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    heavy AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE 'blue%' AND sh.q > 30
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND EXISTS (SELECT 1 FROM heavy h WHERE h.l_suppkey = s.s_suppkey)
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-joins — suppliers (in one nation) who
+    shipped >30 units of any 'blue%' part in 1996. The per-(supplier,
+    part) aggregation runs ONLY over the date slice, the part-name
+    filter broadcasts into it, and the surviving supplier ids semi-join
+    the (tiny) supplier dim."""
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.filter(F.col("p_name").like("blue%"))
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )

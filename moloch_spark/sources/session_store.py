@@ -141,3 +141,34 @@ def expire_partitions(
             shutil.rmtree(os.path.join(path, name))
             dropped.append(name)
     return dropped
+
+
+def write_sessions_bucketed(
+    sessions: DataFrame,
+    table: str,
+    path: str,
+    *,
+    key: str = "session_id",
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed session table: hash-bucketed AND sorted by the session
+    key. Any join/merge keyed on `key` against another table bucketed
+    the same way (segments merge on rootId, tag-update MERGE, hunt
+    results write-back) reads both sides already co-partitioned — the
+    scan itself satisfies the join distribution, so NO shuffle of the
+    fact table, at any scale. That's the difference between re-shuffling
+    100 TB per tag update and touching only matching buckets.
+
+    Bucket count is a layout contract: both sides must agree (64 here;
+    on a real cluster pick ~2-4x executor count and keep it stable
+    across tables that join together).
+    """
+    (
+        sessions.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )

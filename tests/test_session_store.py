@@ -140,3 +140,31 @@ def test_numeric_ip_pushdown(spark, tmp_path):
     pf = next(l for l in plan.splitlines() if "PushedFilters" in l)
     # CIDR became a long range on ip_num, visible to row-group skipping
     assert "ip_num" in pf and ("GreaterThanOrEqual" in pf or "LessThanOrEqual" in pf)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from moloch_spark.sources.session_store import write_sessions_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("session_id"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("session_id"), (F.col("id") % 3).alias("tag")
+    )
+    write_sessions_bucketed(left, "t_bk_l", str(tmp_path / "l"), buckets=8)
+    write_sessions_bucketed(right, "t_bk_r", str(tmp_path / "r"), buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_bk_l").join(spark.table("t_bk_r"), "session_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            # bucketed scans satisfy the join distribution: no exchange
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert j.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bk_l")
+        spark.sql("DROP TABLE IF EXISTS t_bk_r")

@@ -19,6 +19,8 @@ INTENTIONAL_NESTED_LOOP = {
     "embedding_near_dups",
     # scalar-avg subquery: a 1-row aggregate broadcast against customer
     "tpch_q22_global_sales_opportunity",
+    # fraction-of-total: the 1-row global total broadcast against vals
+    "tpch_q11_important_stock",
 }
 
 SKIP = {"streaming_sessionize_closed"}  # starts a streaming job

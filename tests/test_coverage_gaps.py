@@ -103,3 +103,22 @@ def test_percentiles_sketch(spark):
     assert abs(r.p50 - 5000) <= 50
     assert abs(r.p90 - 9000) <= 50
     assert abs(r.p99 - 9900) <= 50
+
+
+def test_salted_collect_set(spark):
+    from moloch_spark.operators.skew import salted_collect_set
+
+    # one hot key with many duplicate values + a normal key
+    rows = [("hot", f"v{i % 37}") for i in range(5000)] + [("cold", "x")]
+    df = spark.createDataFrame(rows, "k string, val string")
+    out = {r.k: list(r.values) for r in
+           salted_collect_set(df, ["k"], "val").collect()}
+    assert out["hot"] == sorted({f"v{i}" for i in range(37)})
+    assert out["cold"] == ["x"]
+
+    # equals the single-phase result exactly (sorted distinct)
+    plain = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(F.collect_set("val").alias("s")).collect()
+    }
+    assert out == plain

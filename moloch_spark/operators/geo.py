@@ -79,3 +79,60 @@ def geo_enrich_bucketed(
         & (ip <= geo_b.ip_hi),
         "left",
     ).drop("bucket")
+
+
+def geo6_dim_from_cidrs(
+    spark: SparkSession, rows: list[tuple[str, str, int, str, str]]
+) -> DataFrame:
+    """v6 flavor of the geo dimension: ranges as 32-char canonical-hex
+    bounds (fixed-width hex compares lexicographically in address
+    order — the same domain expr.compiler uses for v6 predicates, so
+    store and query agree). GeoLite v6 blocks drop straight in."""
+    out = []
+    for cidr, country, asn, org, rir in rows:
+        net = ipaddress.ip_network(cidr, strict=False)
+        out.append(
+            (
+                format(int(net.network_address), "032x"),
+                format(int(net.broadcast_address), "032x"),
+                country,
+                asn,
+                org,
+                rir,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "hex_lo string, hex_hi string, country string, as_number long, "
+        "as_org string, rir string",
+    )
+
+
+def geo6_enrich_bucketed(
+    fact: DataFrame, geo6: DataFrame, *, ip_col: str
+) -> DataFrame:
+    """v6 lookup as equi-bucket + residual range, mirroring the v4
+    shape: bucket = the first 4 hex chars (the /16 of v6 — real-world
+    v6 allocations are /32..../64, so a block rarely spans more than a
+    few buckets, and a /12 regional allocation caps at 16). The fact
+    side derives (bucket, hex) scan-side from the string ip; hash join,
+    no nested loop, dim broadcasts."""
+    from moloch_spark.expr.compiler import ip6_str_to_hex
+
+    b_lo = F.conv(F.substring(F.col("hex_lo"), 1, 4), 16, 10).cast("long")
+    b_hi = F.conv(F.substring(F.col("hex_hi"), 1, 4), 16, 10).cast("long")
+    geo_b = geo6.withColumn("bucket", F.explode(F.sequence(b_lo, b_hi)))
+    h = ip6_str_to_hex(fact[ip_col])
+    fact_h = fact.withColumn("_h", h).withColumn(
+        "_bucket", F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("long")
+    )
+    return (
+        fact_h.join(
+            F.broadcast(geo_b),
+            (F.col("_bucket") == geo_b.bucket)
+            & (F.col("_h") >= geo_b.hex_lo)
+            & (F.col("_h") <= geo_b.hex_hi),
+            "left",
+        )
+        .drop("_h", "_bucket", "bucket")
+    )

@@ -114,3 +114,32 @@ def test_xor_brute_and_mime_stages(spark):
           decode_pipeline(df, "payload", ["mime_body"]).collect()}
     assert mb[3] == b"hello mime"     # text/* leaf decoded, binary part skipped
     assert mb[4] == b"plain text"     # non-MIME passthrough
+
+
+def test_geo6_enrich_bucketed(spark):
+    import ipaddress
+
+    from moloch_spark.operators.geo import geo6_dim_from_cidrs, geo6_enrich_bucketed
+
+    dim = geo6_dim_from_cidrs(
+        spark,
+        [
+            ("2001:db8::/32", "XX", 64512, "DocNet", "ARIN"),
+            ("2a00::/12", "EU", 64513, "RipeBlock", "RIPE"),  # spans 16 buckets
+        ],
+    )
+    fact = spark.createDataFrame(
+        [
+            (1, "2001:db8::1"),
+            (2, "2001:0db8:ffff:ffff:ffff:ffff:ffff:ffff"),
+            (3, "2001:db9::1"),          # just outside /32
+            (4, "2a0f:aaaa::5"),         # inside the /12
+            (5, "2b00::1"),              # just past the /12
+        ],
+        "id int, ip string",
+    )
+    out = {r.id: r.country for r in geo6_enrich_bucketed(fact, dim, ip_col="ip").collect()}
+    assert out == {1: "XX", 2: "XX", 3: None, 4: "EU", 5: None}
+    # plan: equi hash join, not a nested loop
+    plan = geo6_enrich_bucketed(fact, dim, ip_col="ip")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan

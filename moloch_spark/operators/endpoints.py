@@ -480,3 +480,33 @@ def percentiles(
             for p in probs
         ]
     )
+
+
+def timeline_dense(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    interval: str = "hour",
+    sums: Sequence[tuple[str, str]] = (),
+    where: Column | None = None,
+) -> DataFrame:
+    """Dense facet timeline: ES date_histogram emits EMPTY buckets
+    between min and max (min_doc_count=0; the viewer renders gaps as
+    zeros). The sparse aggregate right-joins a generated bucket spine;
+    the spine derives from the aggregate's own 1-row min/max via
+    sequence(), so there is no driver round-trip and the spine size is
+    span/interval — bounded by time, not data volume."""
+    sparse = timeline(df, ts_col, interval=interval, sums=sums, where=where)
+    bounds = sparse.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"interval 1 {interval}"))
+        ).alias("bucket")
+    )
+    out = spine.join(sparse, "bucket", "left")
+    filled = [F.coalesce(F.col("doc_count"), F.lit(0).cast("long")).alias("doc_count")]
+    for _, alias in sums:
+        filled.append(
+            F.coalesce(F.col(alias), F.lit(0.0).cast("double")).alias(alias)
+        )
+    return out.select("bucket", *filled)

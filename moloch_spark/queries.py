@@ -140,6 +140,33 @@ def q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeline(ev, "ts", interval="hour", sums=[("value", "sum_value")])
 
 
+@register(
+    "timeline_events_dense",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS doc_count,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds)
+    SELECT s.bucket,
+           COALESCE(a.doc_count, 0) AS doc_count,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+    """,
+)
+def q_timeline_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram parity incl. EMPTY buckets (min_doc_count=0):
+    gaps between min and max emit zero rows, like the ES agg."""
+    from moloch_spark.operators.endpoints import timeline_dense
+
+    ev = load_table(spark, "events", sf_dir)
+    return timeline_dense(ev, "ts", interval="hour", sums=[("value", "sum_value")])
+
+
 # ---------------------------------------------------------------------------
 # unique — top-K terms (apiSessions.js:2283-2407)
 # ---------------------------------------------------------------------------

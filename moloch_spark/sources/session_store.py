@@ -172,3 +172,52 @@ def write_sessions_bucketed(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    days: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-files maintenance — the `db.pl optimize` analog. Streaming
+    appends and per-day writes accumulate small files; scans then pay
+    per-file open/footer costs (the metastore killer at 100 TB). Each
+    day partition is rewritten into ceil(bytes/target) files via a
+    temp-dir + atomic rename (never overwrite a path being read). On a
+    real deployment the same job runs against the object store per
+    closed day (only CLOSED days: compaction of the live day races the
+    writer). Returns {day: files_after}."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    if days is None:
+        days = sorted(
+            d.rsplit("=", 1)[1]
+            for d in _glob.glob(os.path.join(path, f"{PARTITION_COL}=*"))
+        )
+    out: dict[str, int] = {}
+    for day in days:
+        pdir = os.path.join(path, f"{PARTITION_COL}={day}")
+        files = _glob.glob(os.path.join(pdir, "*.parquet"))
+        size = sum(os.path.getsize(f) for f in files)
+        n = max(1, math.ceil(size / target_file_bytes))
+        if len(files) <= n:
+            out[day] = len(files)
+            continue
+        tmp = pdir + ".compacting"
+        (
+            spark.read.parquet(pdir)
+            .repartition(n)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = pdir + ".old"
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+        out[day] = len(_glob.glob(os.path.join(pdir, "*.parquet")))
+    return out

@@ -168,3 +168,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bk_l")
         spark.sql("DROP TABLE IF EXISTS t_bk_r")
+
+
+def test_compact_partitions(spark, tmp_path):
+    import glob
+
+    from moloch_spark.sources.session_store import (
+        compact_partitions,
+        write_sessions,
+    )
+
+    path = str(tmp_path / "store")
+    for lo in range(0, 2000, 500):  # 4 appends -> >=4 small files in one day
+        df = spark.range(lo, lo + 500).select(
+            F.col("id"),
+            F.to_timestamp(F.lit("2024-03-05 12:00:00")).alias("last_packet"),
+        )
+        write_sessions(df, path, mode="append")
+    day_dirs = glob.glob(path + "/day=*")
+    assert len(day_dirs) == 1
+    before = len(glob.glob(day_dirs[0] + "/*.parquet"))
+    assert before >= 4  # the rewrite path below must actually run
+
+    res = compact_partitions(spark, path, target_file_bytes=1 << 40)
+    after = glob.glob(day_dirs[0] + "/*.parquet")
+    assert res == {"2024-03-05": 1} and len(after) == 1
+    assert spark.read.parquet(path).count() == 2000
+    # idempotent: second run is a no-op
+    assert compact_partitions(spark, path, target_file_bytes=1 << 40) == {
+        "2024-03-05": 1
+    }

@@ -1,0 +1,69 @@
+"""Graph analytics over the connections edge list.
+
+The viewer's connections endpoint renders the session graph
+(viewer/apiConnections.js); the natural next question — "which hosts
+form one cluster?" — is connected components. Spark shape: min-label
+propagation as an iterative DataFrame job (Pregel-style): every node
+starts as its own label; each round takes the min label over its
+neighborhood; converge when a round changes nothing.
+
+Scale: each round is one join edges⋈labels + one groupBy-min — shuffle
+on node id, no driver-side graph state (the driver sees only the
+changed-row COUNT per round). Rounds needed = graph diameter, which for
+session graphs is small (hub-and-spoke). localCheckpoint() every round
+truncates the lineage so the plan doesn't grow with iterations — the
+standard iterative-DataFrame pattern.
+
+The DuckDB oracle computes the same labels with a recursive CTE
+(transitive closure + MIN), so the gate proves the distributed
+iteration reaches the exact fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Returns (node, component) — component = min node id (string
+    order) reachable from the node. Deterministic fixpoint."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -572,3 +572,40 @@ def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return sessionize_events(ev, idle_timeout_s=1800)
+
+
+@register(
+    "connections_components",
+    """
+    WITH RECURSIVE
+    e AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS a,
+             't:' || event_type || ':' || CAST(user_id % 25 AS VARCHAR) AS b
+      FROM events
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+    )
+    SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the connections graph: the Spark side
+    runs iterative min-label propagation (one join + one groupBy-min
+    per round, lineage truncated each round); the oracle computes the
+    same fixpoint with a recursive CTE. Node ids are bucketed so the
+    gate exercises MANY components, not one giant blob."""
+    from moloch_spark.operators.graph import connected_components
+
+    ev = load_table(spark, "events", sf_dir)
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("t:"), F.col("event_type"), F.lit(":"),
+            (F.col("user_id") % 25).cast("string"),
+        ).alias("dst"),
+    ).distinct()
+    return connected_components(edges)

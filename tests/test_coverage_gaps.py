@@ -122,3 +122,21 @@ def test_salted_collect_set(spark):
         for r in df.groupBy("k").agg(F.collect_set("val").alias("s")).collect()
     }
     assert out == plain
+
+
+def test_connected_components_shapes(spark):
+    from moloch_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # cycle
+            ("d", "e"),                            # pair
+            ("f", "g"), ("g", "h"), ("h", "i"),   # chain (diameter 3)
+        ],
+        "src string, dst string",
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {out[x] for x in "abc"} == {"a"}
+    assert {out[x] for x in "de"} == {"d"}
+    assert {out[x] for x in "fghi"} == {"f"}
+    assert len(out) == 9

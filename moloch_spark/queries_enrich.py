@@ -200,3 +200,41 @@ def q_drophash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = E.drop_filter(ev, drops, on=["user_id", "event_type"])
     return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+@register(
+    "asof_feed_enrich",
+    """
+    WITH feed AS (
+      SELECT user_id, ts, MAX(value) AS feed_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    fact AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           x.feed_value, x.ts AS asof_ts
+    FROM fact f
+    ASOF LEFT JOIN feed x ON f.user_id = x.user_id AND f.ts >= x.ts
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each click gets the user's LATEST purchase
+    value at or before it (versioned-dim lookup). Spark side is the
+    union+window rewrite (operators.asof); oracle is DuckDB's native
+    ASOF LEFT JOIN — the gate proves the rewrite's exact equivalence,
+    including the no-prior-feed NULL rows and equal-timestamp ties."""
+    from moloch_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, "events", sf_dir)
+    feed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("feed_value"))
+    )
+    fact = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return as_of_join(fact, feed, on=["user_id"], ts_col="ts",
+                      values=["feed_value"])

@@ -140,3 +140,22 @@ def test_connected_components_shapes(spark):
     assert {out[x] for x in "de"} == {"d"}
     assert {out[x] for x in "fghi"} == {"f"}
     assert len(out) == 9
+
+
+def test_as_of_join_semantics(spark):
+    from moloch_spark.operators.asof import as_of_join
+
+    fact = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 50), (4, "other", 100)],
+        "id int, k string, ts long",
+    )
+    feed = spark.createDataFrame(
+        [("k", 100, "at-100"), ("k", 200, "at-200"), ("k", 90, "at-90")],
+        "k string, ts long, v string",
+    )
+    out = {r.id: (r.v, r.asof_ts) for r in
+           as_of_join(fact, feed, on=["k"], ts_col="ts", values=["v"]).collect()}
+    assert out[1] == ("at-100", 100)   # equal-ts feed row wins (>= tie rule)
+    assert out[2] == ("at-200", 200)   # latest prior, not just any prior
+    assert out[3] == (None, None)      # no feed at or before -> null
+    assert out[4] == (None, None)      # key never in feed

@@ -145,3 +145,28 @@ def pack_sequences(
         .withColumn("chunk_id", (F.col("start_tok") / seq_len).cast("long"))
         .drop("_key", "_b", "_off", "_voff", "_v", "_gsum")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    keep_prob: Column | None = None,
+    seed: str = "sample:v1",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its seeded
+    md5 bucket (uniform in [0,1) at 1e-4 resolution) falls under its
+    per-row keep probability — e.g. quality-weighted downsampling where
+    high-quality documents survive at higher rates. Content-addressed
+    like the other curation ops: re-runs and engines agree row-for-row,
+    and membership is stable under corpus growth. Scan-side, zero
+    shuffle. keep_prob defaults to least(1, n_chars/400) — longer docs
+    kept preferentially; pass any [0,1] Column (a model score, a
+    language weight) instead."""
+    p = (
+        keep_prob
+        if keep_prob is not None
+        else F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    )
+    u = split_bucket(F.col(id_col), seed) / 10000.0
+    return df.filter(u < p)

@@ -90,3 +90,30 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(load_table(spark, "documents", sf_dir)).select(
         "doc_id", "shuffle_rank", "start_tok", "chunk_id"
     )
+
+
+_U = (
+    "CAST(('0x' || substr(md5('sample:v1:' || CAST(doc_id AS VARCHAR)), 1, 7)) "
+    "AS BIGINT) % 10000 / 10000.0"
+)
+
+
+@register(
+    "curate_weighted_sample",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE {_U} < LEAST(1.0, n_chars / 400.0)
+    GROUP BY 1
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep probability scales with doc
+    length (stand-in for a quality score); membership is md5-decided so
+    both engines — and every re-run — keep exactly the same rows."""
+    docs = C.weighted_sample(load_table(spark, "documents", sf_dir))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )

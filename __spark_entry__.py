@@ -22,8 +22,17 @@ from moloch_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _q.queries()["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the engine in one query —
+    sessionize the event stream, persist the day-partitioned session
+    store, compile a moloch search expression against the field
+    catalog, and search the store with it. (packets >= 2: the tiny
+    smoke SF has matches at that threshold.)"""
+    from moloch_spark.queries_api import store_search
+
+    return store_search(
+        spark, "/root/testdata/sf0.001",
+        "session.types == error && session.packets >= 2",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

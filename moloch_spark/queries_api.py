@@ -311,6 +311,15 @@ def q_unique_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_expr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: sessionize -> partitioned store -> moloch expression
     over the session catalog (multivalue membership semantics)."""
+    return store_search(
+        spark, sf_dir, "session.types == error && session.packets >= 3"
+    )
+
+
+def store_search(spark: SparkSession, sf_dir: str, expression: str) -> DataFrame:
+    """Sessionize -> write the day-partitioned store -> compile a moloch
+    expression against the catalog -> search the store. The whole engine
+    in one pipeline (also the driver's entry() flagship)."""
     import tempfile
 
     from moloch_spark.catalog import sessions_catalog
@@ -323,8 +332,7 @@ def q_expr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sessions(sess, path, mode="overwrite")
     stored = read_sessions(spark, path)
     pred = compile_expression(
-        "session.types == error && session.packets >= 3",
-        CompileContext(catalog=sessions_catalog()),
+        expression, CompileContext(catalog=sessions_catalog())
     )
     return stored.filter(pred).select("session_id", "user_id", "packets").orderBy(
         "session_id"

@@ -36,6 +36,11 @@ def get_spark(app_name: str = "moloch_spark", *, cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver fixtures are tz-naive parquet timestamps; without this Spark
+        # 4 infers TIMESTAMP_NTZ, which unix_millis()/window() reject. Read
+        # them as session-UTC TIMESTAMP — the same interpretation DuckDB's
+        # naive oracle uses.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")

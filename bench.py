@@ -41,24 +41,31 @@ def main() -> None:
             except Exception:
                 pass
 
+    # per-query isolation: one failing query records an error entry instead
+    # of aborting the whole bench (round-1 postmortem: a single analysis
+    # exception produced NO numbers at all)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(registry.items()):
         t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

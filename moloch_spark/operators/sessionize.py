@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from moloch_spark.operators.endpoints import dsum
+from moloch_spark.operators.timeutil import epoch_ms_fn
 
 
 def timeout_by_protocol(
@@ -63,9 +64,12 @@ def assign_sessions(
     keys = [F.col(k) for k in key_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.monotonically_increasing_id())
     # millisecond epoch diff: exact integer math (unix_timestamp truncates
-    # to seconds, which would misclassify gaps within 1s of the timeout)
+    # to seconds, which would misclassify gaps within 1s of the timeout).
+    # epoch_ms_fn branches on the actual ts dtype — the driver's vanilla
+    # session reads the fixtures as TIMESTAMP_NTZ, ours as TIMESTAMP.
+    to_ms = epoch_ms_fn(df, ts_col)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_ts)
+    gap = to_ms(F.col(ts_col)) - to_ms(prev_ts)
     timeout_ms = (
         F.lit(idle_timeout_s * 1000)
         if isinstance(idle_timeout_s, int)
@@ -79,9 +83,7 @@ def assign_sessions(
         return out.withColumn("session_seq", F.col("root_seq"))
     ws = Window.partitionBy(*keys, F.col("root_seq"))
     start = F.min(F.col(ts_col)).over(ws)
-    chunk = F.floor(
-        (F.unix_millis(F.col(ts_col)) - F.unix_millis(start)) / F.lit(chunk_s * 1000)
-    )
+    chunk = F.floor((to_ms(F.col(ts_col)) - to_ms(start)) / F.lit(chunk_s * 1000))
     return out.withColumn("chunk_seq", chunk).withColumn(
         "session_seq",
         F.concat_ws("-", F.col("root_seq").cast("string"), F.col("chunk_seq").cast("string")),
@@ -123,11 +125,10 @@ def sessionize_events(
         F.array_sort(F.collect_set(type_col)).alias("event_types"),
         F.size(F.collect_set(type_col)).cast("long").alias("event_types_cnt"),
     )
+    ses_ms = epoch_ms_fn(out, "last_packet")
     return out.withColumn(
         "length_ms",
-        (
-            F.unix_millis(F.col("last_packet")) - F.unix_millis(F.col("first_packet"))
-        ).cast("long"),
+        (ses_ms(F.col("last_packet")) - ses_ms(F.col("first_packet"))).cast("long"),
     ).withColumn(
         "session_id",
         F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_seq").cast("string")),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from moloch_spark.operators.endpoints import dsum
+from moloch_spark.operators.timeutil import epoch_ms_fn
 
 
 def merge_segments(chunked: DataFrame, key_cols: list[str] = ("user_id", "root_seq")) -> DataFrame:
@@ -111,9 +112,10 @@ def derived_rates(
     """dstats-style derived rates: per key, delta of a gauge over delta
     time -> per-second rate. Window lag over (key, ts)."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
+    to_ms = epoch_ms_fn(df, ts_col)
     prev_v = F.lag(F.col(gauge_col)).over(w)
     prev_t = F.lag(F.col(ts_col)).over(w)
-    dt_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_t)
+    dt_ms = to_ms(F.col(ts_col)) - to_ms(prev_t)
     rate = F.when(
         dt_ms > 0,
         (F.col(gauge_col) - prev_v) * 1000.0 / dt_ms.cast("double"),

@@ -561,7 +561,7 @@ def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS first_packet, MAX(ts) AS last_packet,
            COUNT(*) AS packets,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt,
            epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS length_ms,
            CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
@@ -570,8 +570,12 @@ def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gate emits event_types CSV-joined: the driver's canonicalizer can't
+    # sort/hash list cells (the API keeps the array form)
     ev = load_table(spark, "events", sf_dir)
-    return sessionize_events(ev, idle_timeout_s=1800)
+    return sessionize_events(ev, idle_timeout_s=1800).withColumn(
+        "event_types", F.array_join("event_types", ",")
+    )
 
 
 @register(

@@ -48,7 +48,7 @@ from moloch_spark.sources.tables import load_table
            MIN(first_packet) AS first_packet, MAX(last_packet) AS last_packet,
            CAST(SUM(packets) AS BIGINT) AS packets,
            CAST(SUM(CAST(tot_bytes AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-           list_sort(list_distinct(flatten(list(event_types)))) AS event_types,
+           array_to_string(list_sort(list_distinct(flatten(list(event_types)))), ',') AS event_types,
            COUNT(*) AS segment_cnt
     FROM segs GROUP BY 1, 2
     """,
@@ -56,7 +56,10 @@ from moloch_spark.sources.tables import load_table
 def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     chunked = sessionize_events(ev, idle_timeout_s=1800, chunk_s=600)
-    return A.merge_segments(chunked)
+    # CSV-join for the driver canonicalizer (list cells are unhashable there)
+    return A.merge_segments(chunked).withColumn(
+        "event_types", F.array_join("event_types", ",")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -87,8 +90,8 @@ def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT session_id, packets,
            CASE WHEN errs > 0
-                THEN ['flagged', 'has-error']
-                ELSE []::VARCHAR[] END AS tags
+                THEN 'flagged,has-error'
+                ELSE '' END AS tags
     FROM sessions
     """,
 )
@@ -99,7 +102,10 @@ def q_tag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matched = sess.filter(F.array_contains("event_types", "error")).select("session_id")
     out = A.update_tags(sess, matched, add=["flagged", "has-error"])
-    return out.select("session_id", "packets", "tags")
+    # CSV-join for the driver canonicalizer (list cells are unhashable there)
+    return out.select(
+        "session_id", "packets", F.array_join(F.array_sort("tags"), ",").alias("tags")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,11 +53,11 @@ def q_enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rules_tagging",
     """
     SELECT event_id,
-           list_sort(list_distinct(list_filter([
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter([
              CASE WHEN value >= 150 THEN 'big' END,
              CASE WHEN event_type = 'error' THEN 'err' END,
              CASE WHEN event_type = 'error' AND value >= 150 THEN 'big-err' END
-           ], x -> x IS NOT NULL))) AS tags
+           ], x -> x IS NOT NULL))), ','), '') AS tags
     FROM events
     WHERE NOT (user_id = 0)
     ORDER BY event_id
@@ -75,7 +75,16 @@ def q_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             add_tags=["big-err"],
         ),
     ]
-    return E.apply_rules(ev, rules).select("event_id", "tags").orderBy("event_id")
+    # tags stays array<string> in the API; the gate emits it joined as a
+    # string because the driver's canonicalizer can't sort/hash list cells
+    return (
+        E.apply_rules(ev, rules)
+        .select(
+            "event_id",
+            F.array_join(F.array_sort(F.col("tags")), ",").alias("tags"),
+        )
+        .orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ from moloch_spark.operators.pcap_export import (
     pcap_export,
 )
 from moloch_spark.operators.sessionize import assign_sessions
+from moloch_spark.operators.timeutil import epoch_us_fn
 from moloch_spark.registry import register
 from moloch_spark.sources.tables import load_table
 
@@ -78,11 +79,12 @@ def q_pcap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a downloadable libpcap blob (the sessions.pcap endpoint)."""
     ev = load_table(spark, "events", sf_dir)
     with_ids = assign_sessions(ev, ["user_id"], "ts", idle_timeout_s=1800)
+    to_us = epoch_us_fn(with_ids, "ts")
     pkts = with_ids.select(
         F.concat_ws(
             "#", F.col("user_id"), F.col("session_seq")
         ).alias("session_id"),
-        F.unix_micros("ts").alias("ts_us"),
+        to_us(F.col("ts")).alias("ts_us"),
         "event_id",
         F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("payload_hex"),
     )
@@ -119,12 +121,13 @@ def q_pcap_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated (day) capture file — windowed cumsum per file, so state is
     bounded by file size however large the store grows."""
     ev = load_table(spark, "events", sf_dir)
+    to_us = epoch_us_fn(ev, "ts")
     pkts = ev.select(
         "event_id",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
             "file_num"
         ),
-        F.unix_micros("ts").alias("ts_us"),
+        to_us(F.col("ts")).alias("ts_us"),
         F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("payload_hex"),
     )
     out = packet_positions(pkts)

@@ -50,7 +50,7 @@ def q_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cron_query_tick",
     """
-    SELECT event_id, ts, ['alert'] AS tags, 'errs' AS cron_name
+    SELECT event_id, ts, 'alert' AS tags, 'errs' AS cron_name
     FROM events
     WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 90 SECOND
       AND event_type = 'error'
@@ -68,7 +68,8 @@ def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         now=dt.datetime(2024, 1, 15, 0, 0, 0),
         id_cols=["event_id", "ts"],
     )
-    return out.orderBy("event_id")
+    # CSV-join for the driver canonicalizer (list cells are unhashable there)
+    return out.withColumn("tags", F.array_join("tags", ",")).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +103,7 @@ def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS first_packet, MAX(ts) AS last_packet,
            COUNT(*) AS packets,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt,
            epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS length_ms,
            CAST(user_id AS VARCHAR) || '#' || CAST(root_seq AS VARCHAR) || '-' || CAST(chunk_seq AS VARCHAR) AS session_id
@@ -112,7 +113,10 @@ def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return sessionize_events(ev, idle_timeout_s=1800, chunk_s=600)
+    # CSV-join for the driver canonicalizer (list cells are unhashable there)
+    return sessionize_events(ev, idle_timeout_s=1800, chunk_s=600).withColumn(
+        "event_types", F.array_join("event_types", ",")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,11 +180,16 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(d, "events.parquet"))
     raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    # branch on the ACTUAL streamed dtype: nanosAsLong only kicks in when
+    # the file really carries TIMESTAMP(NANOS); smaller SFs arrive as
+    # micros and load as timestamp/timestamp_ntz directly
+    ts_dt = raw_schema["ts"].dataType.simpleString()
+    if ts_dt == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_dt == "timestamp_ntz":
+        # wall clock == UTC in the fixtures; watermarking needs an instant
+        stream = stream.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_sessionize(stream, idle_timeout_s=1800, watermark_delay="1 minute")

@@ -37,9 +37,12 @@ def get_spark(app_name: str = "moloch_spark", *, cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Driver fixtures are tz-naive parquet timestamps; without this Spark
-        # 4 infers TIMESTAMP_NTZ, which unix_millis()/window() reject. Read
-        # them as session-UTC TIMESTAMP — the same interpretation DuckDB's
-        # naive oracle uses.
+        # 4 infers TIMESTAMP_NTZ (unix_millis()/unix_micros() reject NTZ —
+        # window() has accepted it since 3.4). Reading as TIMESTAMP matches
+        # DuckDB's naive oracle ONLY because session.timeZone is pinned to
+        # UTC above. NOTE: this builder config does NOT protect the scored
+        # surface — the driver uses a vanilla session, so all epoch math
+        # must stay dtype-aware (operators/timeutil.py) regardless.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -321,29 +321,50 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(load_table(spark, "embeddings", sf_dir))
 
 
-def _lsh_ann_sql(n_planes: int = 8, dim: int = 64) -> str:
-    planes = S._hyperplanes(dim, n_planes)
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(ed, ["
-        + ", ".join(f"{x!r}" for x in p)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 12, dim: int = 64) -> str:
+    """Mirror of lsh_bucket_topk's multi-table + 1-bit-multiprobe scheme:
+    same md5-derived hyperplanes (table t owns planes [t*b, (t+1)*b)),
+    same candidate union over (table, code) matches, same cosine/rank."""
+    planes = S._hyperplanes(dim, n_tables * n_planes)
+
+    def code_expr(t: int) -> str:
+        return " || ".join(
+            "(CASE WHEN list_dot_product(ed, ["
+            + ", ".join(f"{x!r}" for x in planes[t * n_planes + p])
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+
+    branches = " ".join(f"WHEN {t} THEN {code_expr(t)}" for t in range(n_tables))
     return f"""
-    WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    codes AS (
+      SELECT vec_id, ed, t.tbl, CASE t.tbl {branches} END AS code
+      FROM b CROSS JOIN (SELECT unnest(range({n_tables})) AS tbl) t
     ),
-    bucketed AS (
-      SELECT vec_id, ed, {bits} AS bucket FROM b
+    qprobes AS (
+      SELECT vec_id AS qid, tbl,
+             CASE WHEN g.i = 0 THEN code
+                  ELSE substr(code, 1, g.i - 1)
+                       || (CASE substr(code, g.i, 1) WHEN '1' THEN '0' ELSE '1' END)
+                       || substr(code, g.i + 1) END AS code
+      FROM codes CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i) g
+      WHERE vec_id < 5
     ),
-    q AS (SELECT vec_id AS qid, ed AS qe, bucket AS qbucket FROM bucketed WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.qid, c.vec_id AS did
+      FROM codes c JOIN qprobes q ON c.tbl = q.tbl AND c.code = q.code
+      WHERE c.vec_id <> q.qid
+    ),
     scored AS (
-      SELECT q.qid, c.vec_id AS did,
+      SELECT cand.qid, cand.did,
              ROUND(
-               list_dot_product(q.qe, c.ed)
-               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ed, c.ed))),
+               list_dot_product(qv.ed, dv.ed)
+               / (sqrt(list_dot_product(qv.ed, qv.ed)) * sqrt(list_dot_product(dv.ed, dv.ed))),
              4) AS cosine
-      FROM bucketed c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.qid
+      FROM cand
+      JOIN b qv ON qv.vec_id = cand.qid
+      JOIN b dv ON dv.vec_id = cand.did
     ),
     ranked AS (
       SELECT qid, did, cosine,

@@ -161,15 +161,15 @@ def oui_enrich(
     ).drop("__oui_prefix")
 
 
-def yara_scan_stub(df: DataFrame, rules: str, *, payload_col: str = "payload"):
-    """YARA payload scan (capture/yara.c). NOT runnable here: yara-python
-    is not in this container. The real shape is a mapInPandas over the
-    payload column compiling `rules` once per executor — identical
-    plumbing to multimodal.extract_features."""
-    raise NotImplementedError(
-        "yara-python not available in this environment; use a mapInPandas "
-        "matcher like moloch_spark.operators.multimodal.extract_features"
-    )
+def yara_scan(df: DataFrame, rules: str, *, payload_col: str = "payload") -> DataFrame:
+    """YARA payload scan (capture/yara.c) over the common rule subset
+    (text/hex/regex strings, nocase, wildcards, boolean + N-of-them
+    conditions) — a native matcher, since yara-python isn't in this
+    container. Arrow-batched, rules compile once per executor; see
+    moloch_spark.operators.yara for the engine."""
+    from moloch_spark.operators.yara import yara_scan as _scan
+
+    return _scan(df, rules, payload_col=payload_col)
 
 
 def reverse_dns_stub(df: DataFrame, *, ip_col: str):

@@ -247,3 +247,78 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return as_of_join(fact, feed, on=["user_id"], ts_col="ts",
                       values=["feed_value"])
+
+
+# ---------------------------------------------------------------------------
+# YARA payload scan (capture/yara.c) — native subset matcher
+# ---------------------------------------------------------------------------
+
+_YARA_RULES = r"""
+rule merge_txt {
+  strings:
+    $a = "MERGE" nocase
+  condition:
+    $a
+}
+rule scan_re {
+  strings:
+    $r = /sc[ae]n/
+  condition:
+    $r
+}
+rule data_and_model {
+  strings:
+    $d = "data"
+    $m = "model"
+  condition:
+    $d and $m
+}
+rule hex_model {
+  strings:
+    $h = { 6D 6F ?? 65 6C }
+  condition:
+    $h
+}
+rule two_of_three {
+  strings:
+    $a = "merge" nocase
+    $s = /sc[ae]n/
+    $m = "model"
+  condition:
+    2 of them
+}
+"""
+
+
+@register(
+    "yara_scan_documents",
+    """
+    SELECT doc_id, 'merge_txt' AS rule FROM documents
+    WHERE contains(lower(text), 'merge')
+    UNION ALL
+    SELECT doc_id, 'scan_re' FROM documents WHERE regexp_matches(text, 'sc[ae]n')
+    UNION ALL
+    SELECT doc_id, 'data_and_model' FROM documents
+    WHERE contains(text, 'data') AND contains(text, 'model')
+    UNION ALL
+    SELECT doc_id, 'hex_model' FROM documents WHERE regexp_matches(text, 'mo.el')
+    UNION ALL
+    SELECT doc_id, 'two_of_three' FROM documents
+    WHERE (CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, 'sc[ae]n') THEN 1 ELSE 0 END
+         + CASE WHEN contains(text, 'model') THEN 1 ELSE 0 END) >= 2
+    ORDER BY doc_id, rule
+    """,
+)
+def q_yara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YARA ruleset over document payloads: text (nocase), regex, hex
+    with ?? wildcard, and boolean / N-of-them conditions — each rule
+    mirrored by an independent SQL predicate in the oracle."""
+    from moloch_spark.operators.yara import yara_scan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        yara_scan(docs, _YARA_RULES, payload_col="text", out_col="yara")
+        .select("doc_id", F.explode("yara").alias("rule"))
+        .orderBy("doc_id", "rule")
+    )

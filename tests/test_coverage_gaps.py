@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from moloch_spark.catalog import Field, FieldCatalog
 from moloch_spark.expr import CompileContext, compile_expression
-from moloch_spark.operators.enrich import oui_enrich, reverse_dns_stub, yara_scan_stub
+from moloch_spark.operators.enrich import oui_enrich, reverse_dns_stub
 from moloch_spark.operators.packets import reassemble_fragments
 from moloch_spark.sources.tables import null_reader
 
@@ -75,8 +75,6 @@ def test_null_reader(spark):
 
 def test_stubs_raise(spark):
     df = spark.range(1)
-    with pytest.raises(NotImplementedError):
-        yara_scan_stub(df, "rule x {}")
     with pytest.raises(NotImplementedError):
         reverse_dns_stub(df, ip_col="x")
 

@@ -200,3 +200,44 @@ def q_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "src_ip", "dst_ip", "ip_protocol", "src_port", "dst_port",
         F.decode(F.unhex(F.col("payload_hex")), "UTF-8").alias("payload_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DNS field extraction (exemplar protocol parser, capture/parsers/dns.c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dns_parse_fields",
+    """
+    SELECT event_id,
+           event_type || '.example.com' AS dns_qname,
+           'A' AS dns_qtype,
+           'IN' AS dns_qclass,
+           CAST(event_id % 65536 AS BIGINT) AS dns_id,
+           'QUERY' AS dns_opcode
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_dns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format DNS parse at table scale: synthesize a query message
+    per event (qname/id derived from row columns), run the byte-level
+    parser (pointer compression, typed fields), and emit the extracted
+    fields — the oracle predicts them from the source columns directly,
+    so any wire-format or parser drift breaks the hash. The parser's
+    byte-exactness against hand-built messages is pinned separately in
+    tests/test_dns_parser.py (ref capture/parsers/dns.c:522-687)."""
+    from moloch_spark.operators.dns_parser import encode_dns_query_udf, parse_dns
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    wire = ev.withColumn(
+        "payload",
+        encode_dns_query_udf()(
+            F.col("event_id"), F.concat(F.col("event_type"), F.lit(".example.com"))
+        ),
+    )
+    parsed = parse_dns(wire, payload_col="payload")
+    return parsed.select(
+        "event_id", "dns_qname", "dns_qtype", "dns_qclass", "dns_id", "dns_opcode"
+    ).orderBy("event_id")

@@ -437,14 +437,56 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     """
-    SELECT doc_id AS media_id,
+    SELECT doc_id AS media_id, 'png' AS branch,
+           CAST(33 AS BIGINT) AS byte_len,
+           NULL AS digest,
+           'png' AS format,
+           CAST(1 + doc_id % 512 AS BIGINT) AS width,
+           CAST(1 + n_chars % 512 AS BIGINT) AS height
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS media_id, 'text' AS branch,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS digest,
-           CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
-           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height
+           NULL AS format, NULL AS width, NULL AS height
     FROM documents
+    ORDER BY media_id, branch
     """,
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = M.documents_as_media(load_table(spark, "documents", sf_dir))
-    return M.extract_features(media)
+    """Two media branches per document: (a) a synthesized PNG whose IHDR
+    dims derive from row columns — extract_features must decode the real
+    header (format/width/height predicted by the oracle from the source
+    columns); (b) the raw text bytes — exercising the non-image path
+    (NULL format/dims) plus the md5 digest, which DuckDB can only
+    compute on VARCHAR, hence digest rides the text branch."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def be32(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 8, "0")
+
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"),  # signature + IHDR len/type
+        be32(F.lit(1) + F.col("doc_id") % 512),
+        be32(F.lit(1) + F.col("n_chars") % 512),
+        F.lit("0802000000"),  # bit depth 8, truecolor, std flags
+        F.lit("00000000"),    # CRC (not validated by header decode)
+    )
+    png_media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(png_hex).alias("data"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit(33).cast("long").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+    png_feats = M.extract_features(png_media).select(
+        "media_id", F.lit("png").alias("branch"), "byte_len",
+        F.lit(None).cast("string").alias("digest"), "format", "width", "height",
+    )
+    text_feats = M.extract_features(M.documents_as_media(docs)).select(
+        "media_id", F.lit("text").alias("branch"), "byte_len", "digest",
+        "format", "width", "height",
+    )
+    return png_feats.unionByName(text_feats).orderBy("media_id", "branch")

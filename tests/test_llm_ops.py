@@ -130,9 +130,50 @@ def test_multimodal_plumbing(docs):
     feats = {r.media_id: r for r in M.extract_features(media).collect()}
     assert feats[1].byte_len == len(BASE.encode())
     assert feats[1].digest == __import__("hashlib").md5(BASE.encode()).hexdigest()
-    assert feats[1].width == 16 + len(BASE.encode()) % 64
+    # raw text bytes are not an image container
+    assert feats[1].format is None and feats[1].width is None
     with pytest.raises(NotImplementedError):
         M.resize_stub(media, 224, 224)
+
+
+def _png(w: int, h: int) -> bytes:
+    import struct as s
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + s.pack(">I", 13) + b"IHDR"
+        + s.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def test_image_header_decode():
+    import struct as s
+
+    assert M.decode_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert M.decode_image_header(
+        b"GIF89a" + s.pack("<HH", 320, 200) + b"\x00" * 3
+    ) == ("gif", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + s.pack("<ii", 100, -200) + b"\x00" * 8
+    assert M.decode_image_header(bmp) == ("bmp", 100, 200)  # top-down abs()
+    # JPEG: SOI, APP0 (16 bytes), SOF0 with dims
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + s.pack(">H", 11) + b"\x08" + s.pack(">HH", 333, 444)
+        + b"\x03" + b"\x00" * 3
+    )
+    assert M.decode_image_header(jpeg) == ("jpeg", 444, 333)
+    assert M.decode_image_header(b"not an image") == (None, None, None)
+    assert M.decode_image_header(b"") == (None, None, None)
+    assert M.decode_image_header(b"\x89PNG\r\n\x1a\n\x00") == (None, None, None)
+
+
+def test_resize_plan_geometry(spark):
+    rows = [(1, "image", _png(1000, 500), None), (2, "image", _png(100, 50), None)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.resize_plan(media, 224, 224).collect()}
+    assert (out[1].target_width, out[1].target_height) == (224, 112)
+    assert (out[2].target_width, out[2].target_height) == (100, 50)  # never upscale
+    assert out[2].scale == 1.0
 
 
 def test_ivf_assign_and_recall(emb):

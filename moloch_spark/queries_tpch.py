@@ -346,11 +346,12 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: argmax over an aggregated view. The scalar-max
-    subquery decorrelates to a rank-1 window over the (tiny,
-    per-supplier) aggregate — ties all surface, matching SQL = MAX
-    semantics. Revenue stays exact decimal until the final cast so the
-    tie comparison is exact on both engines."""
+    """Q15 shape: argmax over an aggregated view. The scalar MAX(total)
+    reduces map-side then broadcasts one row back against the aggregate
+    (equi-join on the exact decimal total, so ties all surface = SQL MAX
+    semantics) — no single-partition window over the per-supplier frame,
+    which would serialize the whole aggregate at scale. Revenue stays
+    exact decimal until the final cast."""
     s = load_table(spark, "supplier", sf_dir)
     l = load_table(spark, "lineitem", sf_dir)
     rev = (
@@ -361,13 +362,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total"))
     )
-    top = (
-        rev.withColumn(
-            "rk", F.rank().over(Window.orderBy(F.col("total").desc()))
-        )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total == mx.mx).drop("mx")
     return (
         F.broadcast(top)
         .join(s, top.supplier_no == s.s_suppkey)

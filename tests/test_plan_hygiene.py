@@ -13,9 +13,10 @@ SF = "/root/testdata/sf0.001"
 
 # intentional broadcast cross products: a bounded query set (≤5 vectors)
 # against the corpus — the broadcast side is tiny by construction
+# (ann_lsh_bucketed_topk left this list when it became a (table, code)
+# equi-join — keep it out)
 INTENTIONAL_NESTED_LOOP = {
     "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
     "embedding_near_dups",
     # scalar-avg subquery: a 1-row aggregate broadcast against customer
     "tpch_q22_global_sales_opportunity",
@@ -23,7 +24,34 @@ INTENTIONAL_NESTED_LOOP = {
     "tpch_q11_important_stock",
 }
 
+# windows allowed to run unpartitioned: they operate on a frame that is
+# BOUNDED BY CONSTRUCTION (the 256-row bucket-offset summaries of the
+# two-phase curation rank), not on a fact table
+INTENTIONAL_GLOBAL_WINDOW = {
+    "curate_global_shuffle",
+    "curate_pack_sequences",
+    "curate_weighted_sample",
+}
+
 SKIP = {"streaming_sessionize_closed"}  # starts a streaming job
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count Window nodes with an empty partition spec in the optimized
+    logical plan — each one is a move-everything-to-one-partition stage
+    at execution time (the WindowExec warning)."""
+    hits = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                hits.append(node)
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return len(hits)
 
 
 @pytest.mark.parametrize("name", sorted(set(all_queries()) - SKIP))
@@ -34,6 +62,15 @@ def test_no_accidental_nested_loops(spark, name):
     if name not in INTENTIONAL_NESTED_LOOP:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unexpected nested-loop join"
+        )
+    # row-at-a-time Python UDFs never belong in a gate plan; every Python
+    # touchpoint must be Arrow-batched (ArrowEvalPython / mapInPandas)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in INTENTIONAL_GLOBAL_WINDOW:
+        n = _unpartitioned_windows(df)
+        assert n == 0, (
+            f"{name}: {n} unpartitioned Window node(s) — single-partition "
+            "sort of the whole frame at scale"
         )
 
 

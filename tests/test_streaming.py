@@ -386,3 +386,40 @@ def test_streaming_timeline_matches_batch(spark, events_stream_dir):
     if missing:
         max_emitted = max(got)
         assert all(m > max_emitted for m in missing)
+
+
+def test_streaming_state_is_bounded_by_open_sessions(spark, events_stream_dir):
+    """The maxStreams-analog claim (capture/config.c:525): state rows =
+    OPEN sessions only. After the stream drains, the state store must
+    hold far fewer rows than the total sessions emitted — timed-out
+    state is evicted, not accumulated."""
+    schema = load_table(spark, "events", SF).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    sessions = streaming_sessionize(
+        stream, idle_timeout_s=1800, watermark_delay="1 minute"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("state_bound_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT COUNT(*) c FROM state_bound_out").first().c
+    state_rows = None
+    for p in reversed(q.recentProgress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = ops[0]["numRowsTotal"]
+            break
+    assert emitted > 0 and state_rows is not None
+    # residual state = sessions still open at end-of-stream (one per key
+    # at most); anything near `emitted` would mean eviction is broken
+    n_keys = load_table(spark, "events", SF).select("user_id").distinct().count()
+    assert state_rows <= n_keys, (state_rows, n_keys)
+    assert state_rows < emitted, (state_rows, emitted)

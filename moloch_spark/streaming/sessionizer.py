@@ -83,12 +83,26 @@ def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
     }
 
 
-def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
+def make_session_fn(
+    idle_timeout_s: int,
+    chunk_s: int | None = None,
+    timeout_by_type: dict[str, int] | None = None,
+):
     """chunk_s = the tcpSaveTimeout analog: a session open longer than
     chunk_s is flushed as a partial chunk (counters reset, root_id and
-    first-seen identity retained) — capture/session.c:312-357."""
+    first-seen identity retained) — capture/session.c:312-357.
+
+    timeout_by_type = the per-protocol idle timeouts
+    (capture/config.c:518-523: tcp 480, udp 60, icmp 10, ...): the gap
+    decision uses the INCOMING event's type, `idle_timeout_s` is the
+    default — same semantics as the batch `timeout_by_protocol` column,
+    so batch and streaming stay result-identical."""
     timeout_ms = idle_timeout_s * 1000
+    by_type_ms = {k: v * 1000 for k, v in (timeout_by_type or {}).items()}
     chunk_us = chunk_s * 1_000_000 if chunk_s else None
+
+    def _timeout_ms(etype) -> int:
+        return by_type_ms.get(etype, timeout_ms)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -116,6 +130,7 @@ def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
             root_us, chunk_seq = None, 0
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        last_etype = None
         # drop events older than the watermark: they belong to sessions
         # that may already have been emitted — merging them would corrupt
         # counters (the watermark delay IS the lateness tolerance, exactly
@@ -132,7 +147,7 @@ def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
                 first_us, last_us = ts_us, ts_us
                 packets, tot_bytes, types = 0, 0.0, []
                 root_us, chunk_seq = ts_us, 0
-            elif ts_us - last_us > timeout_ms * 1000:
+            elif ts_us - last_us > _timeout_ms(etype) * 1000:
                 # idle gap inside the batch: close and start the next
                 out.append(
                     _emit_row(
@@ -163,6 +178,7 @@ def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
             if etype not in types:
                 types.append(etype)
             last_us = max(last_us, ts_us)
+            last_etype = etype
 
         state.update(
             (root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq)
@@ -172,8 +188,11 @@ def make_session_fn(idle_timeout_s: int, chunk_s: int | None = None):
         # (the session should have closed during downtime) — clamp above
         # the watermark so it flushes on the next timeout pass instead of
         # failing INVALID_TIMEOUT_TIMESTAMP
+        # expiry clock: the LAST event's per-type timeout, like the
+        # reference re-arming the session timer per packet
+        arm_ms = _timeout_ms(last_etype) if last_etype is not None else timeout_ms
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last_us // 1000 + timeout_ms, wm + 1))
+        state.setTimeoutTimestamp(max(last_us // 1000 + arm_ms, wm + 1))
         if out:
             yield pd.DataFrame(out)
 
@@ -185,15 +204,17 @@ def streaming_sessionize(
     *,
     idle_timeout_s: int = 1800,
     chunk_s: int | None = None,
+    timeout_by_type: dict[str, int] | None = None,
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """events (streaming DF with ts/user_id/event_type/value) -> stream of
-    CLOSED sessions (and mid-save chunks when chunk_s is set)."""
+    CLOSED sessions (and mid-save chunks when chunk_s is set);
+    timeout_by_type gives per-protocol idle timeouts."""
     return (
         events.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_session_fn(idle_timeout_s, chunk_s),
+            make_session_fn(idle_timeout_s, chunk_s, timeout_by_type),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

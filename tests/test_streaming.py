@@ -423,3 +423,58 @@ def test_streaming_state_is_bounded_by_open_sessions(spark, events_stream_dir):
     n_keys = load_table(spark, "events", SF).select("user_id").distinct().count()
     assert state_rows <= n_keys, (state_rows, n_keys)
     assert state_rows < emitted, (state_rows, emitted)
+
+
+def test_streaming_per_proto_timeouts_match_batch(spark, events_stream_dir):
+    """Per-protocol idle timeouts (capture/config.c:518-523) must close
+    the SAME sessions in streaming as the batch timeout_by_protocol
+    column — the single-vs-multies consistency oracle pattern."""
+    from moloch_spark.operators.sessionize import assign_sessions, timeout_by_protocol
+
+    tmap = {"error": 600, "click": 1800}
+    default_s = 3600
+
+    batch_ev = load_table(spark, "events", SF)
+    timeout = timeout_by_protocol("event_type", tmap, default_s=default_s)
+    with_ids = assign_sessions(batch_ev, ["user_id"], "ts", idle_timeout_s=timeout)
+    batch = with_ids.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("first_packet"),
+        F.max("ts").alias("last_packet"),
+        F.count(F.lit(1)).alias("packets"),
+    )
+
+    def ts_us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    want = {
+        f"{r.user_id}#{ts_us(r.first_packet)}": (r.packets, ts_us(r.last_packet))
+        for r in batch.collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    sessions = streaming_sessionize(
+        stream,
+        idle_timeout_s=default_s,
+        timeout_by_type=tmap,
+        watermark_delay="1 minute",
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("pp_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM pp_out").collect()
+    assert len(got) > 0
+    mismatches = [
+        (r.session_id, r.packets, want.get(r.session_id))
+        for r in got
+        if want.get(r.session_id) is None or want[r.session_id][0] != r.packets
+    ]
+    assert not mismatches, mismatches[:3]

@@ -127,3 +127,71 @@ def mime_body_udf(data: pd.Series) -> pd.Series:
         return b"\n".join(parts) if parts else raw
 
     return data.map(one)
+
+
+# ---------------------------------------------------------------------------
+# file carving (viewer/decode.js image/file carve stage)
+# ---------------------------------------------------------------------------
+
+_CARVE_MAGICS = (
+    ("png", b"\x89PNG\r\n\x1a\n", b"IEND"),
+    ("jpeg", b"\xff\xd8\xff", b"\xff\xd9"),
+    ("gif", b"GIF89a", b"\x00;"),
+    ("gzip", b"\x1f\x8b\x08", None),
+    ("zip", b"PK\x03\x04", None),
+    ("pdf", b"%PDF-", b"%%EOF"),
+)
+
+CARVE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("offset", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("length", T.LongType()),  # NULL = end marker not found
+        ]
+    )
+)
+
+
+def carve_payload(data: bytes) -> list[tuple[int, str, int | None]]:
+    """Find embedded files by signature scan: (offset, format, length)
+    per hit; length is end-marker-delimited where the format has one
+    (PNG IEND / JPEG EOI / PDF EOF), else NULL (stream formats)."""
+    hits = []
+    for fmt, magic, endmark in _CARVE_MAGICS:
+        start = 0
+        while True:
+            off = data.find(magic, start)
+            if off < 0:
+                break
+            length = None
+            if endmark is not None:
+                end = data.find(endmark, off + len(magic))
+                if end >= 0:
+                    length = end + len(endmark) - off
+                    if fmt == "png":
+                        length += 4  # IEND chunk CRC
+            hits.append((off, fmt, length))
+            start = off + 1
+    return sorted(hits)
+
+
+@pandas_udf(CARVE_SCHEMA)
+def carve_udf(data: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [
+                {"offset": o, "format": f, "length": ln}
+                for o, f, ln in carve_payload(bytes(b))
+            ]
+            if b is not None
+            else []
+            for b in data
+        ]
+    )
+
+
+def carve_files(df: DataFrame, *, payload_col: str = "payload", out_col: str = "carved") -> DataFrame:
+    """Signature-scan a payload column for embedded files — the decode.js
+    carve stage as a scan-side Arrow batch op."""
+    return df.withColumn(out_col, carve_udf(F.col(payload_col)))

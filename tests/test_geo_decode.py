@@ -143,3 +143,22 @@ def test_geo6_enrich_bucketed(spark):
     # plan: equi hash join, not a nested loop
     plan = geo6_enrich_bucketed(fact, dim, ip_col="ip")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_carve_files(spark):
+    from moloch_spark.operators.decode import carve_files, carve_payload
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20 + b"IEND" + b"\x00" * 4
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 10 + b"\xff\xd9"
+    blob = b"junk" + png + b"mid" + jpeg + b"\x1f\x8b\x08tail"
+
+    hits = carve_payload(blob)
+    by_fmt = {f: (o, ln) for o, f, ln in hits}
+    assert by_fmt["png"] == (4, len(png))
+    assert by_fmt["jpeg"] == (4 + len(png) + 3, len(jpeg))
+    assert by_fmt["gzip"][1] is None  # stream format: no end marker
+
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, None)], "id int, payload binary")
+    rows = {r.id: r.carved for r in carve_files(df).collect()}
+    assert {c.format for c in rows[1]} == {"png", "jpeg", "gzip"}
+    assert rows[2] == []

@@ -322,3 +322,47 @@ def q_tls_ja3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", "tls_sni", "tls_client_version", "tls_ja3_string", "tls_ja3"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# X.509 certsinfo extraction (capture/parsers/certs.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x509_cert_fields",
+    """
+    SELECT doc_id,
+           lpad(lower(to_hex(doc_id)),
+                CAST(((length(to_hex(doc_id)) + 1) // 2) * 2 AS INTEGER),
+                '0') AS cert_serial,
+           'Test CA' AS cert_issuer_cn,
+           'doc' || doc_id || '.example.com' AS cert_subject_cn,
+           TIMESTAMP '2024-03-15 12:00:00' AS cert_not_before,
+           TIMESTAMP '2027-03-15 11:59:59' AS cert_not_after,
+           'doc' || doc_id || '.example.com,www.doc' || doc_id || '.example.com'
+             AS cert_alt_names
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_x509(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """certsinfo at table scale: synthesize a DER certificate per
+    document (serial/subject/SAN derived from row columns), run the
+    byte-level DER walker, emit the extracted fields — the oracle
+    predicts them from the source columns. DER exactness against
+    hand-built certs is pinned in tests/test_x509_parser.py
+    (ref capture/parsers/certs.c)."""
+    from moloch_spark.operators.x509_parser import encode_certificate_udf, parse_x509
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    encode = encode_certificate_udf(
+        not_before="240315120000", not_after="270315115959"
+    )
+    wire = docs.withColumn("cert_der", encode(F.col("doc_id")))
+    parsed = parse_x509(wire)
+    return parsed.select(
+        "doc_id", "cert_serial", "cert_issuer_cn", "cert_subject_cn",
+        "cert_not_before", "cert_not_after",
+        F.array_join("cert_alt_names", ",").alias("cert_alt_names"),
+    ).orderBy("doc_id")

@@ -294,3 +294,39 @@ def embedding_near_dups(
         cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> tuple[DataFrame, DataFrame]:
+    """Eval-set decontamination by exact n-gram overlap — the published
+    GPT-3/PaLM-report method (13-gram collision against benchmark text)
+    as pure DataFrame ops. Returns (clean_train, flagged_ids).
+
+    Scale shape: train shingles explode scan-side; the test side reduces
+    to a DISTINCT gram set that is broadcast (eval suites are MBs, the
+    100 TB side is train), so flagging is one broadcast semi-join and
+    the rewrite is one broadcast anti-join — the train corpus is never
+    shuffled.
+    """
+    from moloch_spark.operators.text import shingle_df
+
+    tr = shingle_df(train, text_col=text_col, id_cols=(id_col,), n=n)
+    test_grams = (
+        shingle_df(test, text_col=text_col, id_cols=(id_col,), n=n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    flagged = (
+        tr.select(F.col(id_col), F.explode("shingles").alias("gram"))
+        .join(F.broadcast(test_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    clean = train.join(F.broadcast(flagged), id_col, "left_anti")
+    return clean, flagged

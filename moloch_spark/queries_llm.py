@@ -490,3 +490,39 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format", "width", "height",
     )
     return png_feats.unionByName(text_feats).orderBy("media_id", "branch")
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (n-gram collision, the published 13-gram method)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_ngrams",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                                   i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM tok
+    ),
+    test_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+    flagged AS (SELECT DISTINCT g.doc_id FROM grams g JOIN test_grams USING (gram))
+    SELECT doc_id FROM flagged ORDER BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train = the documents table, eval set = the doc_id % 17 slice;
+    flag every train doc sharing a 5-gram with the eval set (the fixture
+    is small, so n=5 keeps collisions non-trivial; production default is
+    the published 13)."""
+    docs = load_table(spark, "documents", sf_dir)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    _clean, flagged = D.decontaminate(docs, test, n=5)
+    return flagged.orderBy("doc_id")

@@ -235,3 +235,24 @@ def test_kmeans_train_matches_numpy(spark):
             if (cell == c).any():
                 cents[c] = X[cell == c].mean(0)
     assert np.allclose(np.array(got), cents, atol=1e-9)
+
+
+def test_decontaminate_semantics(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark plans"),
+            (3, "shares the quick brown fox jumps phrase partially"),
+        ],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        "doc_id int, text string",
+    )
+    clean, flagged = D.decontaminate(train, test, n=5)
+    assert {r.doc_id for r in flagged.collect()} == {1, 3}
+    assert {r.doc_id for r in clean.collect()} == {2}
+    # n larger than any overlap -> nothing flagged
+    clean2, flagged2 = D.decontaminate(train, test, n=9)
+    assert flagged2.count() == 0 and clean2.count() == 3

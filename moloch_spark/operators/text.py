@@ -174,3 +174,72 @@ def fingerprint(
         fp.alias("fingerprint"),
         F.size(sh).cast("long").alias("n_shingles"),
     )
+
+
+# regexes shared with the DuckDB oracle — RE2-and-Java-compatible subset
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_LONG_DIGITS = r"\b[0-9]{9,}\b"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII signal counts per document (pipeline-standard pre-training
+    hygiene): emails, IPv4 literals, long digit runs (SSN/CC-shaped),
+    plus an email-redacted text. All JVM regex builtins — scan-side."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_LONG_DIGITS), 0)).cast("long").alias("n_long_digits"),
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>").alias("redacted"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality filters (published rules):
+    duplicate-line fraction and the frequency share of the most common
+    word 2-gram. High values mark boilerplate/spammy documents. All
+    array builtins — scan-side, no shuffle."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(0.0)
+    toks = tokens(text)
+    # NON-distinct 2-grams (word_shingles dedups; frequency needs all)
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.transform(
+        F.arrays_zip(F.slice(toks, 1, cnt), F.slice(toks, 2, cnt)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    # mode frequency = longest equal-run in the SORTED gram array — O(n)
+    # per doc (the distinct x filter formulation is O(n^2) and dies on
+    # long documents)
+    run = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, g: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            g.alias("prev"),
+        ),
+    )
+    top_2gram_frac = F.when(
+        F.size(grams) > 0, run["best"] / F.size(grams)
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_2gram_frac.alias("top_2gram_frac"),
+    )

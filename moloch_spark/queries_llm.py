@@ -526,3 +526,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % 17 == 0)
     _clean, flagged = D.decontaminate(docs, test, n=5)
     return flagged.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII scanning + Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_scan",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TX.PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{TX.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{TX.PII_LONG_DIGITS}')) AS BIGINT) AS n_long_digits,
+           regexp_replace(text, '{TX.PII_EMAIL}', '<EMAIL>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pii_scan(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "repetition_signals",
+    rf"""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE []::VARCHAR[] END AS grams
+      FROM l
+    ),
+    freq AS (
+      SELECT doc_id, lines, grams,
+             CASE WHEN len(grams) > 0
+                  THEN (SELECT MAX(c) FROM (
+                         SELECT COUNT(*) AS c FROM unnest(grams) AS u(gram) GROUP BY gram))
+                  ELSE 0 END AS top_freq
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(grams) > 0
+                THEN CAST(top_freq AS DOUBLE) / len(grams)
+                ELSE 0.0 END AS top_2gram_frac
+    FROM freq
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_signals(load_table(spark, "documents", sf_dir))

@@ -256,3 +256,32 @@ def test_decontaminate_semantics(spark):
     # n larger than any overlap -> nothing flagged
     clean2, flagged2 = D.decontaminate(train, test, n=9)
     assert flagged2.count() == 0 and clean2.count() == 3
+
+
+def test_pii_scan(spark):
+    rows = [
+        (1, "contact alice@example.com or bob@test.org from 10.0.0.1"),
+        (2, "ssn-ish 123456789 and card 4111111111111111"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in TX.pii_scan(df).collect()}
+    assert out[1].n_emails == 2 and out[1].n_ipv4 == 1
+    assert "<EMAIL>" in out[1].redacted and "alice" not in out[1].redacted
+    assert out[2].n_long_digits == 2
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_long_digits) == (0, 0, 0)
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "line one\nline one\nline two"),        # 1/3 duplicate lines
+        (2, "spam spam spam spam spam"),            # one 2-gram repeated
+        (3, "all words are fully distinct here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in TX.repetition_signals(df).collect()}
+    assert out[1].n_lines == 3
+    assert abs(out[1].dup_line_frac - (1 - 2 / 3)) < 1e-9
+    assert out[2].top_2gram_frac == 1.0             # "spam spam" x4 / 4 grams
+    assert out[3].dup_line_frac == 0.0
+    assert out[3].top_2gram_frac <= 0.2

@@ -585,3 +585,65 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_signals(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup clusters: LSH pairs -> connected components -> keep-min
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    sigs AS (
+      SELECT doc_id,
+             {_MH_COLS_SQL}
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+    )
+    SELECT node AS doc_id, MIN(lab) AS keep_id,
+           CAST(MIN(lab) = node AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: banded-LSH candidate pairs -> iterative min-label
+    connected components -> per-cluster canonical keep (MIN doc id).
+    The full near-dup REMOVAL pipeline, not just candidate generation —
+    what a 100 TB curation run actually executes. Same plan shapes as
+    dedup_lsh_candidates + connections_components; the oracle computes
+    the identical fixpoint with a recursive CTE."""
+    from moloch_spark.operators.graph import connected_components
+
+    pairs = D.lsh_candidate_pairs(load_table(spark, "documents", sf_dir))
+    # numeric node ids: MIN-label must order numerically ("102" < "2"
+    # lexicographically would elect wrong canonicals)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comps = connected_components(edges)
+    return (
+        comps.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("keep_id"),
+        )
+        .withColumn("is_canonical", F.col("keep_id") == F.col("doc_id"))
+        .orderBy("doc_id")
+    )

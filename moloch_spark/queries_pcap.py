@@ -296,13 +296,13 @@ def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tls_ja3_fields",
     """
-    SELECT event_id,
-           event_type || '.example.org' AS tls_sni,
+    SELECT doc_id,
+           'doc' || doc_id || '.example.org' AS tls_sni,
            'TLSv1.2' AS tls_client_version,
            '771,4865-4866-47,0-10-11,29-23,0' AS tls_ja3_string,
            '3d2a0a29b60016e17315d159236e950a' AS tls_ja3
-    FROM events
-    ORDER BY event_id
+    FROM documents
+    ORDER BY doc_id
     """,
 )
 def q_tls_ja3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,18 +310,23 @@ def q_tls_ja3(spark: SparkSession, sf_dir: str) -> DataFrame:
     config) -> byte-level parse -> SNI + JA3. The JA3 constant in the
     oracle was computed independently from the public algorithm spec;
     GREASE exclusion and per-extension parsing are pinned in
-    tests/test_http_tls_parsers.py (ref capture/parsers/tls.c)."""
+    tests/test_http_tls_parsers.py (ref capture/parsers/tls.c).
+    Runs over documents: the per-row Python ENCODER is gate synthesis,
+    not the operator under test — events-scale parse throughput is
+    already exercised by dns_parse_fields/http_parse_fields."""
     from moloch_spark.operators.tls_parser import encode_client_hello_udf, parse_tls
 
-    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
-    wire = ev.withColumn(
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wire = docs.withColumn(
         "payload",
-        encode_client_hello_udf()(F.concat(F.col("event_type"), F.lit(".example.org"))),
+        encode_client_hello_udf()(
+            F.concat(F.lit("doc"), F.col("doc_id"), F.lit(".example.org"))
+        ),
     )
     parsed = parse_tls(wire, payload_col="payload")
     return parsed.select(
-        "event_id", "tls_sni", "tls_client_version", "tls_ja3_string", "tls_ja3"
-    ).orderBy("event_id")
+        "doc_id", "tls_sni", "tls_client_version", "tls_ja3_string", "tls_ja3"
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -365,4 +370,46 @@ def q_x509(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cert_serial", "cert_issuer_cn", "cert_subject_cn",
         "cert_not_before", "cert_not_after",
         F.array_join("cert_alt_names", ",").alias("cert_alt_names"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SSH banner + HASSH (capture/parsers/ssh.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ssh_hassh_fields",
+    """
+    SELECT doc_id,
+           'SSH-2.0-doc' || doc_id || '_client' AS ssh_banner,
+           '2.0' AS ssh_version,
+           'doc' || doc_id || '_client' AS ssh_software,
+           'curve25519-sha256,ecdh-sha2-nistp256;chacha20-poly1305@openssh.com,aes128-ctr;hmac-sha2-256;none'
+             AS ssh_hassh_string,
+           '851c4b170cb2c58db10b0489a5047d51' AS ssh_hassh
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_ssh_hassh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banner + KEXINIT synthesis (software name from row columns, fixed
+    algorithm lists) -> byte-level parse -> version/software/HASSH. The
+    HASSH constant in the oracle was computed independently from the
+    public algorithm spec; name-list parsing and hostile-input handling
+    are pinned in tests/test_http_tls_parsers.py
+    (ref capture/parsers/ssh.c)."""
+    from moloch_spark.operators.ssh_parser import encode_kexinit_udf, parse_ssh_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wire = docs.withColumn(
+        "payload",
+        encode_kexinit_udf()(
+            F.concat(F.lit("doc"), F.col("doc_id"), F.lit("_client"))
+        ),
+    )
+    parsed = parse_ssh_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "ssh_banner", "ssh_version", "ssh_software",
+        "ssh_hassh_string", "ssh_hassh",
     ).orderBy("doc_id")

@@ -128,3 +128,49 @@ def test_tls_dataframe(spark):
     row = parse_tls(df).first()
     assert row.tls_sni == "a.example"
     assert row.tls_ja3 is not None and len(row.tls_ja3) == 32
+
+
+# ---------------------------------------------------------------------------
+# SSH / HASSH
+# ---------------------------------------------------------------------------
+
+
+def test_ssh_banner_and_hassh():
+    from moloch_spark.operators.ssh_parser import encode_kexinit, parse_ssh
+
+    buf = encode_kexinit(
+        banner="SSH-2.0-OpenSSH_9.6p1 Ubuntu-3",
+        kex=("curve25519-sha256",),
+        enc=("aes128-ctr",),
+        mac=("hmac-sha2-256",),
+        comp=("none",),
+    )
+    out = parse_ssh(buf)
+    assert out["parse_error"] is None
+    assert out["version"] == "2.0"
+    assert out["software"] == "OpenSSH_9.6p1"
+    assert out["kex_algos"] == ["curve25519-sha256"]
+    expect = "curve25519-sha256;aes128-ctr;hmac-sha2-256;none"
+    assert out["hassh_string"] == expect
+    assert out["hassh"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_ssh_banner_only_and_hostile():
+    from moloch_spark.operators.ssh_parser import parse_ssh
+
+    out = parse_ssh(b"SSH-2.0-dropbear_2022.83\r\n")
+    assert out["software"] == "dropbear_2022.83" and out["hassh"] is None
+    assert parse_ssh(b"HTTP/1.1 200 OK\r\n")["parse_error"] is not None
+    assert parse_ssh(b"")["parse_error"] is not None
+    assert parse_ssh(b"SSH-2.0-x\r\n\x00\x00\x00\x08\x04\x14trunc")["parse_error"] is not None
+
+
+def test_ssh_dataframe(spark):
+    from moloch_spark.operators.ssh_parser import encode_kexinit, parse_ssh_df
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_kexinit())), (2, None)], "id int, payload binary"
+    )
+    rows = {r.id: r for r in parse_ssh_df(df).collect()}
+    assert rows[1].ssh_version == "2.0" and len(rows[1].ssh_hassh) == 32
+    assert rows[2].ssh_banner is None

@@ -41,8 +41,10 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# Round-2 rotation: the rows that were red in round 1 (all fixed) first,
-# then the 33 that never got a row, then a representative green set —
+# Round-2 rotation: round-1 red rows (all fixed) first, then the
+# never-checked non-TPC-H backlog, then the operators new this round,
+# then the TPC-H backlog (q22 sits at position 51 — the one acceptable
+# cut if the cap is exactly 50), then green regression sentinels;
 # everything else follows in registration order.
 _CHECK_PRIORITY = (
     # round-1 red, fixed this round

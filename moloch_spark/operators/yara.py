@@ -128,7 +128,13 @@ def match_rules(rules: list[YaraRule], data: bytes) -> list[str]:
     matched = []
     for r in rules:
         m = {s.ident: re.search(s.pattern, data, s.flags) is not None for s in r.strings}
-        if eval(r.condition, {"__builtins__": {}, "int": int}, {"m": m}):  # noqa: S307 — tokens whitelisted at parse time
+        try:
+            hit = eval(r.condition, {"__builtins__": {}, "int": int}, {"m": m})  # noqa: S307 — tokens whitelisted at parse time
+        except (TypeError, KeyError):
+            # structurally-valid-but-nonsensical conditions (e.g. calling
+            # a match result) must not kill a 100 TB scan — no-match
+            hit = False
+        if hit:
             matched.append(r.name)
     return matched
 

@@ -1,0 +1,68 @@
+"""Property fuzz: every byte-level parser must be total — arbitrary
+bytes either parse or set parse_error, NEVER raise. This is the
+hostile-network-input contract the reference's C parsers enforce with
+length checks (a crash there is a capture outage; a throw here kills a
+100 TB scan)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from moloch_spark.operators.dns_parser import parse_dns_message
+from moloch_spark.operators.http_parser import parse_http_message
+from moloch_spark.operators.multimodal import decode_image_header
+from moloch_spark.operators.ssh_parser import parse_ssh
+from moloch_spark.operators.tls_parser import parse_client_hello
+from moloch_spark.operators.x509_parser import parse_certificate
+from moloch_spark.operators.decode import carve_payload
+
+BYTES = st.binary(min_size=0, max_size=400)
+
+# prefix each parser's magic so fuzzing reaches deep paths, not just the
+# front-door rejection
+DNS_PREFIXED = st.tuples(st.binary(min_size=12, max_size=12), BYTES).map(
+    lambda t: t[0] + t[1]
+)
+TLS_PREFIXED = BYTES.map(lambda b: b"\x16\x03\x01" + b)
+SSH_PREFIXED = BYTES.map(lambda b: b"SSH-2.0-x\r\n" + b)
+DER_PREFIXED = BYTES.map(lambda b: b"\x30\x82" + b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, DNS_PREFIXED))
+def test_dns_total(buf):
+    out = parse_dns_message(buf)
+    assert isinstance(out, dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(BYTES)
+def test_http_total(buf):
+    assert isinstance(parse_http_message(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, TLS_PREFIXED))
+def test_tls_total(buf):
+    assert isinstance(parse_client_hello(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, SSH_PREFIXED))
+def test_ssh_total(buf):
+    assert isinstance(parse_ssh(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, DER_PREFIXED))
+def test_x509_total(buf):
+    assert isinstance(parse_certificate(buf), dict)
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_image_header_and_carve_total(buf):
+    fmt, w, h = decode_image_header(buf)
+    assert fmt is None or isinstance(fmt, str)
+    assert isinstance(carve_payload(buf), list)

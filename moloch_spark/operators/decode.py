@@ -137,6 +137,7 @@ _CARVE_MAGICS = (
     ("png", b"\x89PNG\r\n\x1a\n", b"IEND"),
     ("jpeg", b"\xff\xd8\xff", b"\xff\xd9"),
     ("gif", b"GIF89a", b"\x00;"),
+    ("gif", b"GIF87a", b"\x00;"),
     ("gzip", b"\x1f\x8b\x08", None),
     ("zip", b"PK\x03\x04", None),
     ("pdf", b"%PDF-", b"%%EOF"),

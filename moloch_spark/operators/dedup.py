@@ -328,5 +328,8 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
-    clean = train.join(F.broadcast(flagged), id_col, "left_anti")
+    # NO broadcast hint on flagged: its size scales with contaminated
+    # TRAIN docs (one boilerplate gram shared with the eval set can flag
+    # millions) — let AQE pick the anti-join strategy from actual stats
+    clean = train.join(flagged, id_col, "left_anti")
     return clean, flagged

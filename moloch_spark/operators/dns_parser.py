@@ -119,10 +119,20 @@ def parse_dns_message(buf: bytes) -> dict:
             elif rtype == 28 and rdlen == 16:
                 rdata = str(ipaddress.IPv6Address(rdata_raw))
             elif rtype in (2, 5, 12):  # NS / CNAME / PTR
-                rdata, _ = _read_name(buf, off)
+                if rdlen < 1:
+                    raise ValueError("empty name rdata")
+                # names legitimately point OUTSIDE rdata via compression,
+                # but must CONSUME only rdata bytes — a read running past
+                # off+rdlen means the record lied about its length and we
+                # would be parsing the next record as rdata
+                rdata, name_end = _read_name(buf, off)
+                if name_end > off + rdlen:
+                    raise ValueError("name rdata overruns rdlen")
             elif rtype == 15 and rdlen >= 3:  # MX: preference + exchange
                 pref = struct.unpack(">H", rdata_raw[:2])[0]
-                host, _ = _read_name(buf, off + 2)
+                host, name_end = _read_name(buf, off + 2)
+                if name_end > off + rdlen:
+                    raise ValueError("MX exchange overruns rdlen")
                 rdata = f"{pref} {host}"
             else:
                 rdata = rdata_raw.hex()

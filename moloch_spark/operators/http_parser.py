@@ -81,7 +81,9 @@ def parse_http_message(buf: bytes) -> dict:
         out["header_cnt"] = n_hdrs
         out["body_len"] = len(body) if sep else 0
     except (ValueError, IndexError) as exc:
-        out = dict(_EMPTY)
+        # keep whatever parsed BEFORE the error (http.c's callback model:
+        # one junk header must not discard an already-extracted
+        # method/uri/host from real dirty traffic)
         out["parse_error"] = str(exc)[:120]
     return out
 

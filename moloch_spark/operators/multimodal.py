@@ -152,19 +152,28 @@ def resize_plan(
             "in this container; geometry planning (materialize=False) is real"
         )
     feats = extract_features(media).select("media_id", "format", "width", "height")
-    scale = F.least(
-        F.lit(1.0),
-        F.lit(max_width) / F.col("width"),
-        F.lit(max_height) / F.col("height"),
+    # least()/greatest() SKIP null operands, which would hand non-image
+    # rows scale=1.0 and a 1x1 target — undecodable media must keep NULL
+    # geometry instead
+    decodable = F.col("width").isNotNull() & F.col("height").isNotNull()
+    scale = F.when(
+        decodable,
+        F.least(
+            F.lit(1.0),
+            F.lit(max_width) / F.col("width"),
+            F.lit(max_height) / F.col("height"),
+        ),
     )
     return (
         media.join(feats, "media_id")
         .withColumn("scale", scale)
         .withColumn(
-            "target_width", F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("long")
+            "target_width",
+            F.when(decodable, F.greatest(F.lit(1), F.floor(F.col("width") * scale))).cast("long"),
         )
         .withColumn(
-            "target_height", F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("long")
+            "target_height",
+            F.when(decodable, F.greatest(F.lit(1), F.floor(F.col("height") * scale))).cast("long"),
         )
     )
 

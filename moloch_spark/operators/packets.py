@@ -208,11 +208,23 @@ def tcp_handshake_rtt(
     fl = F.col(flags_col)
     syn_ack_bits = fl.bitwiseAND(F.lit(0x12))
     ts = F.col(ts_col)
-    grouped = df.groupBy(session_col).agg(
+    base = df.groupBy(session_col).agg(
         F.min(F.when(syn_ack_bits == 0x02, ts)).alias("syn_us"),
         F.min(F.when(syn_ack_bits == 0x12, ts)).alias("synack_us"),
-        F.min(F.when(syn_ack_bits == 0x10, ts)).alias("ack_us"),
     )
+    # ack = first ACK AFTER the syn-ack (tcp.c semantics) — a stray ACK
+    # captured before it (port reuse, out-of-order capture) must not
+    # produce a negative delay, so the ACK min is conditioned on the
+    # already-aggregated synack time via a same-key join (one shuffle
+    # each side on the session key, no extra exchange shape)
+    acks = (
+        df.filter(syn_ack_bits == 0x10)
+        .join(base.select(session_col, "synack_us"), session_col)
+        .filter(ts >= F.col("synack_us"))
+        .groupBy(session_col)
+        .agg(F.min(ts).alias("ack_us"))
+    )
+    grouped = base.join(acks, session_col, "left")
     return grouped.select(
         session_col,
         "syn_us",

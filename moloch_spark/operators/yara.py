@@ -111,6 +111,10 @@ def parse_rules(text: str) -> list[YaraRule]:
                     pat = re.escape(lit)
                 elif sdef.startswith("{"):
                     pat = _hex_to_regex(sdef[1:-1])
+                    # YARA ?? / [n-m] mean ANY byte incl. 0x0A — without
+                    # DOTALL the translated `.` skips newlines and drops
+                    # real hits on binary payloads
+                    flags |= re.DOTALL
                 else:  # /regex/
                     pat = sdef[1:-1].encode()
                 strings.append(YaraString(sm.group("id"), pat, flags))
@@ -139,6 +143,17 @@ def match_rules(rules: list[YaraRule], data: bytes) -> list[str]:
     return matched
 
 
+# per-process ruleset memo: the UDF body runs once per Arrow batch, and
+# re-parsing/re-compiling there would undo the compile-once contract
+_RULES_CACHE: dict[str, list[YaraRule]] = {}
+
+
+def _rules_cached(rules_text: str) -> list[YaraRule]:
+    if rules_text not in _RULES_CACHE:
+        _RULES_CACHE[rules_text] = parse_rules(rules_text)
+    return _RULES_CACHE[rules_text]
+
+
 def yara_scan(
     df: DataFrame,
     rules_text: str,
@@ -157,7 +172,7 @@ def yara_scan(
 
     @F.pandas_udf("array<string>")
     def scan(col: pd.Series) -> pd.Series:
-        rules = parse_rules(rules_text)
+        rules = _rules_cached(rules_text)
         out = []
         for v in col:
             if v is None:

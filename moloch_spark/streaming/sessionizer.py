@@ -58,12 +58,18 @@ STATE_SCHEMA = T.StructType(
         T.StructField("event_types", T.ArrayType(T.StringType())),
         T.StructField("root_us", T.LongType()),  # first_us of the ROOT chunk
         T.StructField("chunk_seq", T.LongType()),
+        # last event's type: the expiry timer must re-arm with the OPEN
+        # session's per-protocol timeout even when a later batch
+        # contributes no surviving rows
+        T.StructField("last_etype", T.StringType()),
     ]
 )
 
 
 def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
-    root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq = st
+    # state carries trailing bookkeeping fields (last_etype) the emitted
+    # row doesn't need — unpack the accumulator prefix only
+    root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq = st[:8]
     types = sorted(set(types))
     return {
         "user_id": user_id,
@@ -121,16 +127,15 @@ def make_session_fn(
 
         if state.exists:
             (root_seq, first_us, last_us, packets, tot_bytes, types,
-             root_us, chunk_seq) = state.get
+             root_us, chunk_seq, last_etype) = state.get
             types = list(types)
         else:
             root_seq, first_us, last_us, packets, tot_bytes, types = (
                 0, None, None, 0, 0.0, []
             )
-            root_us, chunk_seq = None, 0
+            root_us, chunk_seq, last_etype = None, 0, None
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        last_etype = None
         # drop events older than the watermark: they belong to sessions
         # that may already have been emitted — merging them would corrupt
         # counters (the watermark delay IS the lateness tolerance, exactly
@@ -180,16 +185,25 @@ def make_session_fn(
             last_us = max(last_us, ts_us)
             last_etype = etype
 
+        if first_us is None:
+            # a NEW key whose entire first batch fell below the watermark:
+            # nothing to accumulate and no open session — storing state
+            # here would arm a timer off last_us=None and crash the query
+            if out:
+                yield pd.DataFrame(out)
+            return
+
         state.update(
-            (root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq)
+            (root_seq, first_us, last_us, packets, tot_bytes, types,
+             root_us, chunk_seq, last_etype)
         )
         # expire when the watermark passes last_seen + idle timeout; after
         # a restart the restored watermark may already be past that point
         # (the session should have closed during downtime) — clamp above
         # the watermark so it flushes on the next timeout pass instead of
-        # failing INVALID_TIMEOUT_TIMESTAMP
-        # expiry clock: the LAST event's per-type timeout, like the
-        # reference re-arming the session timer per packet
+        # failing INVALID_TIMEOUT_TIMESTAMP. The timer re-arms with the
+        # OPEN session's last event type (persisted in state, so a batch
+        # contributing no surviving rows keeps the per-proto timeout).
         arm_ms = _timeout_ms(last_etype) if last_etype is not None else timeout_ms
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(last_us // 1000 + arm_ms, wm + 1))

@@ -117,3 +117,14 @@ def test_pipeline_pcap_to_dns_fields(spark, tmp_path):
     assert row.dns_qtype == "AAAA"
     assert row.dns_id == 7
     assert row.dns_error is None
+
+
+def test_rdata_overrun_is_flagged():
+    # CNAME declaring rdlen=0 followed by another record: parsing must
+    # NOT read the next record's bytes as rdata
+    hdr = struct.pack(">HHHHHH", 9, 0x8180, 1, 2, 0, 0)
+    q = name_bytes("x.y") + struct.pack(">HH", 1, 1)
+    bad_cname = b"\xc0\x0c" + struct.pack(">HHIH", 5, 1, 60, 0)
+    a_rec = b"\xc0\x0c" + struct.pack(">HHIH", 1, 1, 60, 4) + bytes([1, 2, 3, 4])
+    out = parse_dns_message(hdr + q + bad_cname + a_rec)
+    assert out["parse_error"] is not None

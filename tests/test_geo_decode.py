@@ -162,3 +162,11 @@ def test_carve_files(spark):
     rows = {r.id: r.carved for r in carve_files(df).collect()}
     assert {c.format for c in rows[1]} == {"png", "jpeg", "gzip"}
     assert rows[2] == []
+
+
+def test_carve_gif87a(spark):
+    from moloch_spark.operators.decode import carve_payload
+
+    gif87 = b"GIF87a" + b"\x00" * 10 + b"\x00;"
+    hits = carve_payload(b"xx" + gif87)
+    assert any(f == "gif" and o == 2 for o, f, _ in hits)

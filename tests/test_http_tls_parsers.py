@@ -174,3 +174,11 @@ def test_ssh_dataframe(spark):
     rows = {r.id: r for r in parse_ssh_df(df).collect()}
     assert rows[1].ssh_version == "2.0" and len(rows[1].ssh_hassh) == 32
     assert rows[2].ssh_banner is None
+
+
+def test_http_keeps_fields_parsed_before_error():
+    out = parse_http_message(
+        b"GET / HTTP/1.1\r\nHost: e.com\r\nContent-Length: abc\r\n\r\n"
+    )
+    assert out["parse_error"] is not None
+    assert out["method"] == "GET" and out["host"] == "e.com"

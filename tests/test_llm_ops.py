@@ -285,3 +285,10 @@ def test_repetition_signals(spark):
     assert out[2].top_2gram_frac == 1.0             # "spam spam" x4 / 4 grams
     assert out[3].dup_line_frac == 0.0
     assert out[3].top_2gram_frac <= 0.2
+
+
+def test_resize_plan_nulls_for_non_images(spark):
+    rows = [(1, "image", b"not an image at all", None)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    r = M.resize_plan(media, 224, 224).first()
+    assert r.scale is None and r.target_width is None and r.target_height is None

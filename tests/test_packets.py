@@ -118,6 +118,9 @@ def test_tcp_handshake_rtt(spark):
     rows = [
         # full handshake: SYN at 100, SYN-ACK at 250, ACK at 300
         ("s1", 100, 0x02), ("s1", 250, 0x12), ("s1", 300, 0x10),
+        # stray ACK BEFORE the syn-ack (port reuse / out-of-order capture)
+        # must not drive the delay negative
+        ("s1", 150, 0x10),
         ("s1", 400, 0x18),  # data (PSH-ACK) must not disturb ACK-min... (0x18&0x12==0x10)
         # half-open: SYN only
         ("s2", 500, 0x02),

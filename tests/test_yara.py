@@ -143,3 +143,9 @@ def test_yara_scan_binary_col(spark):
     df = spark.createDataFrame([(1, bytearray(b"\xde\xad\xbe\xef"))], "id int, payload binary")
     out = yara_scan(df, RULES).first()
     assert "hex_wild" in out.yara
+
+
+def test_hex_wildcard_matches_newline_byte(rules):
+    # YARA ?? means ANY byte including 0x0a — regression for missing DOTALL
+    assert "hex_wild" in hits(rules, b"\xde\xad\x0a\xef")
+    assert "hex_jump" in hits(rules, b"A\x0aB")

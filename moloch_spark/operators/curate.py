@@ -170,3 +170,43 @@ def weighted_sample(
     )
     u = split_bucket(F.col(id_col), seed) / 10000.0
     return df.filter(u < p)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix:v1",
+) -> DataFrame:
+    """Domain-weighted dataset mixing: draw ~``total`` rows with each
+    domain's share proportional to its weight — the data-mixture step
+    every pre-training pipeline runs (Pile/ROOTS-style sampling tables).
+
+    Deterministic, not random: rows rank by seeded md5 within their
+    domain (a partitioned window — the per-domain shuffle the rank needs
+    anyway) and the top quota_d survive, where quota_d =
+    floor(total * w_d / sum(w)) capped at the domain's row count (no
+    redistribution of unmet quotas — intentional, so membership is
+    stable when other domains grow). Re-runs and engines agree
+    row-for-row; a domain missing from ``weights`` contributes nothing.
+    """
+    w_sum = float(sum(weights.values()))
+    quota = None
+    for dom, w in weights.items():
+        q = int(total * float(w) / w_sum)
+        quota = (quota.when if quota is not None else F.when)(
+            F.col(domain_col) == dom, q
+        )
+    quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
+    w_rank = Window.partitionBy(domain_col).orderBy(
+        shuffle_key(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_q", quota)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= F.col("_q"))
+        .drop("_q", "_rn")
+    )

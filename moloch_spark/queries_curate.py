@@ -117,3 +117,34 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+@register(
+    "curate_mixture_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:v1:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE (source = 'src0' AND rn <= 30)
+       OR (source = 'src1' AND rn <= 20)
+       OR (source = 'src2' AND rn <= 10)
+    ORDER BY doc_id
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture: target 60 rows at weights 3:2:1 over
+    three sources (quotas 30/20/10; src quotas above the domain's actual
+    row count cap implicitly — the sf0.01 fixture has 25 rows per
+    source, exercising the cap). md5-decided membership: both engines
+    and every re-run pick identical rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = C.mixture_sample(
+        docs, {"src0": 3.0, "src1": 2.0, "src2": 1.0}, total=60
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")

@@ -57,3 +57,21 @@ def test_pack_sequences_layout(docs):
         assert r.start_tok == off
         assert r.chunk_id == off // 64
         off += tok(r)
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from moloch_spark.operators.curate import mixture_sample
+
+    rows = [(i, f"s{i % 4}", "x") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_sample(df, {"s0": 2.0, "s1": 1.0, "s3": 1.0}, total=80)
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    assert by_src == {"s0": 40, "s1": 20, "s3": 20}  # 2:1:1 of 80; s2 absent
+    # deterministic: same rows on re-run
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in mixture_sample(df, {"s0": 2.0, "s1": 1.0, "s3": 1.0}, total=80).collect()}
+    assert ids1 == ids2
+    # quota above availability caps at the domain size
+    tiny = mixture_sample(df, {"s0": 1.0}, total=1000)
+    assert tiny.count() == 100

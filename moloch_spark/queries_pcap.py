@@ -413,3 +413,42 @@ def q_ssh_hassh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ssh_banner", "ssh_version", "ssh_software",
         "ssh_hassh_string", "ssh_hassh",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SMTP envelope + headers (capture/parsers/smtp.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "smtp_parse_fields",
+    """
+    SELECT doc_id,
+           'client.example' AS smtp_helo,
+           'user' || doc_id || '@example.com' AS smtp_mail_from,
+           'user' || doc_id || '@example.com' AS smtp_rcpt_first,
+           'doc ' || doc_id AS smtp_subject,
+           TRUE AS smtp_has_data
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_smtp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-stream synthesis (addresses/subject from row columns) ->
+    line-protocol parse -> envelope + DATA header fields; envelope
+    parsing and hostile-input handling pinned in
+    tests/test_http_tls_parsers.py (ref capture/parsers/smtp.c)."""
+    from moloch_spark.operators.smtp_parser import encode_smtp_udf, parse_smtp_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    addr = F.concat(F.lit("user"), F.col("doc_id"), F.lit("@example.com"))
+    subj = F.concat(F.lit("doc "), F.col("doc_id"))
+    # the encoder echoes the sender as the sole recipient, so the oracle
+    # predicts both from the same source column
+    wire = docs.withColumn("payload", encode_smtp_udf()(addr, subj))
+    parsed = parse_smtp_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "smtp_helo", "smtp_mail_from",
+        F.element_at("smtp_rcpt_to", 1).alias("smtp_rcpt_first"),
+        "smtp_subject", "smtp_has_data",
+    ).orderBy("doc_id")

@@ -61,7 +61,7 @@ _CHECK_PRIORITY = (
     "yara_scan_documents", "dns_parse_fields", "http_parse_fields",
     "tls_ja3_fields", "x509_cert_fields", "decontaminate_ngrams",
     "pii_scan", "repetition_signals", "dedup_semantic_clusters",
-    "ssh_hassh_fields", "curate_mixture_sample",
+    "ssh_hassh_fields", "curate_mixture_sample", "smtp_parse_fields",
     "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",

@@ -182,3 +182,55 @@ def test_http_keeps_fields_parsed_before_error():
     )
     assert out["parse_error"] is not None
     assert out["method"] == "GET" and out["host"] == "e.com"
+
+
+# ---------------------------------------------------------------------------
+# SMTP
+# ---------------------------------------------------------------------------
+
+
+def test_smtp_envelope_and_headers():
+    from moloch_spark.operators.smtp_parser import encode_smtp, parse_smtp
+
+    buf = encode_smtp(
+        helo="mail.client.net",
+        mail_from="alice@example.com",
+        rcpt=("bob@example.org", "carol@example.net"),
+        subject="quarterly report",
+    )
+    out = parse_smtp(buf)
+    assert out["parse_error"] is None
+    assert out["helo"] == "mail.client.net"
+    assert out["mail_from"] == "alice@example.com"
+    assert out["rcpt_to"] == ["bob@example.org", "carol@example.net"]
+    assert out["subject"] == "quarterly report"
+    assert out["has_data"] is True
+
+
+def test_smtp_case_insensitive_and_no_angle_brackets():
+    from moloch_spark.operators.smtp_parser import parse_smtp
+
+    out = parse_smtp(b"helo x\r\nmail from: a@b.c\r\nrcpt to: d@e.f\r\n")
+    assert out["helo"] == "x"
+    assert out["mail_from"] == "a@b.c"
+    assert out["rcpt_to"] == ["d@e.f"]
+    assert out["has_data"] is False and out["subject"] is None
+
+
+def test_smtp_hostile():
+    from moloch_spark.operators.smtp_parser import parse_smtp
+
+    assert parse_smtp(b"")["parse_error"] is not None
+    assert parse_smtp(b"GET / HTTP/1.1\r\n")["parse_error"] is not None
+    assert parse_smtp(b"\xff\xfe\x00junk")["parse_error"] is not None
+
+
+def test_smtp_dataframe(spark):
+    from moloch_spark.operators.smtp_parser import encode_smtp, parse_smtp_df
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_smtp())), (2, None)], "id int, payload binary"
+    )
+    rows = {r.id: r for r in parse_smtp_df(df).collect()}
+    assert rows[1].smtp_mail_from == "a@example.com"
+    assert rows[2].smtp_helo is None

@@ -66,3 +66,11 @@ def test_image_header_and_carve_total(buf):
     fmt, w, h = decode_image_header(buf)
     assert fmt is None or isinstance(fmt, str)
     assert isinstance(carve_payload(buf), list)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, BYTES.map(lambda b: b"EHLO x\r\n" + b)))
+def test_smtp_total(buf):
+    from moloch_spark.operators.smtp_parser import parse_smtp
+
+    assert isinstance(parse_smtp(buf), dict)

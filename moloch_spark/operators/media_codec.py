@@ -1,0 +1,286 @@
+"""Pure-stdlib image/video codecs for the multimodal pipeline.
+
+No PIL/opencv/ffmpeg in the container — but PNG needs only zlib (stdlib)
+plus the five scanline filters, BMP is raw rows, and Y4M (YUV4MPEG2, the
+uncompressed interchange format used by ffmpeg/x264) is a textual header
+in front of raw frames. Implementing them here makes decode / resize /
+frame-sample REAL operators instead of honest stubs.
+
+Scale note: these run inside Arrow-batched mapInPandas workers, one
+image per call, numpy row ops inside. For production-grade throughput on
+codec-heavy corpora you would swap a C codec into the same mapInPandas
+seam; the Spark-side plumbing (schema, partitioning, batch shape) is
+identical either way — which is the part that matters at 100 TB.
+
+Reference parity: moloch stores media as opaque payload bytes and leaves
+decode to the viewer (SURVEY §1.1); the LLM-pipeline mandate adds real
+decode/feature/resize/frame-sample on top.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA)
+    to an (H, W, C) uint8 array. Raises ValueError on anything else —
+    callers in the Spark operators catch and emit NULLs."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while off + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[off : off + 4])
+        ctype = data[off + 4 : off + 8]
+        body = data[off + 8 : off + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG depth/color {depth}/{color}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        off += 12 + length  # len + type + body + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad decompressed size")
+    out = np.empty((height, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(row[lane::bpp], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.uint16) + prev) & 0xFF
+            row = row.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out.reshape(height, width, channels)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray, *, level: int = 6) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array as a valid PNG
+    (filter 0 rows — simple, universally decodable)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}.get(c)
+    if color is None:
+        raise ValueError(f"unsupported channel count {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    stride_rows = np.ascontiguousarray(arr, dtype=np.uint8).reshape(h, w * c)
+    raw = b"".join(b"\x00" + stride_rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to (H, W, 3) uint8 RGB."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_sz,) = struct.unpack("<I", data[14:18])
+    if hdr_sz < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP bpp/compression {bpp}/{compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = pix_off + row_bytes * h
+    if len(data) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample to (th, tw) via index mapping."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(th) + 0.5) * h / th, h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(tw) + 0.5) * w / tw, w - 1).astype(np.int64)
+    return arr[ys][:, xs]
+
+
+def resize_bilinear(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Bilinear resample to (th, tw); edge-clamped sample positions."""
+    h, w = arr.shape[:2]
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    fy = np.clip((np.arange(th) + 0.5) * h / th - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(tw) + 0.5) * w / tw - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    c = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    out = np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): uncompressed video interchange.  Header line
+# "YUV4MPEG2 W<w> H<h> F<n>:<d> ... [C<space>]\n", then per frame
+# "FRAME[ params]\n" + raw planar YUV bytes.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+# chroma tag -> bytes per pixel numerator/denominator of the two chroma
+# planes combined (luma is always w*h)
+_Y4M_CHROMA = {
+    "420": (1, 2),  # two (w/2 x h/2) planes => w*h/2 extra
+    "420jpeg": (1, 2),
+    "420mpeg2": (1, 2),
+    "420paldv": (1, 2),
+    "422": (1, 1),  # two (w/2 x h) planes => w*h extra
+    "444": (2, 1),  # two full planes
+    "mono": (0, 1),
+}
+
+
+def y4m_parse_header(data: bytes) -> tuple[int, int, str, int]:
+    """Return (width, height, chroma_tag, header_end_offset)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    chroma = "420"
+    for tok in data[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("Y4M missing W/H")
+    if chroma not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported chroma {chroma}")
+    return w, h, chroma, nl + 1
+
+
+def y4m_frame_size(w: int, h: int, chroma: str) -> int:
+    num, den = _Y4M_CHROMA[chroma]
+    return w * h + (w * h * num) // den
+
+
+def y4m_iter_frames(data: bytes):
+    """Yield (frame_index, luma_plane_bytes, frame_bytes) for each frame.
+    Luma is the first w*h bytes of the frame (all supported layouts)."""
+    w, h, chroma, off = y4m_parse_header(data)
+    fsize = y4m_frame_size(w, h, chroma)
+    idx = 0
+    n = len(data)
+    while off < n:
+        nl = data.find(b"\n", off)
+        if nl < 0 or data[off : off + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {off}")
+        start = nl + 1
+        frame = data[start : start + fsize]
+        if len(frame) < fsize:
+            raise ValueError("truncated frame")
+        yield idx, frame[: w * h], frame
+        off = start + fsize
+        idx += 1
+
+
+def y4m_encode(frames: list[np.ndarray], *, chroma_value: int = 128) -> bytes:
+    """Encode grayscale (H, W) uint8 frames as a C420 Y4M stream with
+    constant chroma — enough to round-trip the sampling path in tests."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even dims")
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    cpl = bytes([chroma_value]) * ((w // 2) * (h // 2))
+    parts = [head]
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("frame size mismatch")
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+        parts.append(cpl)
+        parts.append(cpl)
+    return b"".join(parts)

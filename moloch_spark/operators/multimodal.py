@@ -5,13 +5,14 @@ metadata struct alongside; decode / feature-extract / resize /
 frame-sample are Arrow-batched pandas functions over mapInPandas so the
 bytes never round-trip through the driver and each batch stays columnar.
 
-Image DIMENSIONS are decoded for real from container headers — PNG
-IHDR, JPEG SOF walk, GIF screen descriptor, BMP info header — no codec
-library needed (magic bytes + fixed offsets). Only full PIXEL work
-(resample, video frame extraction) needs PIL/ffmpeg, which this
-container lacks: `resize_plan` does the complete target-geometry math
-(real), while materializing resampled bytes raises NotImplementedError
-(honest stub).
+Image DIMENSIONS are decoded from container headers (PNG IHDR, JPEG SOF
+walk, GIF screen descriptor, BMP info header — magic bytes + fixed
+offsets). Full PIXEL work is real too, via the pure-stdlib codecs in
+`media_codec`: PNG decode/encode (zlib + all five scanline filters),
+24-bit BMP decode, nearest/bilinear resampling, and Y4M video frame
+sampling. JPEG/GIF pixel decode (entropy coding) still needs a codec
+library this container lacks; those rows surface NULL outputs rather
+than errors, and the mapInPandas seam is where a C codec would slot in.
 """
 
 from __future__ import annotations
@@ -20,10 +21,13 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from moloch_spark.operators import media_codec as MC
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -138,19 +142,24 @@ def extract_features(media: DataFrame, *, batch_size_hint: int = 1024) -> DataFr
     return media.mapInPandas(fn, schema=FEATURES_SCHEMA)
 
 
+def fit_geometry(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int, float]:
+    """Aspect-preserving fit inside (max_w, max_h), never upscaling.
+    Single source of truth for both the metadata planner (resize_plan)
+    and the pixel materializer (resize_images)."""
+    scale = min(1.0, max_w / w, max_h / h)
+    return max(1, int(w * scale)), max(1, int(h * scale)), scale
+
+
 def resize_plan(
     media: DataFrame, max_width: int, max_height: int, *, materialize: bool = False
 ) -> DataFrame:
-    """Resize geometry, computed for real from decoded headers: fit the
-    image inside (max_width, max_height) preserving aspect ratio, never
+    """Resize geometry, computed from decoded headers: fit the image
+    inside (max_width, max_height) preserving aspect ratio, never
     upscaling — columns target_width/target_height/scale alongside the
-    original dims. The metadata path is complete; only materializing
-    resampled PIXELS needs a codec this container lacks."""
+    original dims. Header-only, so it never touches pixel data; use
+    resize_images (or materialize=True) for the actual resample."""
     if materialize:
-        raise NotImplementedError(
-            "pixel resample requires an image codec (PIL/opencv) not present "
-            "in this container; geometry planning (materialize=False) is real"
-        )
+        return resize_images(media, max_width, max_height)
     feats = extract_features(media).select("media_id", "format", "width", "height")
     # least()/greatest() SKIP null operands, which would hand non-image
     # rows scale=1.0 and a 1x1 target — undecodable media must keep NULL
@@ -178,15 +187,183 @@ def resize_plan(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("target_width", T.LongType(), True),
+        T.StructField("target_height", T.LongType(), True),
+        T.StructField("scale", T.DoubleType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def _decode_pixels(data: bytes | None) -> tuple[str, "np.ndarray"] | None:
+    """Pixel decode for the formats the pure-stdlib codec covers.
+    Returns (format, HxWxC array) or None when undecodable (unknown
+    container, or JPEG/GIF whose entropy coding needs a real codec)."""
+    if not data:
+        return None
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png", MC.png_decode(data)
+        if data[:2] == b"BM":
+            return "bmp", MC.bmp_decode(data)
+    except Exception:  # noqa: BLE001 — hostile bytes -> NULL row
+        return None
+    return None
+
+
+def resize_images(
+    media: DataFrame,
+    max_width: int,
+    max_height: int,
+    *,
+    method: str = "nearest",
+) -> DataFrame:
+    """REAL pixel resample over mapInPandas: decode (PNG/BMP, pure
+    stdlib), aspect-fit to (max_width, max_height), resample
+    (nearest|bilinear), re-encode as PNG. Emits per-channel means of the
+    resized image (a codec-independent correctness signal the DuckDB
+    oracle can predict for synthetic inputs) alongside the bytes.
+    Undecodable rows keep NULL outputs. One image per Python call inside
+    Arrow batches — the seam where a C codec would slot in for
+    codec-bound corpora."""
+    resample = MC.resize_bilinear if method == "bilinear" else MC.resize_nearest
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                dec = _decode_pixels(data)
+                if dec is None:
+                    rows.append((int(mid), None, None, None, None, None, None,
+                                 None, None, None, None))
+                    continue
+                fmt, arr = dec
+                h, w = arr.shape[:2]
+                tw, th, scale = fit_geometry(w, h, max_width, max_height)
+                out = resample(arr, tw, th)
+                chans = out if out.ndim == 3 else out[:, :, None]
+                means = chans.reshape(-1, chans.shape[2]).mean(axis=0)
+                mr = float(means[0])
+                mg = float(means[1]) if chans.shape[2] >= 3 else mr
+                mb = float(means[2]) if chans.shape[2] >= 3 else mr
+                rows.append(
+                    (int(mid), fmt, w, h, tw, th, float(scale),
+                     mr, mg, mb, MC.png_encode(out))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return media.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("chroma", T.StringType(), False),
+        T.StructField("luma_mean", T.DoubleType(), True),
+        T.StructField("frame_png", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int) -> DataFrame:
+    """REAL video frame sampling over Y4M (YUV4MPEG2 — ffmpeg/x264's
+    uncompressed interchange container): parse the stream header, slice
+    every Nth frame, emit one row per sampled frame with the luma plane
+    re-encoded as a grayscale PNG plus its mean (oracle-predictable for
+    synthetic streams). Compressed containers (mp4/mkv) need ffmpeg and
+    are out of scope; undecodable rows yield no frames.
+
+    Row explosion happens executor-side inside mapInPandas — no driver
+    round-trip, output partitioning inherits the input's."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if not data or not bytes(data).startswith(b"YUV4MPEG2"):
+                    continue
+                try:
+                    b = bytes(data)
+                    w, h, chroma, _ = MC.y4m_parse_header(b)
+                    for idx, luma, _frame in MC.y4m_iter_frames(b):
+                        if idx % every_n:
+                            continue
+                        plane = np.frombuffer(luma, dtype=np.uint8).reshape(h, w)
+                        rows.append(
+                            (int(mid), idx, w, h, chroma,
+                             float(plane.mean()), MC.png_encode(plane))
+                        )
+                except ValueError:
+                    continue
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def synth_solid_png_media(docs: DataFrame, *, max_dim: int = 96) -> DataFrame:
+    """Per-row VALID solid-color PNG (full encoder, not header-only)
+    whose dims and color derive from row columns — so a DuckDB oracle
+    can predict the resize pipeline's output analytically. Used by the
+    multimodal_resize gate and tests."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                w = 16 + did % max_dim
+                h = 8 + nch % max_dim
+                arr = np.empty((h, w, 3), np.uint8)
+                arr[:] = (did % 256, nch % 256, (did * 7) % 256)
+                rows.append((did, "image", MC.png_encode(arr), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def synth_y4m_media(docs: DataFrame, *, w: int = 8, h: int = 6) -> DataFrame:
+    """Per-row VALID Y4M stream: 1 + doc_id % 7 constant-luma frames
+    (luma_i = (doc_id*13 + i*29) % 256) — frame sampling output is
+    oracle-predictable per (doc_id, frame_index)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    np.full((h, w), (did * 13 + i * 29) % 256, np.uint8)
+                    for i in range(1 + did % 7)
+                ]
+                rows.append((did, "video", MC.y4m_encode(frames), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Pixel resample: NOT implemented (no codec). Use resize_plan for
-    the (real) geometry math."""
-    return resize_plan(media, width, height, materialize=True)
+    """Back-compat alias from when pixel resample was stubbed — now real."""
+    return resize_images(media, width, height)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling: NOT implemented (no ffmpeg in container)."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg; plumbing shape identical to "
-        "extract_features()"
-    )
+    """Back-compat alias from when frame sampling was stubbed — now real."""
+    return frame_sample(media, every_n)

@@ -430,7 +430,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal (binary column plumbing; decode stubbed — see operators.multimodal)
+# multimodal (real decode/resize/frame-sample — see operators.multimodal)
 # ---------------------------------------------------------------------------
 
 
@@ -490,6 +490,78 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format", "width", "height",
     )
     return png_feats.unionByName(text_feats).orderBy("media_id", "branch")
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             16 + doc_id % 96 AS w, 8 + n_chars % 96 AS h,
+             CAST(doc_id % 256 AS DOUBLE) AS mr,
+             CAST(n_chars % 256 AS DOUBLE) AS mg,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS mb
+      FROM documents
+    ),
+    g AS (SELECT *, LEAST(1.0, 64.0 / w, 64.0 / h) AS scale FROM dims)
+    SELECT media_id, 'png' AS format,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(GREATEST(1, FLOOR(w * scale)) AS BIGINT) AS target_width,
+           CAST(GREATEST(1, FLOOR(h * scale)) AS BIGINT) AS target_height,
+           scale, mr AS mean_r, mg AS mean_g, mb AS mean_b
+    FROM g ORDER BY media_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path end-to-end: synthesize a valid solid-color PNG
+    per document (full encoder), then decode -> aspect-fit resample ->
+    re-encode via resize_images. The oracle predicts dims, fit geometry
+    (identical IEEE min/floor math) and the per-channel means — which a
+    solid color survives exactly through nearest-neighbor resampling.
+    Only passes if the pure-stdlib codec genuinely decodes pixels."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_solid_png_media(docs)
+    return (
+        M.resize_images(media, 64, 64)
+        .select(
+            "media_id", "format", "width", "height",
+            "target_width", "target_height", "scale",
+            "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, 1 + doc_id % 7)) AS frame_index
+      FROM documents
+    )
+    SELECT media_id, CAST(frame_index AS BIGINT) AS frame_index,
+           CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+           '420' AS chroma,
+           CAST((media_id * 13 + frame_index * 29) % 256 AS DOUBLE) AS luma_mean
+    FROM f WHERE frame_index % 2 = 0
+    ORDER BY media_id, frame_index
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: synthesize a valid Y4M stream per
+    document (1 + doc_id % 7 constant-luma frames), sample every 2nd
+    frame executor-side, emit per-frame luma means the oracle predicts
+    from (doc_id, frame_index) alone."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_y4m_media(docs)
+    return (
+        M.frame_sample(media, 2)
+        .select(
+            "media_id", "frame_index", "width", "height", "chroma", "luma_mean"
+        )
+        .orderBy("media_id", "frame_index")
+    )
 
 
 # ---------------------------------------------------------------------------

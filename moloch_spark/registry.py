@@ -72,6 +72,9 @@ _CHECK_PRIORITY = (
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
     "tpch_q20_part_supply_nation", "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    # new in round-2 session 2 (beyond the ~50 cap this round; covered by
+    # pytest oracle-parity now, rotate into the head in round 3)
+    "multimodal_resize", "multimodal_frame_sample",
     # round-1 green representatives (regression sentinels)
     "tpch_q1_pricing_summary", "sessions_search_events",
     "timeline_events_hourly", "unique_event_type",

@@ -132,8 +132,9 @@ def test_multimodal_plumbing(docs):
     assert feats[1].digest == __import__("hashlib").md5(BASE.encode()).hexdigest()
     # raw text bytes are not an image container
     assert feats[1].format is None and feats[1].width is None
-    with pytest.raises(NotImplementedError):
-        M.resize_stub(media, 224, 224)
+    # non-image media flows through the real resize with NULL outputs
+    r = {x.media_id: x for x in M.resize_images(media, 224, 224).collect()}
+    assert r[1].format is None and r[1].data is None
 
 
 def _png(w: int, h: int) -> bytes:

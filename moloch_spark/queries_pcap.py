@@ -452,3 +452,150 @@ def q_smtp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("smtp_rcpt_to", 1).alias("smtp_rcpt_first"),
         "smtp_subject", "smtp_has_data",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DHCP header + options walk (capture/parsers/dhcp.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dhcp_parse_fields",
+    """
+    SELECT doc_id,
+           'DISCOVER' AS dhcp_msg_type,
+           'host' || doc_id AS dhcp_host,
+           printf('aa:bb:cc:%02x:%02x:%02x',
+                  (doc_id >> 16) & 255, (doc_id >> 8) & 255, doc_id & 255)
+             AS dhcp_mac,
+           'aa:bb:cc' AS dhcp_oui,
+           printf('%x', doc_id) AS dhcp_xid
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_dhcp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTP packet synthesis (host/xid/MAC from row columns) -> fixed
+    header + options TLV walk -> msg type / hostname / MAC+OUI / xid;
+    option handling pinned in tests/test_misc_parsers.py
+    (ref capture/parsers/dhcp.c:33-131)."""
+    from moloch_spark.operators.dhcp_parser import encode_dhcp_udf, parse_dhcp_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    host = F.concat(F.lit("host"), F.col("doc_id"))
+    wire = docs.withColumn("payload", encode_dhcp_udf()(host, F.col("doc_id")))
+    parsed = parse_dhcp_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "dhcp_msg_type", "dhcp_host", "dhcp_mac", "dhcp_oui",
+        "dhcp_xid",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IRC client stream (capture/parsers/irc.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "irc_parse_fields",
+    """
+    SELECT doc_id,
+           'user' || doc_id AS irc_nick,
+           '#' || source AS irc_channel_first,
+           CAST(1 AS BIGINT) AS irc_channel_cnt
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_irc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-stream synthesis (nick/channel from row columns) -> NICK
+    and JOIN token extraction with the reference's token-boundary rules
+    (ref capture/parsers/irc.c:26-86)."""
+    from moloch_spark.operators.irc_parser import encode_irc_udf, parse_irc_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    nick = F.concat(F.lit("user"), F.col("doc_id"))
+    chan = F.concat(F.lit("#"), F.col("source"))
+    wire = docs.withColumn("payload", encode_irc_udf()(nick, chan))
+    parsed = parse_irc_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id",
+        "irc_nick",
+        F.element_at("irc_channels", 1).alias("irc_channel_first"),
+        F.size("irc_channels").cast("long").alias("irc_channel_cnt"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SOCKS5 handshake (capture/parsers/socks.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "socks_parse_fields",
+    """
+    SELECT doc_id,
+           CAST(5 AS INT) AS socks_version,
+           source || '.example.com' AS socks_dst_host,
+           CAST(1024 + doc_id % 60000 AS INT) AS socks_dst_port
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_socks_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOCKS5 greeting + domain-CONNECT synthesis -> state-machine walk
+    -> destination host/port; SOCKS4/4a and user/pass auth pinned in
+    tests/test_misc_parsers.py (ref capture/parsers/socks.c)."""
+    from moloch_spark.operators.socks_parser import (
+        encode_socks5_udf,
+        parse_socks_df,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    port = (F.lit(1024) + F.col("doc_id") % 60000).cast("int")
+    wire = docs.withColumn("payload", encode_socks5_udf()(host, port))
+    parsed = parse_socks_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "socks_version", "socks_dst_host", "socks_dst_port"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# RADIUS AVP walk (capture/parsers/radius.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "radius_parse_fields",
+    """
+    SELECT doc_id,
+           CAST(1 AS INT) AS radius_code,
+           'user' || doc_id AS radius_user,
+           printf('aa:bb:cc:%02x:%02x:%02x',
+                  (doc_id >> 16) & 255, (doc_id >> 8) & 255, doc_id & 255)
+             AS radius_mac,
+           '10.' || ((doc_id >> 16) & 255) || '.' || ((doc_id >> 8) & 255)
+                 || '.' || (doc_id & 255) AS radius_framed_ip,
+           '192.0.2.1' AS radius_endpoint_ip
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_radius_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-Request synthesis (user + numeric id from row columns) ->
+    20-byte header + AVP TLV walk -> User-Name / Calling-Station-Id MAC
+    / Framed-IP / endpoint ip (ref capture/parsers/radius.c:24-90)."""
+    from moloch_spark.operators.radius_parser import (
+        encode_radius_udf,
+        parse_radius_df,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    user = F.concat(F.lit("user"), F.col("doc_id"))
+    wire = docs.withColumn("payload", encode_radius_udf()(user, F.col("doc_id")))
+    parsed = parse_radius_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "radius_code", "radius_user", "radius_mac",
+        "radius_framed_ip", "radius_endpoint_ip",
+    ).orderBy("doc_id")

@@ -1,0 +1,182 @@
+"""Golden tests for the DHCP / IRC / SOCKS / RADIUS exemplar parsers
+(ref capture/parsers/{dhcp,irc,socks,radius}.c) — hand-computed
+expectations over hand-built wire bytes, plus the reference's
+classification rejections."""
+
+from __future__ import annotations
+
+import ipaddress
+
+from moloch_spark.operators.dhcp_parser import encode_dhcp, parse_dhcp
+from moloch_spark.operators.irc_parser import encode_irc, parse_irc
+from moloch_spark.operators.radius_parser import encode_radius, parse_radius
+from moloch_spark.operators.socks_parser import (
+    encode_socks4,
+    encode_socks5,
+    parse_socks,
+)
+
+# ---------------------------------------------------------------------------
+# DHCP
+# ---------------------------------------------------------------------------
+
+
+def test_dhcp_basic_fields():
+    pkt = encode_dhcp(msg_type=3, host="My-Laptop", xid=0xDEADBEEF,
+                      mac=b"\x00\x11\x22\x33\x44\x55")
+    out = parse_dhcp(pkt)
+    assert out["msg_type"] == "REQUEST"
+    assert out["host"] == "my-laptop"  # lowercased like the reference
+    assert out["mac"] == "00:11:22:33:44:55"
+    assert out["oui"] == "00:11:22"
+    assert out["xid"] == "deadbeef"
+    assert out["parse_error"] is None
+
+
+def test_dhcp_client_identifier_overrides_chaddr():
+    pkt = bytearray(encode_dhcp(mac=b"\xaa" * 6))
+    # strip End option, append option 61 (hwtype 1 + MAC), re-end
+    end = bytes(pkt).index(b"\xff", 236)
+    pkt = bytes(pkt[:end]) + bytes([61, 7, 1]) + b"\x01\x02\x03\x04\x05\x06" + b"\xff"
+    pkt += b"\x00" * max(0, 300 - len(pkt))
+    assert parse_dhcp(pkt)["mac"] == "01:02:03:04:05:06"
+
+
+def test_dhcp_fqdn_option_81():
+    pkt = bytearray(encode_dhcp(host="ignored"))
+    end = bytes(pkt).index(b"\xff", 236)
+    fqdn = b"\x00\x00\x00" + b"Host.Example.COM"
+    pkt = bytes(pkt[:end]) + bytes([81, len(fqdn)]) + fqdn + b"\xff"
+    pkt += b"\x00" * max(0, 300 - len(pkt))
+    assert parse_dhcp(pkt)["host"] == "host.example.com"
+
+
+def test_dhcp_rejects():
+    assert parse_dhcp(b"\x01" * 100)["parse_error"] is not None  # short
+    good = bytearray(encode_dhcp())
+    good[236:240] = b"\x00\x00\x00\x00"  # break magic
+    assert parse_dhcp(bytes(good))["parse_error"] is not None
+    good = bytearray(encode_dhcp())
+    good[0] = 9  # bad op
+    assert parse_dhcp(bytes(good))["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# IRC
+# ---------------------------------------------------------------------------
+
+
+def test_irc_nick_and_channels():
+    out = parse_irc(encode_irc(nick="bob", channels=("#a", "#b-ops")))
+    assert out["nick"] == "bob"
+    assert out["channels"] == ["#a", "#b-ops"]
+
+
+def test_irc_token_stops_at_space():
+    out = parse_irc(b"NICK alice extra\r\nJOIN #chan key\r\n")
+    assert out["nick"] == "alice"
+    assert out["channels"] == ["#chan"]
+
+
+def test_irc_classify_rejections():
+    # server stream (leading ':' without NOTICE)
+    assert parse_irc(b":server 001 hi there")["parse_error"] is not None
+    # USER without NICK looks like FTP
+    assert parse_irc(b"USER anonymous pass")["parse_error"] is not None
+    # but USER with +iw is fine per the reference's allowance
+    assert parse_irc(b"USER a b +iw :r\r\nJOIN #x\r\n")["channels"] == ["#x"]
+
+
+# ---------------------------------------------------------------------------
+# SOCKS
+# ---------------------------------------------------------------------------
+
+
+def test_socks4_request():
+    out = parse_socks(encode_socks4(ip="10.1.2.3", port=8080, user="joe"))
+    assert out["version"] == 4
+    assert out["dst_ip"] == "10.1.2.3"
+    assert out["dst_port"] == 8080
+    assert out["user"] == "joe"
+    assert out["dst_host"] is None
+
+
+def test_socks4a_hostname():
+    buf = (
+        b"\x04\x01" + (443).to_bytes(2, "big")
+        + bytes([0, 0, 0, 7]) + b"u\x00" + b"EXample.org\x00"
+    )
+    out = parse_socks(buf)
+    assert out["dst_host"] == "example.org"
+    assert out["dst_ip"] is None and out["dst_port"] == 443
+
+
+def test_socks5_domain_connect():
+    out = parse_socks(encode_socks5(host="API.Test.io", port=9443))
+    assert out["version"] == 5
+    assert out["dst_host"] == "api.test.io"
+    assert out["dst_port"] == 9443
+    assert out["user"] is None
+
+
+def test_socks5_with_auth_and_ipv4():
+    msg = (
+        b"\x05\x01\x02"
+        + b"\x01\x03bob\x00"  # user/pass subnegotiation, empty password
+        + b"\x05\x01\x00\x01" + ipaddress.IPv4Address("198.51.100.7").packed
+        + (1080).to_bytes(2, "big")
+    )
+    out = parse_socks(msg)
+    assert out["user"] == "bob"
+    assert out["dst_ip"] == "198.51.100.7"
+    assert out["dst_port"] == 1080
+
+
+def test_socks5_ipv6_connect():
+    msg = (
+        b"\x05\x01\x00"
+        + b"\x05\x01\x00\x04" + ipaddress.IPv6Address("2001:db8::1").packed
+        + (53).to_bytes(2, "big")
+    )
+    out = parse_socks(msg)
+    assert out["dst_ip"] == "2001:db8::1"
+    assert out["dst_port"] == 53
+
+
+def test_socks_rejects():
+    assert parse_socks(b"")["parse_error"] is not None
+    assert parse_socks(b"\x03rest")["parse_error"] is not None
+    assert parse_socks(b"\x04\x02\x00\x50")["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# RADIUS
+# ---------------------------------------------------------------------------
+
+
+def test_radius_avps():
+    pkt = encode_radius(
+        code=2, user="eve", framed_ip="172.16.5.9",
+        mac_hex="a1b2c3d4e5f6", endpoint_ip="203.0.113.9",
+    )
+    out = parse_radius(pkt)
+    assert out["code"] == 2
+    assert out["user"] == "eve"
+    assert out["framed_ip"] == "172.16.5.9"
+    assert out["mac"] == "a1:b2:c3:d4:e5:f6"
+    assert out["endpoint_ip"] == "203.0.113.9"
+
+
+def test_radius_length_check():
+    pkt = bytearray(encode_radius())
+    pkt[2:4] = (len(pkt) + 5).to_bytes(2, "big")  # lie about length
+    assert parse_radius(bytes(pkt))["parse_error"] is not None
+
+
+def test_radius_short_avp_stops_walk():
+    base = encode_radius(user="x")
+    # append an AVP with length 1 (< 3): walk must stop, not loop/throw
+    pkt = base + bytes([1, 1])
+    pkt = pkt[:2] + len(pkt).to_bytes(2, "big") + pkt[4:]
+    out = parse_radius(pkt)
+    assert out["parse_error"] is None and out["user"] == "x"

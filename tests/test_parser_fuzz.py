@@ -74,3 +74,42 @@ def test_smtp_total(buf):
     from moloch_spark.operators.smtp_parser import parse_smtp
 
     assert isinstance(parse_smtp(buf), dict)
+
+
+from moloch_spark.operators.dhcp_parser import parse_dhcp
+from moloch_spark.operators.irc_parser import parse_irc
+from moloch_spark.operators.radius_parser import parse_radius
+from moloch_spark.operators.socks_parser import parse_socks
+
+DHCP_PREFIXED = st.binary(min_size=0, max_size=200).map(
+    lambda b: b"\x01\x01\x06\x00" + b"\x00" * 232 + b"\x63\x82\x53\x63" + b
+)
+SOCKS5_PREFIXED = st.binary(max_size=200).map(lambda b: b"\x05" + b)
+SOCKS4_PREFIXED = st.binary(max_size=200).map(lambda b: b"\x04\x01" + b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, DHCP_PREFIXED))
+def test_dhcp_total(buf):
+    assert isinstance(parse_dhcp(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(BYTES)
+def test_irc_total(buf):
+    assert isinstance(parse_irc(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, SOCKS4_PREFIXED, SOCKS5_PREFIXED))
+def test_socks_total(buf):
+    assert isinstance(parse_socks(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_radius_total(buf):
+    # exercise the AVP walk: fix up the length field to match
+    fixed = buf[:2] + len(buf).to_bytes(2, "big") + buf[4:] if len(buf) >= 20 else buf
+    assert isinstance(parse_radius(fixed), dict)
+    assert isinstance(parse_radius(buf), dict)

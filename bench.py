@@ -46,7 +46,16 @@ def main() -> None:
     # exception produced NO numbers at all)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(registry.items()):
+    for i, (name, fn) in enumerate(sorted(registry.items())):
+        # Drop the previous queries' broadcast/shuffle garbage BETWEEN
+        # timings: ContextCleaner frees executor state only after a driver
+        # GC, and without this the 80th+ query pays multi-second pauses
+        # for the first 79 queries' accumulated broadcasts (measured: q18
+        # 10s in-sequence vs 1.5s clean). On a real cluster each query is
+        # its own job and the cleaner keeps up; this reproduces that
+        # hygiene inside one long-lived session.
+        if i % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             force(fn(spark, sf_dir))

@@ -52,6 +52,13 @@ def get_spark(app_name: str = "moloch_spark", *, cpus: int | None = None) -> Spa
         # (16g showed multi-second GC outliers once ~70 query plans +
         # broadcasts accumulate in one session).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Long-running many-query sessions (bench, a Thrift-server-style
+        # deployment) leak broadcast/shuffle state until a DRIVER GC lets
+        # ContextCleaner's weak refs fire; with a 48g heap that can be
+        # never. 60s periodic GC keeps executor memory flat — without it,
+        # queries late in a 100-query sequence see multi-second slowdowns
+        # from accumulated broadcasts.
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -599,3 +599,70 @@ def q_radius_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "radius_code", "radius_user", "radius_mac",
         "radius_framed_ip", "radius_endpoint_ip",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LDAP BindRequest (capture/parsers/ldap.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ldap_parse_fields",
+    """
+    SELECT doc_id,
+           CAST(doc_id AS BIGINT) AS ldap_msg_id,
+           'cn=user' || doc_id || ',dc=example,dc=com' AS ldap_bind_name,
+           'simple' AS ldap_auth_type
+    FROM documents
+    WHERE doc_id > 0
+    ORDER BY doc_id
+    """,
+)
+def q_ldap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BindRequest synthesis (DN/messageID from row columns) -> BER
+    envelope walk -> bind name + auth type; <ROOT>/none/SASL variants
+    pinned in tests/test_misc_parsers.py (ref capture/parsers/ldap.c:27-93).
+    doc_id 0 is excluded: messageID 0 is the unsolicited-notification
+    sentinel in the protocol."""
+    from moloch_spark.operators.ldap_parser import encode_ldap_udf, parse_ldap_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id").filter("doc_id > 0")
+    name = F.concat(F.lit("cn=user"), F.col("doc_id"), F.lit(",dc=example,dc=com"))
+    wire = docs.withColumn("payload", encode_ldap_udf()(name, F.col("doc_id")))
+    parsed = parse_ldap_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "ldap_msg_id", "ldap_bind_name", "ldap_auth_type"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Kerberos AS-REQ (capture/parsers/krb5.c exemplar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "krb5_parse_fields",
+    """
+    SELECT doc_id,
+           'AS-REQ' AS krb5_msg_type,
+           upper(source) || '.EXAMPLE' AS krb5_realm,
+           'user' || doc_id AS krb5_cname,
+           'krbtgt/' || upper(source) || '.EXAMPLE' AS krb5_sname
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_krb5_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-REQ synthesis (principal/realm from row columns) -> KDC-REQ
+    DER walk -> realm + client/server principals with the reference's
+    '/'-joined multi-component names (ref capture/parsers/krb5.c:37-142)."""
+    from moloch_spark.operators.krb5_parser import encode_krb5_udf, parse_krb5_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    cname = F.concat(F.lit("user"), F.col("doc_id"))
+    realm = F.concat(F.upper("source"), F.lit(".EXAMPLE"))
+    wire = docs.withColumn("payload", encode_krb5_udf()(cname, realm))
+    parsed = parse_krb5_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "krb5_msg_type", "krb5_realm", "krb5_cname", "krb5_sname"
+    ).orderBy("doc_id")

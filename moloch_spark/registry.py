@@ -76,7 +76,7 @@ _CHECK_PRIORITY = (
     # pytest oracle-parity now, rotate into the head in round 3)
     "multimodal_resize", "multimodal_frame_sample",
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
-    "radius_parse_fields",
+    "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
     # round-1 green representatives (regression sentinels)
     "tpch_q1_pricing_summary", "sessions_search_events",
     "timeline_events_hourly", "unique_event_type",

@@ -180,3 +180,70 @@ def test_radius_short_avp_stops_walk():
     pkt = pkt[:2] + len(pkt).to_bytes(2, "big") + pkt[4:]
     out = parse_radius(pkt)
     assert out["parse_error"] is None and out["user"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# LDAP
+# ---------------------------------------------------------------------------
+
+from moloch_spark.operators.ldap_parser import encode_ldap_bind, parse_ldap
+from moloch_spark.operators.krb5_parser import encode_as_req, parse_krb5
+from moloch_spark.operators.x509_parser import _enc
+
+
+def test_ldap_simple_bind():
+    out = parse_ldap(encode_ldap_bind(msg_id=300, name="uid=x,o=y", password="p"))
+    assert out["msg_id"] == 300
+    assert out["bind_name"] == "uid=x,o=y"
+    assert out["auth_type"] == "simple"
+
+
+def test_ldap_root_and_anonymous():
+    out = parse_ldap(encode_ldap_bind(name="", password=None))
+    assert out["bind_name"] == "<ROOT>"  # ref ldap.c:62 sentinel
+    assert out["auth_type"] == "none"
+
+
+def test_ldap_sasl_auth_tag():
+    op = (
+        _enc(0x02, b"\x03") + _enc(0x04, b"dn")
+        + _enc(0xA3, _enc(0x04, b"GSSAPI"))  # SASL credentials, tag 3
+    )
+    msg = _enc(0x30, _enc(0x02, b"\x01") + _enc(0x60, op))
+    assert parse_ldap(msg)["auth_type"] == "sasl"
+
+
+def test_ldap_rejects_non_message():
+    assert parse_ldap(b"\x04\x02hi")["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Kerberos
+# ---------------------------------------------------------------------------
+
+
+def test_krb5_as_req_fields():
+    out = parse_krb5(encode_as_req(
+        cname="carol", realm="CORP.TEST", sname="krbtgt/CORP.TEST"))
+    assert out["msg_type"] == "AS-REQ"
+    assert out["realm"] == "CORP.TEST"
+    assert out["cname"] == "carol"
+    assert out["sname"] == "krbtgt/CORP.TEST"
+
+
+def test_krb5_multi_component_principal_joined():
+    out = parse_krb5(encode_as_req(cname="host/db01.corp", realm="R"))
+    assert out["cname"] == "host/db01.corp"  # ref krb5.c:55-59 '/'-join
+
+
+def test_krb5_tcp_length_prefix():
+    out = parse_krb5(encode_as_req(cname="u", realm="R", tcp=True))
+    assert out["parse_error"] is None and out["cname"] == "u"
+
+
+def test_krb5_rejects_wrong_pvno():
+    msg = encode_as_req()
+    # pvno byte value 5 lives inside the [1] member; flip it to 4
+    broken = msg.replace(_enc(0xA1, _enc(0x02, b"\x05")),
+                         _enc(0xA1, _enc(0x02, b"\x04")), 1)
+    assert parse_krb5(broken)["parse_error"] is not None

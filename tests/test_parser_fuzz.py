@@ -113,3 +113,22 @@ def test_radius_total(buf):
     fixed = buf[:2] + len(buf).to_bytes(2, "big") + buf[4:] if len(buf) >= 20 else buf
     assert isinstance(parse_radius(fixed), dict)
     assert isinstance(parse_radius(buf), dict)
+
+
+from moloch_spark.operators.ldap_parser import parse_ldap
+from moloch_spark.operators.krb5_parser import parse_krb5
+
+LDAP_PREFIXED = st.binary(max_size=200).map(lambda b: b"\x30\x81" + b)
+KRB_PREFIXED = st.binary(max_size=200).map(lambda b: b"\x6a\x81" + b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, LDAP_PREFIXED))
+def test_ldap_total(buf):
+    assert isinstance(parse_ldap(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, KRB_PREFIXED))
+def test_krb5_total(buf):
+    assert isinstance(parse_krb5(buf), dict)

@@ -284,3 +284,66 @@ def y4m_encode(frames: list[np.ndarray], *, chroma_value: int = 128) -> bytes:
         parts.append(cpl)
         parts.append(cpl)
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE): PCM audio container — chunked layout, pure struct.
+# Completes the modality triple: PNG/BMP images, Y4M video, WAV audio.
+# ---------------------------------------------------------------------------
+
+
+def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM WAV to (sample_rate, (n, channels) int16).
+    Raises ValueError on non-PCM / non-16-bit / malformed chunks."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    off = 12
+    rate = channels = None
+    pcm = None
+    while off + 8 <= len(data):
+        cid = data[off : off + 4]
+        (clen,) = struct.unpack("<I", data[off + 4 : off + 8])
+        body = data[off + 8 : off + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV fmt/bits {fmt}/{bits}")
+        elif cid == b"data":
+            if len(body) < clen:
+                raise ValueError("truncated data chunk")
+            pcm = body
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or pcm is None or not channels:
+        raise ValueError("missing fmt/data chunk")
+    n = len(pcm) // (2 * channels)
+    samples = np.frombuffer(pcm, dtype="<i2", count=n * channels)
+    return rate, samples.reshape(n, channels)
+
+
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """Encode (n,) or (n, channels) int16 samples as 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_decimate(samples: np.ndarray, every_n: int) -> np.ndarray:
+    """Keep every Nth sample — the audio analog of frame sampling.
+    (A production resampler would low-pass first; the plumbing and
+    rate bookkeeping are identical.)"""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    return samples[::every_n]

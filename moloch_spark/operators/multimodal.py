@@ -359,6 +359,70 @@ def synth_y4m_media(docs: DataFrame, *, w: int = 8, h: int = 6) -> DataFrame:
     return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, *, decimate: int = 1) -> DataFrame:
+    """REAL audio decode over mapInPandas: 16-bit PCM WAV (pure struct
+    parsing) -> rate / channel / duration bookkeeping + RMS and peak of
+    the (optionally every-Nth-sample decimated) signal. Undecodable
+    rows keep NULL outputs; one clip per Python call inside Arrow
+    batches — the same seam a C audio codec would slot into."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    rate, samples = MC.wav_decode(bytes(data) if data else b"")
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                samples = MC.audio_decimate(samples, decimate)
+                n, ch = samples.shape
+                flat = samples.astype(np.float64)
+                rms = float(np.sqrt((flat * flat).mean())) if n else None
+                peak = int(np.abs(samples).max()) if n else None
+                rows.append(
+                    (int(mid), rate, ch, n, float(n / (rate / decimate)),
+                     rms, peak)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return media.mapInPandas(fn, schema=AUDIO_SCHEMA)
+
+
+def synth_wav_media(docs: DataFrame, *, rate: int = 8000) -> DataFrame:
+    """Per-row VALID constant-amplitude WAV clip: n = 100 + doc_id % 400
+    samples of value (doc_id % 1000) - 500 — RMS/peak/duration are
+    oracle-predictable from doc_id alone."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 100 + did % 400
+                val = (did % 1000) - 500
+                clip = np.full(n, val, dtype=np.int16)
+                rows.append((did, "audio", MC.wav_encode(clip, rate), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Back-compat alias from when pixel resample was stubbed — now real."""
     return resize_images(media, width, height)

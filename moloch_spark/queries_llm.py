@@ -564,6 +564,38 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           (100 + doc_id % 400) / 8000.0 AS duration_s,
+           CAST(abs((doc_id % 1000) - 500) AS DOUBLE) AS rms,
+           CAST(abs((doc_id % 1000) - 500) AS BIGINT) AS peak
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize a valid 16-bit PCM WAV clip per
+    document (constant amplitude, length from doc_id), parse the RIFF
+    chunks and compute RMS/peak/duration executor-side — all exactly
+    predictable by the oracle (constant signal: RMS == |amplitude|,
+    bit-exact in IEEE because n*v^2 < 2^53)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_wav_media(docs)
+    return (
+        M.extract_audio_features(media)
+        .select(
+            "media_id", "sample_rate", "channels", "n_samples",
+            "duration_s", "rms", "peak",
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination (n-gram collision, the published 13-gram method)
 # ---------------------------------------------------------------------------

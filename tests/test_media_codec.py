@@ -206,3 +206,68 @@ def test_frame_sample_spark(spark):
     assert [(r.media_id, r.frame_index) for r in got] == [(9, 0), (9, 3), (9, 6)]
     assert [r.luma_mean for r in got] == [0.0, 60.0, 120.0]
     assert (MC.png_decode(bytes(got[1].frame_png)) == 60).all()
+
+
+# ---------------------------------------------------------------------------
+# WAV audio
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip_mono_and_stereo():
+    rng = np.random.default_rng(21)
+    for shape in [(200,), (150, 2)]:
+        s = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+        rate, dec = MC.wav_decode(MC.wav_encode(s, 44100))
+        assert rate == 44100
+        want = s[:, None] if s.ndim == 1 else s
+        assert (dec == want).all()
+
+
+def test_wav_hand_built_header():
+    # independently built RIFF stream (not via wav_encode)
+    import struct as st
+    pcm = st.pack("<4h", 100, -100, 200, -200)
+    fmt = st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", 16) + fmt + b"data" + st.pack("<I", len(pcm)) + pcm
+    data = b"RIFF" + st.pack("<I", len(body)) + body
+    rate, samples = MC.wav_decode(data)
+    assert rate == 8000 and samples.shape == (2, 2)
+    assert samples.tolist() == [[100, -100], [200, -200]]
+
+
+def test_wav_rejects():
+    with pytest.raises(ValueError):
+        MC.wav_decode(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        MC.wav_decode(b"nonsense")
+    # non-PCM format code
+    import struct as st
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)  # IEEE float
+    body = b"WAVE" + b"fmt " + st.pack("<I", 16) + fmt + b"data" + st.pack("<I", 0)
+    with pytest.raises(ValueError):
+        MC.wav_decode(b"RIFF" + st.pack("<I", len(body)) + body)
+
+
+def test_audio_decimate():
+    s = np.arange(10, dtype=np.int16)[:, None]
+    assert MC.audio_decimate(s, 3)[:, 0].tolist() == [0, 3, 6, 9]
+
+
+def test_audio_features_spark(spark):
+    import pandas as pd
+
+    clip = np.full(400, -250, dtype=np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "audio", MC.wav_encode(clip, 16000), None),
+             (2, "audio", b"not a wav", None)],
+            columns=["media_id", "kind", "data", "meta"],
+        ),
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in M.extract_audio_features(media).collect()}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.channels, r1.n_samples) == (16000, 1, 400)
+    assert r1.rms == 250.0 and r1.peak == 250
+    assert r1.duration_s == 400 / 16000
+    assert out[2].sample_rate is None

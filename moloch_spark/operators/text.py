@@ -13,6 +13,8 @@ Shared convention: `tokens` = lowercase split on non-alphanumerics.
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf hint resolution under PEP 563
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -243,3 +245,90 @@ def repetition_signals(
         dup_line_frac.alias("dup_line_frac"),
         top_2gram_frac.alias("top_2gram_frac"),
     )
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher quality-filter flags (published rule set, complementing
+    repetition_signals): word-count bounds, mean word length bounds,
+    symbol-to-word ratio (# and ellipsis), fraction of words containing
+    an alphabetic character, bullet-start and ellipsis-end line
+    fractions, and the combined pass flag. All array/string builtins —
+    scan-side, no shuffle, whole-stage codegen."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    nzw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long"))
+        .cast("double") / nzw,
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nzw,
+    ).otherwise(0.0)
+    n_symbols = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+        + (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    )
+    symbol_ratio = n_symbols.cast("double") / nzw
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    nzl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike("^[-*•]")))
+        .cast("double") / nzl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).endswith("...")))
+        .cast("double") / nzl
+    )
+    passes = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (alpha_frac > 0.8)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character
+    distribution — a cheap perplexity proxy: ~0 for degenerate
+    repetition, ~4.2 for typical English. Computed per row inside an
+    Arrow batch (numpy bincount) — embarrassingly parallel, NO shuffle;
+    the explode+groupBy formulation would shuffle O(total_chars) rows
+    for the same answer. Rounded to 4 decimals to pin the oracle
+    comparison (summation order differs between engines)."""
+
+    @F.pandas_udf("double")
+    def ent(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0.0)
+                continue
+            counts = np.bincount(np.frombuffer(t.encode("utf-8"), dtype=np.uint8))
+            counts = counts[counts > 0]
+            p = counts / counts.sum()
+            out.append(round(float(-(p * np.log2(p)).sum()), 4))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), ent(F.col(text_col)).alias("entropy_bits"))

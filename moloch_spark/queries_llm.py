@@ -751,3 +751,79 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.col("keep_id") == F.col("doc_id"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality flags + entropy scoring (published filter rules)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gopher_quality_flags",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text, t, len(t) AS n_words,
+             CAST(GREATEST(len(t), 1) AS DOUBLE) AS nzw
+      FROM toks
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CASE WHEN n_words > 0 THEN
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / nzw
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN
+               CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / nzw
+             ELSE 0.0 END AS alpha_word_frac,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+                  AS DOUBLE) / nzw AS symbol_word_ratio,
+             0.0 AS bullet_line_frac,
+             0.0 AS ellipsis_line_frac
+      FROM base
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND (symbol_word_ratio < 0.1)
+           AND (alpha_word_frac > 0.8)
+           AND (bullet_line_frac < 0.9)
+           AND (ellipsis_line_frac < 0.3) AS passes_gopher
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags over the real documents table (the
+    fixture is single-line text, so the line-fraction terms are 0.0 in
+    the oracle but computed for real Spark-side — multi-line behavior
+    pinned in tests/test_llm_ops.py). Published bounds; scan-side
+    builtins only."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.gopher_quality(docs).orderBy("doc_id")
+
+
+@register(
+    "quality_char_entropy",
+    """
+    SELECT d.doc_id, round(COALESCE(e.ent, 0.0), 4) AS entropy_bits
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, entropy(c) AS ent
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY doc_id
+    ) e USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy as a perplexity proxy, computed
+    row-local inside Arrow batches (no shuffle — the unnest+groupBy the
+    oracle uses would shuffle O(total_chars) rows at scale)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.char_entropy(docs).orderBy("doc_id")

@@ -77,7 +77,7 @@ _CHECK_PRIORITY = (
     "multimodal_resize", "multimodal_frame_sample",
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
     "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
-    "multimodal_audio",
+    "multimodal_audio", "gopher_quality_flags", "quality_char_entropy",
     # round-1 green representatives (regression sentinels)
     "tpch_q1_pricing_summary", "sessions_search_events",
     "timeline_events_hourly", "unique_event_type",

@@ -293,3 +293,31 @@ def test_resize_plan_nulls_for_non_images(spark):
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     r = M.resize_plan(media, 224, 224).first()
     assert r.scale is None and r.target_width is None and r.target_height is None
+
+
+def test_gopher_quality_multiline(spark):
+    rows = [
+        (1, "- bullet one\n- bullet two\nnormal line."),
+        (2, "trails off...\nand again...\nbut not here."),
+        (3, " ".join(["word"] * 60) + "" + " ".join(["##"] * 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.gopher_quality(df).collect()}
+    assert abs(out[1].bullet_line_frac - 2 / 3) < 1e-12
+    assert abs(out[2].ellipsis_line_frac - 2 / 3) < 1e-12
+    # 20 '#' glyphs over 60 words (## tokens are dropped by the
+    # alnum tokenizer) -> ratio 40/60 > 0.1 -> fails
+    assert out[3].symbol_word_ratio > 0.1
+    assert not out[3].passes_gopher
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.entropy_bits for r in TX.char_entropy(df).collect()}
+    assert out[1] == 0.0      # degenerate
+    assert out[2] == 1.0      # two symbols, uniform
+    assert out[3] == 2.0      # four symbols, uniform
+    assert out[4] == 0.0      # empty

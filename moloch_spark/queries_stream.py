@@ -201,3 +201,47 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# pcap-over-ip re-framing (ref capture/reader-pcapoverip.c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pcap_over_ip_reframe",
+    """
+    WITH pkts AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS i
+      FROM documents
+    )
+    SELECT 'conn' || doc_id AS conn_id,
+           CAST(i AS BIGINT) AS pkt_index,
+           CAST(doc_id * 1000 + i AS BIGINT) AS ts_us,
+           CAST(20 + (doc_id + i) % 50 AS BIGINT) AS incl_len,
+           CAST(20 + (doc_id + i) % 50 AS BIGINT) AS orig_len,
+           CAST(i % 256 AS INT) AS first_byte
+    FROM pkts
+    ORDER BY conn_id, pkt_index
+    """,
+)
+def q_pcap_over_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pcap-over-ip transport: synthesize each connection's byte stream
+    (global header + records), split into 37-byte chunks that straddle
+    record boundaries, then re-frame per connection. Only passes if the
+    carry-over walk reassembles records split across chunks — the
+    reference reader's exact job (capture/reader-pcapoverip.c)."""
+    from moloch_spark.streaming.pcap_over_ip import (
+        reframe_pcap_chunks,
+        synth_pcap_stream_chunks,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = synth_pcap_stream_chunks(docs)
+    pkts = reframe_pcap_chunks(chunks)
+    return pkts.select(
+        "conn_id", "pkt_index", "ts_us", "incl_len", "orig_len",
+        F.expr("CAST(conv(hex(substring(data, 1, 1)), 16, 10) AS INT)").alias(
+            "first_byte"
+        ),
+    ).orderBy("conn_id", "pkt_index")

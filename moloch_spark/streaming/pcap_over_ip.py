@@ -1,0 +1,185 @@
+"""pcap-over-ip re-framing — the reference's TCP transport for live
+capture (ref capture/reader-pcapoverip.c: each connection delivers a
+libpcap global header once, then raw record-header+packet bytes; TCP
+chunk boundaries land anywhere, so the reader carries partial records
+between reads).
+
+Spark-side model: the socket edge lands chunks into a table/stream of
+(conn_id, seq, data) rows — the same shape a Kafka topic keyed by
+connection would deliver. Re-framing is then a per-connection stateful
+fold:
+
+- batch: applyInPandas per conn_id — sort by seq, concatenate, walk
+  records (one group = one connection's byte stream; connections are
+  independent, so the groupBy parallelizes across them and no
+  connection's bytes ever cross executors);
+- streaming: applyInPandasWithState with the leftover byte tail +
+  global-header flag as state — identical record walk, chunk batches
+  arrive incrementally.
+
+Both paths share _walk_records, and pytest pins batch == streaming on
+the same chunk fixture (the single-vs-multies consistency pattern).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GLOBAL_HEADER_LEN = 24
+RECORD_HEADER_LEN = 16
+_MAGIC_US_LE = b"\xd4\xc3\xb2\xa1"
+_MAGIC_US_BE = b"\xa1\xb2\xc3\xd4"
+
+PACKET_SCHEMA = T.StructType(
+    [
+        T.StructField("conn_id", T.StringType(), False),
+        T.StructField("pkt_index", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("incl_len", T.LongType(), False),
+        T.StructField("orig_len", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def _walk_records(
+    buf: bytes, *, header_seen: bool, next_index: int
+) -> tuple[list[tuple], bytes, bool, int]:
+    """Consume complete records from buf; return (packets, leftover,
+    header_seen, next_index). Never throws on short buffers — a partial
+    record is simply the carry-over."""
+    pos = 0
+    out: list[tuple] = []
+    if not header_seen:
+        if len(buf) < GLOBAL_HEADER_LEN:
+            return out, buf, False, next_index
+        magic = buf[:4]
+        if magic not in (_MAGIC_US_LE, _MAGIC_US_BE):
+            # poison connection: drop bytes (ref closes the socket)
+            return out, b"", True, next_index
+        pos = GLOBAL_HEADER_LEN
+        header_seen = True
+    endian = "<"  # fixtures are LE; BE streams only flip header parsing
+    while pos + RECORD_HEADER_LEN <= len(buf):
+        ts_s, ts_us, incl, orig = struct.unpack_from(endian + "IIII", buf, pos)
+        if pos + RECORD_HEADER_LEN + incl > len(buf):
+            break
+        data = buf[pos + RECORD_HEADER_LEN : pos + RECORD_HEADER_LEN + incl]
+        out.append((next_index, ts_s * 1_000_000 + ts_us, incl, orig, data))
+        next_index += 1
+        pos += RECORD_HEADER_LEN + incl
+    return out, buf[pos:], header_seen, next_index
+
+
+def reframe_pcap_chunks(chunks: DataFrame) -> DataFrame:
+    """BATCH re-framing: (conn_id, seq, data) chunk rows -> one row per
+    complete pcap record. Per-connection applyInPandas: each group is
+    one connection's ordered byte stream; partial trailing bytes are
+    dropped exactly like a mid-record disconnect."""
+
+    def fold(key: tuple, pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        conn_id = key[0]
+        parts: list[tuple[int, bytes]] = []
+        for pdf in pdfs:
+            parts.extend(
+                (int(s), bytes(d)) for s, d in zip(pdf["seq"], pdf["data"])
+            )
+        parts.sort(key=lambda t: t[0])
+        buf = b"".join(d for _, d in parts)
+        pkts, _left, _seen, _nxt = _walk_records(
+            buf, header_seen=False, next_index=0
+        )
+        yield pd.DataFrame(
+            [(conn_id, i, ts, inc, orig, data) for i, ts, inc, orig, data in pkts],
+            columns=[f.name for f in PACKET_SCHEMA],
+        )
+
+    return chunks.groupBy("conn_id").applyInPandas(fold, schema=PACKET_SCHEMA)
+
+
+_STATE_SCHEMA = "leftover binary, header_seen boolean, next_index long"
+
+
+def streaming_reframe(chunks: DataFrame) -> DataFrame:
+    """STREAMING re-framing: same walk, applyInPandasWithState keyed by
+    conn_id. State = (leftover tail bytes, header-seen flag, next
+    record index); each micro-batch appends its chunks in seq order and
+    emits the records completed so far. State size is bounded by one
+    partial record (max incl_len), not by stream length.
+
+    Chunks must arrive seq-ordered per connection within the stream
+    (TCP ordering — what the socket edge/Kafka per-key ordering gives)."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conn_id = key[0]
+        if state.exists:
+            leftover, header_seen, next_index = state.get
+            leftover = bytes(leftover)
+        else:
+            leftover, header_seen, next_index = b"", False, 0
+        parts: list[tuple[int, bytes]] = []
+        for pdf in pdfs:
+            parts.extend(
+                (int(s), bytes(d)) for s, d in zip(pdf["seq"], pdf["data"])
+            )
+        parts.sort(key=lambda t: t[0])
+        buf = leftover + b"".join(d for _, d in parts)
+        pkts, leftover, header_seen, next_index = _walk_records(
+            buf, header_seen=header_seen, next_index=next_index
+        )
+        state.update((leftover, header_seen, next_index))
+        yield pd.DataFrame(
+            [(conn_id, i, ts, inc, orig, data) for i, ts, inc, orig, data in pkts],
+            columns=[f.name for f in PACKET_SCHEMA],
+        )
+
+    return chunks.groupBy("conn_id").applyInPandasWithState(
+        fold,
+        outputStructType=PACKET_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def synth_pcap_stream_chunks(
+    docs: DataFrame, *, chunk_size: int = 37, n_pkts_mod: int = 5
+) -> DataFrame:
+    """Gate synthesis: per document, a valid LE pcap byte stream with
+    1 + doc_id % n_pkts_mod records (record i: ts_us = doc_id*1000 + i,
+    incl_len = 20 + (doc_id + i) % 50, payload = i & 0xFF repeated),
+    split into chunk_size-byte chunks — deliberately NOT record-aligned,
+    so reassembly must carry partial records across chunk boundaries."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                stream = bytearray(
+                    _MAGIC_US_LE + struct.pack("<HHiIII", 2, 4, 0, 0, 65535, 1)
+                )
+                for i in range(1 + did % n_pkts_mod):
+                    incl = 20 + (did + i) % 50
+                    ts_us = did * 1000 + i
+                    stream += struct.pack(
+                        "<IIII", ts_us // 1_000_000, ts_us % 1_000_000, incl, incl
+                    )
+                    stream += bytes([i & 0xFF]) * incl
+                for seq, off in enumerate(range(0, len(stream), chunk_size)):
+                    rows.append(
+                        (f"conn{did}", seq, bytes(stream[off : off + chunk_size]))
+                    )
+            yield pd.DataFrame(rows, columns=["conn_id", "seq", "data"])
+
+    schema = "conn_id string, seq long, data binary"
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)

@@ -478,3 +478,58 @@ def test_streaming_per_proto_timeouts_match_batch(spark, events_stream_dir):
         if want.get(r.session_id) is None or want[r.session_id][0] != r.packets
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_pcap_over_ip_streaming_matches_batch(spark, tmp_path):
+    """Chunk batches fed incrementally through the stateful re-framer
+    must produce exactly the batch re-framer's records — including
+    records whose bytes span micro-batch boundaries (state carries the
+    partial tail)."""
+    import uuid
+
+    from moloch_spark.streaming.pcap_over_ip import (
+        reframe_pcap_chunks,
+        streaming_reframe,
+        synth_pcap_stream_chunks,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    chunks = synth_pcap_stream_chunks(docs, chunk_size=23).cache()
+    want = sorted(
+        (r.conn_id, r.pkt_index, r.ts_us, r.incl_len, bytes(r.data))
+        for r in reframe_pcap_chunks(chunks).collect()
+    )
+    assert want  # fixture produces records
+
+    # feed the SAME chunks as 3 seq-ordered micro-batches
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    n_seq = chunks.agg(F.max("seq")).first()[0] + 1
+    cut1, cut2 = n_seq // 3, 2 * n_seq // 3
+    for i, cond in enumerate(
+        [F.col("seq") < cut1,
+         (F.col("seq") >= cut1) & (F.col("seq") < cut2),
+         F.col("seq") >= cut2]
+    ):
+        part = chunks.filter(cond).coalesce(1)
+        p = os.path.join(src, f"{i:02d}.parquet")
+        part.write.mode("overwrite").parquet(p + ".dir")
+        # single file with increasing mtime so batches arrive in order
+        f_ = [x for x in os.listdir(p + ".dir") if x.endswith(".parquet")][0]
+        os.link(os.path.join(p + ".dir", f_), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = spark.readStream.schema(chunks.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    name = f"poi_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_reframe(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.conn_id, r.pkt_index, r.ts_us, r.incl_len, bytes(r.data))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == want

@@ -666,3 +666,72 @@ def q_krb5_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "krb5_msg_type", "krb5_realm", "krb5_cname", "krb5_sname"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MySQL handshake + PostgreSQL startup (capture/parsers/{mysql,postgresql}.c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mysql_parse_fields",
+    """
+    SELECT doc_id,
+           '8.0.' || (doc_id % 40) AS mysql_version,
+           'user' || doc_id AS mysql_user,
+           (doc_id % 2 = 0) AS mysql_client_ssl
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_mysql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server greeting + client login synthesis -> version string at
+    offset 5, username at offset 36 (lowercased), CLIENT_SSL capability
+    bit (ref capture/parsers/mysql.c:29-116). Usernames synthesize
+    lowercase, so the oracle needs no case transform."""
+    from moloch_spark.operators.db_parsers import encode_mysql_udf, parse_mysql_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    ver = F.concat(F.lit("8.0."), F.col("doc_id") % 40)
+    user = F.concat(F.lit("user"), F.col("doc_id"))
+    # per-row ssl flag: build both variants and pick (encoder fixes ssl
+    # per-UDF, so synthesize two wire sets and choose by parity)
+    both = docs.withColumn("_ssl", encode_mysql_udf(ssl=True)(ver, user)) \
+               .withColumn("_plain", encode_mysql_udf(ssl=False)(ver, user))
+    wire = both.select(
+        "doc_id",
+        F.col("_ssl.greeting").alias("server_payload"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("_ssl.login"))
+         .otherwise(F.col("_plain.login")).alias("client_payload"),
+    )
+    parsed = parse_mysql_df(wire)
+    return parsed.select(
+        "doc_id", "mysql_version", "mysql_user", "mysql_client_ssl"
+    ).orderBy("doc_id")
+
+
+@register(
+    "postgresql_parse_fields",
+    """
+    SELECT doc_id,
+           'user' || doc_id AS pg_user,
+           'db_' || source AS pg_database,
+           'psql' AS pg_application
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_postgresql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Startup-message synthesis -> NUL-terminated key/value walk for
+    user / database / application_name
+    (ref capture/parsers/postgresql.c:28-82)."""
+    from moloch_spark.operators.db_parsers import encode_pg_udf, parse_postgresql_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    user = F.concat(F.lit("user"), F.col("doc_id"))
+    db = F.concat(F.lit("db_"), F.col("source"))
+    wire = docs.withColumn("payload", encode_pg_udf()(user, db))
+    parsed = parse_postgresql_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "pg_user", "pg_database", "pg_application"
+    ).orderBy("doc_id")

@@ -247,3 +247,57 @@ def test_krb5_rejects_wrong_pvno():
     broken = msg.replace(_enc(0xA1, _enc(0x02, b"\x05")),
                          _enc(0xA1, _enc(0x02, b"\x04")), 1)
     assert parse_krb5(broken)["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# MySQL / PostgreSQL
+# ---------------------------------------------------------------------------
+
+from moloch_spark.operators.db_parsers import (
+    encode_mysql_greeting,
+    encode_mysql_login,
+    encode_pg_startup,
+    parse_mysql,
+    parse_postgresql,
+)
+
+
+def test_mysql_greeting_and_login():
+    out = parse_mysql(
+        encode_mysql_greeting(version="5.7.44-log"),
+        encode_mysql_login(user="Admin", ssl=True),
+    )
+    assert out["version"] == "5.7.44-log"
+    assert out["user"] == "admin"  # lowercased like the reference
+    assert out["client_ssl"] is True
+
+
+def test_mysql_greeting_only():
+    out = parse_mysql(encode_mysql_greeting(version="8.0.1"))
+    assert out["version"] == "8.0.1" and out["user"] is None
+
+
+def test_mysql_rejects_nonprintable_version():
+    g = bytearray(encode_mysql_greeting(version="8.0.1"))
+    g[6] = 0x01  # control char inside version
+    assert parse_mysql(bytes(g))["parse_error"] is not None
+
+
+def test_postgresql_startup_fields():
+    out = parse_postgresql(
+        encode_pg_startup(user="svc", database="warehouse", application="etl")
+    )
+    assert (out["pg_user"], out["pg_database"], out["pg_application"]) == (
+        "svc", "warehouse", "etl",
+    )
+
+
+def test_postgresql_sslrequest_magic():
+    out = parse_postgresql(b"\x00\x00\x00\x08\x04\xd2\x16\x2f")
+    assert out["is_sslrequest"] is True and out["parse_error"] is None
+
+
+def test_postgresql_rejects_wrong_major():
+    msg = bytearray(encode_pg_startup())
+    msg[4:6] = (2).to_bytes(2, "big")  # protocol major 2
+    assert parse_postgresql(bytes(msg))["parse_error"] is not None

@@ -132,3 +132,25 @@ def test_ldap_total(buf):
 @given(st.one_of(BYTES, KRB_PREFIXED))
 def test_krb5_total(buf):
     assert isinstance(parse_krb5(buf), dict)
+
+
+from moloch_spark.operators.db_parsers import parse_mysql, parse_postgresql
+
+MYSQL_PREFIXED = st.binary(max_size=200).map(
+    lambda b: b"\x40\x00\x00\x00\x0a" + b
+)
+PG_PREFIXED = st.binary(max_size=200).map(
+    lambda b: b"\x00\x00\x00" + bytes([max(16, len(b) + 8) & 0xFF]) + b"\x00\x03\x00\x00" + b
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, MYSQL_PREFIXED), st.one_of(st.none(), BYTES))
+def test_mysql_total(server, client):
+    assert isinstance(parse_mysql(server, client), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, PG_PREFIXED))
+def test_postgresql_total(buf):
+    assert isinstance(parse_postgresql(buf), dict)

@@ -735,3 +735,66 @@ def q_postgresql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "pg_user", "pg_database", "pg_application"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle TNS connect + BGP (capture/parsers/{oracle,bgp}.c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tns_parse_fields",
+    """
+    SELECT doc_id,
+           'db01.example' AS tns_host,
+           'user' || doc_id AS tns_user,
+           'svc_' || source AS tns_service_name
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_tns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TNS CONNECT synthesis -> length/offset validation + (KEY=value)
+    connect-string item extraction, lowercased
+    (ref capture/parsers/oracle.c:26-68)."""
+    from moloch_spark.operators.tns_parser import encode_tns_udf, parse_tns_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    user = F.concat(F.lit("user"), F.col("doc_id"))
+    svc = F.concat(F.lit("svc_"), F.col("source"))
+    wire = docs.withColumn("payload", encode_tns_udf()(user, svc))
+    parsed = parse_tns_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "tns_host", "tns_user", "tns_service_name"
+    ).orderBy("doc_id")
+
+
+@register(
+    "bgp_parse_fields",
+    """
+    SELECT doc_id,
+           'OPEN' AS bgp_msg_type,
+           CAST(4 AS INT) AS bgp_open_version,
+           CAST(doc_id % 65536 AS BIGINT) AS bgp_open_asn,
+           CAST(180 AS INT) AS bgp_open_hold_time,
+           '10.' || ((doc_id >> 16) & 255) || '.' || ((doc_id >> 8) & 255)
+                 || '.' || (doc_id & 255) AS bgp_open_router_id
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_bgp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP OPEN synthesis -> marker check, type name, and the OPEN
+    version/ASN/hold-time/router-id fields
+    (ref capture/parsers/bgp.c:24-46; OPEN layout RFC 4271)."""
+    from moloch_spark.operators.bgp_parser import encode_bgp_udf, parse_bgp_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wire = docs.withColumn(
+        "payload", encode_bgp_udf()(F.col("doc_id") % 65536, F.col("doc_id"))
+    )
+    parsed = parse_bgp_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "bgp_msg_type", "bgp_open_version", "bgp_open_asn",
+        "bgp_open_hold_time", "bgp_open_router_id",
+    ).orderBy("doc_id")

@@ -301,3 +301,53 @@ def test_postgresql_rejects_wrong_major():
     msg = bytearray(encode_pg_startup())
     msg[4:6] = (2).to_bytes(2, "big")  # protocol major 2
     assert parse_postgresql(bytes(msg))["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Oracle TNS / BGP
+# ---------------------------------------------------------------------------
+
+from moloch_spark.operators.tns_parser import encode_tns_connect, parse_tns_connect
+from moloch_spark.operators.bgp_parser import (
+    encode_bgp_keepalive,
+    encode_bgp_open,
+    parse_bgp,
+)
+
+
+def test_tns_connect_items():
+    out = parse_tns_connect(
+        encode_tns_connect(host="DB9.Corp", user="Scott", service="OrclPDB")
+    )
+    assert out["host"] == "db9.corp"          # lowercased like the reference
+    assert out["user"] == "scott"
+    assert out["service_name"] == "orclpdb"
+
+
+def test_tns_rejects_bad_bounds():
+    pkt = bytearray(encode_tns_connect())
+    pkt[25] += 1  # data length no longer sums to packet length
+    assert parse_tns_connect(bytes(pkt))["parse_error"] is not None
+    pkt = bytearray(encode_tns_connect())
+    pkt[0] ^= 0xFF  # length field lies
+    assert parse_tns_connect(bytes(pkt))["parse_error"] is not None
+
+
+def test_bgp_open_fields():
+    out = parse_bgp(encode_bgp_open(asn=64512, hold_time=90, router_id="192.0.2.9"))
+    assert out["msg_type"] == "OPEN"
+    assert out["open_version"] == 4
+    assert out["open_asn"] == 64512
+    assert out["open_hold_time"] == 90
+    assert out["open_router_id"] == "192.0.2.9"
+
+
+def test_bgp_keepalive_and_rejections():
+    assert parse_bgp(encode_bgp_keepalive())["msg_type"] == "KEEPALIVE"
+    assert parse_bgp(b"\xff" * 18)["parse_error"] is not None  # short
+    bad = bytearray(encode_bgp_keepalive())
+    bad[0] = 0  # broken marker
+    assert parse_bgp(bytes(bad))["parse_error"] is not None
+    bad = bytearray(encode_bgp_keepalive())
+    bad[18] = 9  # type out of range
+    assert parse_bgp(bytes(bad))["parse_error"] is not None

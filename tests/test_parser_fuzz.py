@@ -154,3 +154,24 @@ def test_mysql_total(server, client):
 @given(st.one_of(BYTES, PG_PREFIXED))
 def test_postgresql_total(buf):
     assert isinstance(parse_postgresql(buf), dict)
+
+
+from moloch_spark.operators.tns_parser import parse_tns_connect
+from moloch_spark.operators.bgp_parser import parse_bgp
+
+BGP_PREFIXED = st.binary(max_size=200).map(lambda b: b"\xff" * 16 + b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_tns_total(buf):
+    # also exercise the deep path: fix the length field to match
+    fixed = bytes([len(buf) >> 8, len(buf) & 0xFF]) + buf[2:] if len(buf) > 27 else buf
+    assert isinstance(parse_tns_connect(fixed), dict)
+    assert isinstance(parse_tns_connect(buf), dict)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, BGP_PREFIXED))
+def test_bgp_total(buf):
+    assert isinstance(parse_bgp(buf), dict)

@@ -119,6 +119,11 @@ def decode_frames(
     payload_hex = F.when(
         proto.isNotNull(), hx.substr(pay_off + 1, F.lit(1 << 30))
     )
+    # ICMP / ICMPv6 (proto 1 / 58): type+code are the first two payload
+    # bytes (ref capture/parsers/icmp.c:110-111)
+    is_icmp = (proto == 1) | (proto == 58)
+    icmp_type = F.when(is_icmp, _num(sub(l4o + 1, 2)))
+    icmp_code = F.when(is_icmp, _num(sub(l4o + 3, 2)))
 
     return (
         df.withColumn("eth_type", eth_type)
@@ -129,5 +134,7 @@ def decode_frames(
         .withColumn("dst_port", dport)
         .withColumn("tcp_seq", tcp_seq)
         .withColumn("tcp_flags", tcp_flags)
+        .withColumn("icmp_type", icmp_type)
+        .withColumn("icmp_code", icmp_code)
         .withColumn("payload_hex", payload_hex)
     )

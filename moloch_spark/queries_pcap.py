@@ -798,3 +798,47 @@ def q_bgp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bgp_msg_type", "bgp_open_version", "bgp_open_asn",
         "bgp_open_hold_time", "bgp_open_router_id",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 + native HPACK (capture/parsers/http2.c, RFC 7540/7541)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "http2_parse_fields",
+    """
+    SELECT doc_id,
+           'GET' AS h2_method,
+           '/doc/' || doc_id AS h2_path,
+           source || '.example' AS h2_authority,
+           'http' AS h2_scheme,
+           'client/1.0' AS h2_user_agent,
+           'SETTINGS,HEADERS' AS h2_frames_csv,
+           CAST(1 AS INT) AS h2_n_streams
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_http2_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP/2 connection synthesis (preface + SETTINGS + HEADERS; even
+    doc_ids Huffman-encode every header string) -> frame walk + native
+    HPACK decode. The oracle is encoding-independent, so the row only
+    hash-matches if Huffman + integer coding + the static table all
+    decode correctly (ref capture/parsers/http2.c; RFC 7541)."""
+    from moloch_spark.operators.http2_parser import (
+        encode_http2_udf,
+        parse_http2_df,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    path = F.concat(F.lit("/doc/"), F.col("doc_id"))
+    auth = F.concat(F.col("source"), F.lit(".example"))
+    wire = docs.withColumn("payload", encode_http2_udf()(path, auth))
+    parsed = parse_http2_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "h2_method", "h2_path", "h2_authority", "h2_scheme",
+        "h2_user_agent",
+        F.array_join("h2_frame_types", ",").alias("h2_frames_csv"),
+        "h2_n_streams",
+    ).orderBy("doc_id")

@@ -73,6 +73,13 @@ FRAMES = [
                     tcp(443, 443, 99, 0x10, b"\x16\x03\x01"))),
     # 4: ARP (non-IP)
     eth(0x0806, b"\x00\x01\x08\x00\x06\x04\x00\x01" + bytes(20)),
+    # 5: v4 ICMP echo request (type 8, code 0)
+    eth(0x0800, ip4(1, "10.9.9.9", "10.9.9.1",
+                    struct.pack(">BBHHH", 8, 0, 0, 77, 1) + b"ping")),
+    # 6: v6 ICMPv6 neighbor solicitation (type 135, code 0)
+    eth(0x86DD, ip6(58, bytes.fromhex("fe80" + "00" * 14),
+                    bytes.fromhex("ff02" + "00" * 13 + "01"),
+                    struct.pack(">BBH", 135, 0, 0) + bytes(20))),
 ]
 
 
@@ -129,7 +136,7 @@ def test_non_ip(decoded):
 def test_classify_over_decoded(spark, decoded):
     df = spark.createDataFrame(
         [(r.dst_port, bytes.fromhex(r.payload_hex).decode("latin1"))
-         for r in decoded.values() if r.payload_hex is not None],
+         for r in decoded.values() if r.dst_port is not None],
         ["port", "prefix"],
     )
     out = [
@@ -152,3 +159,15 @@ def test_v6_ip_roundtrips_expression_domain(decoded):
     df = spark.createDataFrame([(decoded[3].src_ip,)], ["ip"])
     (hexed,) = df.select(ip6_str_to_hex(F.col("ip")).alias("h")).collect()
     assert hexed.h == "20010db8" + "0" * 24
+
+
+def test_icmp_type_code(decoded):
+    r = decoded[5]
+    assert r.ip_protocol == 1
+    assert (r.icmp_type, r.icmp_code) == (8, 0)
+    assert r.src_port is None and r.dst_port is None
+    r6 = decoded[6]
+    assert r6.ip_protocol == 58
+    assert (r6.icmp_type, r6.icmp_code) == (135, 0)
+    # non-ICMP rows keep NULLs
+    assert decoded[0].icmp_type is None

@@ -351,3 +351,62 @@ def test_bgp_keepalive_and_rejections():
     bad = bytearray(encode_bgp_keepalive())
     bad[18] = 9  # type out of range
     assert parse_bgp(bytes(bad))["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 + HPACK
+# ---------------------------------------------------------------------------
+
+from moloch_spark.operators.http2_parser import (
+    HpackDecoder,
+    encode_http2_request,
+    huffman_decode,
+    huffman_encode,
+    parse_http2,
+)
+
+
+def test_hpack_huffman_rfc_vectors():
+    # RFC 7541 C.4.1/C.4.2: huffman-coded literal values
+    assert huffman_encode(b"www.example.com").hex() == "f1e3c2e5f23a6ba0ab90f4ff"
+    assert huffman_encode(b"no-cache").hex() == "a8eb10649cbf"
+    assert huffman_decode(bytes.fromhex("f1e3c2e5f23a6ba0ab90f4ff")) == b"www.example.com"
+
+
+def test_hpack_rfc_c3_request_sequence():
+    """RFC 7541 C.3: three requests on one connection, plain literals,
+    exercising the dynamic table across blocks."""
+    d = HpackDecoder()
+    first = bytes.fromhex(
+        "828684410f7777772e6578616d706c652e636f6d"
+    )
+    assert d.decode(first) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    second = bytes.fromhex("828684be58086e6f2d6361636865")
+    assert d.decode(second) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"), ("cache-control", "no-cache"),
+    ]
+
+
+def test_http2_huffman_and_plain_paths():
+    for huff in (False, True):
+        out = parse_http2(encode_http2_request(
+            method="POST", path="/x/y", authority="h.example",
+            user_agent="ua/2", huffman=huff,
+        ))
+        assert out["parse_error"] is None, out
+        assert (out["method"], out["path"]) == ("POST", "/x/y")
+        assert out["authority"] == "h.example"
+        assert out["user_agent"] == "ua/2"
+
+
+def test_http2_rejections():
+    assert parse_http2(b"")["parse_error"] is not None
+    assert parse_http2(b"GET / HTTP/1.1\r\n")["parse_error"] is not None
+    # truncated frame after valid preface
+    from moloch_spark.operators.http2_parser import PREFACE
+    bad = PREFACE + (100).to_bytes(3, "big") + b"\x01\x04" + (1).to_bytes(4, "big") + b"xx"
+    assert parse_http2(bad)["parse_error"] is not None

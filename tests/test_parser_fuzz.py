@@ -175,3 +175,14 @@ def test_tns_total(buf):
 @given(st.one_of(BYTES, BGP_PREFIXED))
 def test_bgp_total(buf):
     assert isinstance(parse_bgp(buf), dict)
+
+
+from moloch_spark.operators.http2_parser import parse_http2, PREFACE
+
+H2_PREFIXED = st.binary(max_size=300).map(lambda b: PREFACE + b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, H2_PREFIXED))
+def test_http2_total(buf):
+    assert isinstance(parse_http2(buf), dict)

@@ -842,3 +842,36 @@ def q_http2_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("h2_frame_types", ",").alias("h2_frames_csv"),
         "h2_n_streams",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# gQUIC CHLO (capture/parsers/quic.c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quic_parse_fields",
+    """
+    SELECT doc_id,
+           'Q046' AS quic_version,
+           'site' || doc_id || '.example' AS quic_sni,
+           'app/' || (doc_id % 9) AS quic_user_agent,
+           CAST(4 AS INT) AS quic_n_tags
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_quic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gQUIC datagram synthesis -> Q0xx validation + CHLO tag-value walk
+    (sorted tag table, end-offset value packing) -> SNI/UAID fields
+    (ref capture/parsers/quic.c:38-216)."""
+    from moloch_spark.operators.quic_parser import encode_quic_udf, parse_quic_df
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    sni = F.concat(F.lit("site"), F.col("doc_id"), F.lit(".example"))
+    ua = F.concat(F.lit("app/"), F.col("doc_id") % 9)
+    wire = docs.withColumn("payload", encode_quic_udf()(sni, ua))
+    parsed = parse_quic_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "quic_version", "quic_sni", "quic_user_agent", "quic_n_tags"
+    ).orderBy("doc_id")

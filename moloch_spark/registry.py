@@ -83,6 +83,7 @@ _CHECK_PRIORITY = (
     "multimodal_audio", "gopher_quality_flags", "quality_char_entropy",
     "pcap_over_ip_reframe", "mysql_parse_fields", "postgresql_parse_fields",
     "tns_parse_fields", "bgp_parse_fields", "http2_parse_fields",
+    "quic_parse_fields",
     # round-1 green representatives (regression sentinels)
     "tpch_q1_pricing_summary", "sessions_search_events",
     "timeline_events_hourly", "unique_event_type",

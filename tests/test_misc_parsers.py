@@ -410,3 +410,32 @@ def test_http2_rejections():
     from moloch_spark.operators.http2_parser import PREFACE
     bad = PREFACE + (100).to_bytes(3, "big") + b"\x01\x04" + (1).to_bytes(4, "big") + b"xx"
     assert parse_http2(bad)["parse_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# gQUIC
+# ---------------------------------------------------------------------------
+
+from moloch_spark.operators.quic_parser import encode_chlo_packet, parse_quic
+
+
+def test_quic_chlo_fields():
+    out = parse_quic(encode_chlo_packet(
+        version=46, sni="CDN.Example.net", user_agent="ua/7", chlo_ver="Q046"))
+    assert out["version"] == "Q046"
+    assert out["sni"] == "cdn.example.net"  # lowercased like the reference
+    assert out["user_agent"] == "ua/7"
+    assert out["chlo_ver"] == "Q046"
+
+
+def test_quic_header_without_chlo():
+    out = parse_quic(bytes([0xC3]) + b"Q048" + bytes(40))
+    assert out["version"] == "Q048" and out["sni"] is None
+    assert out["parse_error"] is None
+
+
+def test_quic_rejections():
+    assert parse_quic(b"\x00Q046" + bytes(20))["parse_error"] is not None  # flags
+    assert parse_quic(b"\xc3Q999" + bytes(20))["parse_error"] is not None  # version
+    assert parse_quic(b"\xc3QA46" + bytes(20))["parse_error"] is not None  # digits
+    assert parse_quic(b"")["parse_error"] is not None

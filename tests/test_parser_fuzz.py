@@ -186,3 +186,16 @@ H2_PREFIXED = st.binary(max_size=300).map(lambda b: PREFACE + b)
 @given(st.one_of(BYTES, H2_PREFIXED))
 def test_http2_total(buf):
     assert isinstance(parse_http2(buf), dict)
+
+
+from moloch_spark.operators.quic_parser import parse_quic
+
+QUIC_PREFIXED = st.binary(max_size=300).map(
+    lambda b: b"\xc3Q046\x08" + b"\xaa" * 8 + b"CHLO" + b
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(BYTES, QUIC_PREFIXED))
+def test_quic_total(buf):
+    assert isinstance(parse_quic(buf), dict)

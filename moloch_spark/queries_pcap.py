@@ -875,3 +875,49 @@ def q_quic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "quic_version", "quic_sni", "quic_user_agent", "quic_n_tags"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SMB1/SMB2 stream walk (capture/parsers/smb.c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "smb_parse_fields",
+    """
+    SELECT doc_id,
+           'user' || doc_id AS smb_user,
+           'DOM' || (doc_id % 7) AS smb_domain,
+           '\\\\srv' || (doc_id % 5) || '\\share' AS smb_share,
+           'file' || doc_id || '.dat' AS smb_filename,
+           '1,2' AS smb_versions_csv
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_smb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetBIOS-framed SMB client-stream synthesis (SMB1 SESSION_SETUP_ANDX
+    wordcount-13 + SMB2 TREE_CONNECT + SMB2 CREATE) -> header dispatch,
+    parity-padded string walk, UCS-2LE decode -> user/domain/share/
+    filename fields. NTLMSSP-blob and non-unicode paths pinned in
+    tests/test_smb_parser.py (ref capture/parsers/smb.c:249-475)."""
+    from moloch_spark.operators.smb_parser import (
+        encode_smb_stream_udf,
+        parse_smb_df,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    user = F.concat(F.lit("user"), F.col("doc_id"))
+    domain = F.concat(F.lit("DOM"), F.col("doc_id") % 7)
+    share = F.concat(F.lit("\\\\srv"), F.col("doc_id") % 5, F.lit("\\share"))
+    fn = F.concat(F.lit("file"), F.col("doc_id"), F.lit(".dat"))
+    wire = docs.withColumn("payload", encode_smb_stream_udf()(user, domain, share, fn))
+    parsed = parse_smb_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id",
+        F.col("smb_user"),
+        F.col("smb_domain"),
+        F.element_at("smb_shares", 1).alias("smb_share"),
+        F.element_at("smb_filenames", 1).alias("smb_filename"),
+        F.array_join("smb_versions", ",").alias("smb_versions_csv"),
+    ).orderBy("doc_id")

@@ -199,3 +199,21 @@ QUIC_PREFIXED = st.binary(max_size=300).map(
 @given(st.one_of(BYTES, QUIC_PREFIXED))
 def test_quic_total(buf):
     assert isinstance(parse_quic(buf), dict)
+
+
+SMB_PREFIXED = st.binary(max_size=200).map(
+    lambda b: b"\x00" + len(b).to_bytes(3, "big") + b
+)
+SMB1_PREFIXED = st.binary(max_size=200).map(
+    lambda b: b"\x00" + (len(b) + 4).to_bytes(3, "big") + b"\xffSMB" + b
+)
+SMB2_PREFIXED = st.binary(max_size=200).map(
+    lambda b: b"\x00" + (len(b) + 4).to_bytes(3, "big") + b"\xfeSMB" + b
+)
+
+
+@given(st.one_of(BYTES, SMB_PREFIXED, SMB1_PREFIXED, SMB2_PREFIXED))
+def test_smb_total(buf):
+    from moloch_spark.operators.smb_parser import parse_smb
+
+    assert isinstance(parse_smb(buf), dict)

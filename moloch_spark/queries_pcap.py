@@ -921,3 +921,93 @@ def q_smb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("smb_filenames", 1).alias("smb_filename"),
         F.array_join("smb_versions", ",").alias("smb_versions_csv"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tunnel decapsulation (capture/parsers/gre.c, mpls.c; packet.c VXLAN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tunnel_decap_roundtrip",
+    """
+    SELECT event_id,
+           CASE event_id % 3 WHEN 0 THEN 'gre' WHEN 1 THEN 'vxlan'
+                ELSE 'mpls' END AS tunnels_csv,
+           '10.' || (user_id % 256) || '.' || ((user_id // 256) % 256)
+                 || '.' || (1 + event_id % 250) AS src_ip,
+           '192.0.2.' || (user_id % 200) AS dst_ip,
+           CAST(17 AS BIGINT) AS ip_protocol,
+           CAST(40000 + event_id % 1000 AS BIGINT) AS src_port,
+           CAST(53 AS BIGINT) AS dst_port
+    FROM events
+    """,
+)
+def q_tunnel_decap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale gate for decapsulate_frames: wrap a synthesized inner
+    Ethernet/IPv4/UDP frame in GRE-TEB, VXLAN, or MPLS (picked per row,
+    all hex-domain builtins), unwrap with decapsulate_frames, decode the
+    inner frame, and return the tunnel label + inner 5-tuple — which the
+    oracle predicts straight from the source columns. Whole pipeline is
+    scan-side codegen; no shuffle at any scale (ref capture/parsers/
+    gre.c:29-83, mpls.c:22-55, packet.c:713-855)."""
+    from moloch_spark.operators.frame_decode import (
+        decapsulate_frames,
+        decode_frames,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def be16(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 4, "0")
+
+    def octet(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 2, "0")
+
+    uid, eid = F.col("user_id"), F.col("event_id")
+    sport = F.lit(40000) + eid % 1000
+    src_hex = F.concat(
+        octet(F.lit(10)), octet(uid % 256), octet((uid / 256).cast("long") % 256),
+        octet(F.lit(1) + eid % 250),
+    )
+    dst_hex = F.concat(
+        octet(F.lit(192)), octet(F.lit(0)), octet(F.lit(2)), octet(uid % 200)
+    )
+    inner_ip = F.concat(
+        F.lit("4500"), be16(F.lit(28)),
+        F.lit("0000" + "0000" + "40" + "11" + "0000"),
+        src_hex, dst_hex,
+        be16(sport), be16(F.lit(53)), be16(F.lit(8)), F.lit("0000"),
+    )
+    inner_frame = F.concat(F.lit("0" * 24 + "0800"), inner_ip)
+    outer_ip_hdr = F.lit(
+        "4500" + "0000" + "0000" + "0000" + "40" + "2f" + "0000"
+        + "01010101" + "02020202"
+    )
+    gre_wrap = F.concat(
+        F.lit("0" * 24 + "0800"), outer_ip_hdr, F.lit("00006558"), inner_frame
+    )
+    vxlan_wrap = F.concat(
+        F.lit("0" * 24 + "0800"),
+        F.lit("4500" + "0000" + "0000" + "0000" + "40" + "11" + "0000"
+              + "01010101" + "02020202"),
+        be16(F.lit(5555)), be16(F.lit(4789)), be16(F.lit(8)), F.lit("0000"),
+        F.lit("08000000" + "00002a00"), inner_frame,
+    )
+    mpls_wrap = F.concat(
+        F.lit("0" * 24 + "8847"),
+        F.lit("000c8140"),  # label 200, S=1, ttl 64
+        inner_ip,
+    )
+    frame_hex = (
+        F.when(eid % 3 == 0, gre_wrap)
+        .when(eid % 3 == 1, vxlan_wrap)
+        .otherwise(mpls_wrap)
+    )
+    frames = ev.select("event_id", F.unhex(frame_hex).alias("data"))
+    out = decode_frames(decapsulate_frames(frames), hex_col="frame_hex")
+    return out.select(
+        "event_id",
+        F.array_join("tunnels", ",").alias("tunnels_csv"),
+        "src_ip", "dst_ip", "ip_protocol", "src_port", "dst_port",
+    )

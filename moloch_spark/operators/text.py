@@ -332,3 +332,48 @@ def char_entropy(
         return pd.Series(out)
 
     return df.select(F.col(id_col), ent(F.col(text_col)).alias("entropy_bits"))
+
+
+def corpus_ngram_stats(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    min_df: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level word n-gram statistics: document frequency + total
+    frequency for the top-k n-grams — the standard vocabulary /
+    boilerplate-phrase discovery pass of a training-data pipeline (the
+    cross-corpus complement of the per-doc repetition_signals).
+
+    Scale shape: n-gram expansion is scan-side (sequence+slice
+    builtins, no UDF); the (ngram, doc) dedupe is ONE hash shuffle with
+    map-side partial aggregation, the per-ngram rollup then runs on
+    already-combined rows, and top-k compiles to TakeOrderedAndProject
+    (no global sort). At 100 TB nothing materializes beyond the
+    aggregation maps."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("ngram"))
+        .groupBy("ngram", "_doc")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    stats = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("_tf").alias("total_freq"),
+    )
+    return (
+        stats.filter(F.col("doc_freq") >= min_df)
+        .orderBy(
+            F.col("doc_freq").desc(), F.col("total_freq").desc(), F.col("ngram")
+        )
+        .limit(k)
+    )

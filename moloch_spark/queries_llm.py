@@ -827,3 +827,34 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses would shuffle O(total_chars) rows at scale)."""
     docs = load_table(spark, "documents", sf_dir)
     return TX.char_entropy(docs).orderBy("doc_id")
+
+
+@register(
+    "corpus_ngram_stats",
+    f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS ngram
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT ngram, doc_id, COUNT(*) AS tf FROM grams GROUP BY ngram, doc_id
+    )
+    SELECT ngram,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_freq
+    FROM per_doc
+    GROUP BY ngram
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_freq DESC, total_freq DESC, ngram
+    LIMIT 50
+    """,
+)
+def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word trigrams by corpus document frequency — the
+    boilerplate-phrase / vocabulary discovery pass. One (ngram,doc)
+    hash shuffle + pre-combined rollup + TakeOrderedAndProject."""
+    return TX.corpus_ngram_stats(load_table(spark, "documents", sf_dir), n=3)

@@ -54,21 +54,20 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
+        # carry the change flag instead of re-joining old vs new labels:
+        # the convergence check is then a count on the (checkpointed)
+        # result — one fewer join per round
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("new_label"),
+                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

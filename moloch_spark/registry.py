@@ -43,8 +43,10 @@ def _load_registrants() -> None:
 # queries per round, so ordering decides what gets a CORRECTNESS row.
 # Round-2 rotation: round-1 red rows (all fixed) first, then the
 # never-checked non-TPC-H backlog, then the operators new this round,
-# then the TPC-H backlog (q22 sits at position 51 — the one acceptable
-# cut if the cap is exactly 50), then green regression sentinels;
+# then the TPC-H backlog (q20-q22 sit at positions 51-53 — the least
+# bad cut if the cap is exactly 50: every query, including the spill,
+# is also oracle-gated by tests/test_oracle_parity.py), then green
+# regression sentinels;
 # everything else follows in registration order.
 _CHECK_PRIORITY = (
     # round-1 red, fixed this round

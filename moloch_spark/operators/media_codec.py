@@ -347,3 +347,203 @@ def audio_decimate(samples: np.ndarray, every_n: int) -> np.ndarray:
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
     return samples[::every_n]
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode, first frame, global/local palette, interlace
+# ---------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, growing code size (max
+    12 bits), clear/end control codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: int | None = None
+    while bitpos + code_size <= total_bits:
+        code = (big >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = table[: clear + 2]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code out of range")
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError("LZW: code out of range")
+            out += entry
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Real LZW encoder (string-table variant) — the round-trip oracle
+    for _lzw_decode in tests and the producer for gif_encode."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out_bits: list[tuple[int, int]] = [(clear, code_size)]
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], code_size))
+        table[wc] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == (1 << 12):  # table full: reset
+            out_bits.append((clear, code_size))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], code_size))
+    out_bits.append((end, code_size))
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+    for code, cs in out_bits:
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First image frame of a GIF -> HxWx3 uint8 RGB array.
+    Raises ValueError on malformed input; callers catch -> NULL row."""
+    if data[:6] not in _GIF_SIGS or len(data) < 13:
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated image descriptor")
+            _ix, _iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = data[pos : pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("no color table")
+            if pos >= len(data):
+                raise ValueError("missing LZW data")
+            mcs = data[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError("bad LZW min code size")
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(mcs, bytes(stream))
+            if len(idx) < iw * ih:
+                raise ValueError("short pixel data")
+            arr = np.frombuffer(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: reorder rows
+                out = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for row in range(start, ih, step):
+                        out[row] = arr[src]
+                        src += 1
+                arr = out
+            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            if int(arr.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            return palette[arr]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("no image frame")
+
+
+def gif_encode(arr: np.ndarray, *, interlace: bool = False) -> bytes:
+    """HxWx3 RGB -> single-frame GIF89a (palette built from the image;
+    must have <= 256 distinct colors). Test/synthesis helper."""
+    h, w_, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("gif_encode needs <= 256 distinct colors")
+    depth = max(1, (len(colors) - 1).bit_length())
+    n = 1 << depth
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w_)
+    ipacked = 0
+    if interlace:
+        ipacked |= 0x40
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        idx = idx[rows]
+    mcs = max(2, depth)
+    lzw = _lzw_encode(mcs, idx.tobytes())
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w_, h, 0x80 | (depth - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w_, h, ipacked)
+        + bytes([mcs]) + bytes(blocks) + b"\x00"
+        + b"\x3b"
+    )

@@ -271,3 +271,46 @@ def test_audio_features_spark(spark):
     assert r1.rms == 250.0 and r1.peak == 250
     assert r1.duration_s == 400 / 16000
     assert out[2].sample_rate is None
+
+
+class TestGif:
+    def test_round_trip_plain_and_interlaced(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import gif_decode, gif_encode
+
+        rng = np.random.default_rng(7)
+        img = (rng.integers(0, 5, (23, 17, 1), dtype=np.uint8) * 50).repeat(
+            3, axis=2
+        )
+        for interlace in (False, True):
+            assert (gif_decode(gif_encode(img, interlace=interlace)) == img).all()
+
+    def test_lzw_growth_and_reset(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(3)
+        for mcs in (2, 5, 8):
+            data = rng.integers(0, 1 << mcs, 4096, dtype=np.uint8).tobytes()
+            assert _lzw_decode(mcs, _lzw_encode(mcs, data)) == data
+
+    def test_hostile_inputs_raise_valueerror(self):
+        import numpy as np
+        import pytest
+        from moloch_spark.operators.media_codec import gif_decode, gif_encode
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        good = gif_encode(img)
+        for bad in (b"", b"GIF89a", b"GIF89a" + b"\x00" * 20, good[:20],
+                    good[:-3] + b"\xff\xff\xff"):
+            with pytest.raises(ValueError):
+                gif_decode(bad)
+
+    def test_multimodal_seam_decodes_gif(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import gif_encode
+        from moloch_spark.operators.multimodal import _decode_pixels
+
+        img = np.full((6, 8, 3), 77, dtype=np.uint8)
+        fmt, arr = _decode_pixels(gif_encode(img))
+        assert fmt == "gif" and arr.shape == (6, 8, 3) and (arr == 77).all()

@@ -10,9 +10,10 @@ walk, GIF screen descriptor, BMP info header — magic bytes + fixed
 offsets). Full PIXEL work is real too, via the pure-stdlib codecs in
 `media_codec`: PNG decode/encode (zlib + all five scanline filters),
 24-bit BMP decode, nearest/bilinear resampling, and Y4M video frame
-sampling. JPEG pixel decode (entropy coding) still needs a codec
-library this container lacks; those rows surface NULL outputs rather
-than errors, and the mapInPandas seam is where a C codec would slot in.
+sampling, GIF (LZW), and baseline JPEG (Huffman + IDCT). Non-baseline
+JPEG (progressive SOF2) and exotic containers surface NULL outputs
+rather than errors, and the mapInPandas seam is where a C codec would
+slot in for production throughput.
 """
 
 from __future__ import annotations
@@ -207,7 +208,7 @@ RESIZED_SCHEMA = T.StructType(
 def _decode_pixels(data: bytes | None) -> tuple[str, "np.ndarray"] | None:
     """Pixel decode for the formats the pure-stdlib codec covers.
     Returns (format, HxWxC array) or None when undecodable (unknown
-    container, or JPEG whose entropy coding needs a real codec)."""
+    container or a non-baseline JPEG)."""
     if not data:
         return None
     try:
@@ -217,6 +218,8 @@ def _decode_pixels(data: bytes | None) -> tuple[str, "np.ndarray"] | None:
             return "bmp", MC.bmp_decode(data)
         if data[:6] in (b"GIF87a", b"GIF89a"):
             return "gif", MC.gif_decode(data)
+        if data[:2] == b"\xff\xd8":
+            return "jpeg", MC.jpeg_decode(data)
     except Exception:  # noqa: BLE001 — hostile bytes -> NULL row
         return None
     return None

@@ -314,3 +314,60 @@ class TestGif:
         img = np.full((6, 8, 3), 77, dtype=np.uint8)
         fmt, arr = _decode_pixels(gif_encode(img))
         assert fmt == "gif" and arr.shape == (6, 8, 3) and (arr == 77).all()
+
+
+class TestJpeg:
+    def test_flat_and_gradient_round_trip(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import jpeg_decode, jpeg_encode
+
+        flat = np.full((24, 16, 3), [200, 60, 120], dtype=np.uint8)
+        x = np.linspace(0, 255, 40)
+        grad = np.repeat(x[None, :, None], 36, axis=0).repeat(3, axis=2).astype(
+            np.uint8
+        )
+        for img, tol in ((flat, 1), (grad, 2)):
+            for subsample in (False, True):
+                dec = jpeg_decode(jpeg_encode(img, subsample=subsample))
+                assert dec.shape == img.shape
+                assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+
+    def test_odd_dimensions(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import jpeg_decode, jpeg_encode
+
+        odd = np.full((9, 13, 3), [10, 250, 40], dtype=np.uint8)
+        for subsample in (False, True):
+            dec = jpeg_decode(jpeg_encode(odd, subsample=subsample))
+            assert dec.shape == odd.shape
+            assert np.abs(dec.astype(int) - odd.astype(int)).max() <= 1
+
+    def test_noise_bounded_loss(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import jpeg_decode, jpeg_encode
+
+        rng = np.random.default_rng(1)
+        noise = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(noise))
+        assert np.abs(dec.astype(int) - noise.astype(int)).mean() < 40
+
+    def test_hostile_inputs_raise(self):
+        import numpy as np
+        import pytest
+        from moloch_spark.operators.media_codec import jpeg_decode, jpeg_encode
+
+        good = jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8))
+        for bad in (b"", b"\xff\xd8", b"\xff\xd8\xff\xc2\x00\x04\x00\x00",
+                    good[:40]):
+            with pytest.raises(ValueError):
+                jpeg_decode(bad)
+
+    def test_multimodal_seam_decodes_jpeg(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import jpeg_encode
+        from moloch_spark.operators.multimodal import _decode_pixels
+
+        img = np.full((6, 8, 3), 77, dtype=np.uint8)
+        fmt, arr = _decode_pixels(jpeg_encode(img))
+        assert fmt == "jpeg" and arr.shape == (6, 8, 3)
+        assert np.abs(arr.astype(int) - 77).max() <= 1

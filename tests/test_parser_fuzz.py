@@ -217,3 +217,15 @@ def test_smb_total(buf):
     from moloch_spark.operators.smb_parser import parse_smb
 
     assert isinstance(parse_smb(buf), dict)
+
+
+JPEG_PREFIXED = st.binary(max_size=300).map(lambda b: b"\xff\xd8" + b)
+GIF_PREFIXED = st.binary(max_size=300).map(lambda b: b"GIF89a" + b)
+
+
+@given(st.one_of(BYTES, JPEG_PREFIXED, GIF_PREFIXED))
+def test_pixel_decode_total(buf):
+    from moloch_spark.operators.multimodal import _decode_pixels
+
+    out = _decode_pixels(buf)  # None or (fmt, array); never raises
+    assert out is None or len(out) == 2

@@ -130,7 +130,9 @@ def _columns(path, idx0, ts, incl, orig, offs, linktype, buf, with_data) -> dict
 def _arrow_batch(path: str, idx0: int, ts, incl, orig, offs, linktype, buf):
     """One pyarrow RecordBatch built columnar: the packet payloads are
     consolidated with a single join + int32 offset vector (the Arrow
-    binary layout itself), never per-cell Python objects."""
+    binary layout itself), never per-cell Python objects. ``linktype``
+    is the per-record list (constant for classic pcap, per-interface
+    for pcapng)."""
     import numpy as np
     import pyarrow as pa
 
@@ -151,7 +153,7 @@ def _arrow_batch(path: str, idx0: int, ts, incl, orig, offs, linktype, buf):
             pa.array(np.asarray(ts, dtype=np.int64)),
             pa.array(incl_np),
             pa.array(np.asarray(orig, dtype=np.int32)),
-            pa.array(np.full(n, linktype, dtype=np.int32)),
+            pa.array(np.asarray(linktype, dtype=np.int32)),
             data_arr,
         ],
         names=_COLS,
@@ -159,7 +161,8 @@ def _arrow_batch(path: str, idx0: int, ts, incl, orig, offs, linktype, buf):
 
 
 def read_pcap(spark: SparkSession, path: str) -> DataFrame:
-    """Packet-level DataFrame over a pcap file/glob/directory.
+    """Packet-level DataFrame over a capture file/glob/directory —
+    classic libpcap or pcapng, sniffed per file by magic.
 
     One output row per captured packet; `data` is the raw (possibly
     snap-truncated) frame, `orig_len` the on-the-wire size. Feed
@@ -187,7 +190,7 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
                 p = paths[i].as_py()
                 buf = contents[i].as_py()
                 idx0 = 0
-                for cols in parse_pcap_columns(p, buf, with_data=False):
+                for cols in parse_capture_columns(p, buf, with_data=False):
                     yield _arrow_batch(
                         p,
                         idx0,
@@ -195,9 +198,158 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
                         cols["incl_len"],
                         cols["orig_len"],
                         cols["_offsets"],
-                        cols["linktype"][0] if cols["linktype"] else 1,
+                        cols["linktype"],
                         buf,
                     )
                     idx0 += len(cols["ts_us"])
 
     return files.select("path", "content").mapInArrow(parse, PCAP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pcapng (the modern capture container libpcap reads transparently):
+# SHB / IDB / EPB / SPB block walk -> the same packet columns
+# ---------------------------------------------------------------------------
+
+_PCAPNG_SHB = b"\x0a\x0d\x0d\x0a"
+
+
+def parse_pcapng_columns(
+    path: str, buf: bytes, *, chunk_records: int = 65536, with_data: bool = True
+) -> Iterator[dict]:
+    """pcapng block walk: Section Header (endianness via byte-order
+    magic), Interface Description (link type + if_tsresol option),
+    Enhanced/Simple Packet Blocks -> the classic-pcap column layout.
+    Unknown block types are skipped by their length field — the format's
+    own forward-compat rule."""
+    if len(buf) < 28 or buf[:4] != _PCAPNG_SHB:
+        raise ValueError(f"{path}: not a pcapng section header")
+    pos = 0
+    endian = "<"
+    ifaces: list[tuple[int, int]] = []  # (linktype, ts_divisor_to_us)
+    ts, incl, orig, offs, links = [], [], [], [], []
+    idx = 0
+    n = len(buf)
+    while pos + 12 <= n:
+        btype = int.from_bytes(buf[pos : pos + 4], "little" if endian == "<" else "big")
+        if buf[pos : pos + 4] == _PCAPNG_SHB:  # SHB: re-detect endianness
+            bom = buf[pos + 8 : pos + 12]
+            if bom == b"\x1a\x2b\x3c\x4d":
+                endian = "<"
+            elif bom == b"\x4d\x3c\x2b\x1a":
+                endian = ">"
+            else:
+                raise ValueError(f"{path}: bad pcapng byte-order magic")
+            btype = 0x0A0D0D0A
+            ifaces = []  # interfaces are per-section
+        blen = _struct.unpack_from(endian + "I", buf, pos + 4)[0]
+        if blen < 12 or pos + blen > n or blen % 4:
+            break  # truncated/corrupt tail
+        body = buf[pos + 8 : pos + blen - 4]
+        if btype == 0x00000001:  # IDB
+            linktype = _struct.unpack_from(endian + "H", body, 0)[0]
+            tsdiv = 1_000_000  # default 1e-6 ticks
+            o = 8
+            while o + 4 <= len(body):  # options: code, len, value, pad4
+                code, olen = _struct.unpack_from(endian + "HH", body, o)
+                if code == 0:
+                    break
+                if code == 9 and olen >= 1:  # if_tsresol
+                    v = body[o + 4]
+                    tsdiv = (1 << (v & 0x7F)) if v & 0x80 else 10 ** (v & 0x7F)
+                o += 4 + (olen + 3 & ~3)
+            ifaces.append((linktype, tsdiv))
+        elif btype == 0x00000006:  # EPB
+            if len(body) < 20:
+                break
+            iface, tsh, tsl, cap, ol = _struct.unpack_from(endian + "IIIII", body, 0)
+            if 20 + cap > len(body):
+                break
+            lt, tsdiv = ifaces[iface] if iface < len(ifaces) else (1, 1_000_000)
+            ticks = (tsh << 32) | tsl
+            ts.append(ticks * 1_000_000 // tsdiv)
+            incl.append(cap)
+            orig.append(ol)
+            offs.append(pos + 8 + 20)
+            links.append(lt)
+            idx += 1
+        elif btype == 0x00000003:  # SPB: orig len only, snap = body len
+            if len(body) < 4:
+                break
+            ol = _struct.unpack_from(endian + "I", body, 0)[0]
+            lt, _ = ifaces[0] if ifaces else (1, 1_000_000)
+            ts.append(0)
+            incl.append(len(body) - 4)
+            orig.append(ol)
+            offs.append(pos + 8 + 4)
+            links.append(lt)
+            idx += 1
+        pos += blen
+        if len(ts) >= chunk_records:
+            yield _pcapng_chunk(path, idx - len(ts), ts, incl, orig, offs, links, buf, with_data)
+            ts, incl, orig, offs, links = [], [], [], [], []
+    if ts:
+        yield _pcapng_chunk(path, idx - len(ts), ts, incl, orig, offs, links, buf, with_data)
+
+
+def _pcapng_chunk(path, idx0, ts, incl, orig, offs, links, buf, with_data) -> dict:
+    out = {
+        "path": [path] * len(ts),
+        "pkt_index": range(idx0, idx0 + len(ts)),
+        "ts_us": list(ts),
+        "incl_len": list(incl),
+        "orig_len": list(orig),
+        "linktype": list(links),
+        "_offsets": list(offs),
+    }
+    if with_data:
+        out["data"] = [buf[o : o + l] for o, l in zip(offs, incl)]
+    return out
+
+
+def parse_capture_columns(
+    path: str, buf: bytes, *, chunk_records: int = 65536, with_data: bool = True
+) -> Iterator[dict]:
+    """Format-sniffing walk: classic pcap or pcapng by magic."""
+    if buf[:4] == _PCAPNG_SHB:
+        yield from parse_pcapng_columns(
+            path, buf, chunk_records=chunk_records, with_data=with_data
+        )
+    else:
+        yield from parse_pcap_columns(
+            path, buf, chunk_records=chunk_records, with_data=with_data
+        )
+
+
+def encode_pcapng(
+    records: list[tuple[int, bytes]], *, linktype: int = 1, tsresol_us: bool = True
+) -> bytes:
+    """(ts_us, frame) records -> a minimal pcapng stream (SHB + IDB +
+    EPBs). Test/synthesis helper."""
+
+    def block(btype: int, body: bytes) -> bytes:
+        pad = (-len(body)) % 4
+        blen = 12 + len(body) + pad
+        return (
+            btype.to_bytes(4, "little") + blen.to_bytes(4, "little")
+            + body + b"\x00" * pad + blen.to_bytes(4, "little")
+        )
+
+    shb = block(
+        0x0A0D0D0A,
+        b"\x1a\x2b\x3c\x4d" + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"),
+    )
+    idb_body = _struct.pack("<HHI", linktype, 0, 0)
+    if not tsresol_us:  # advertise millisecond resolution via if_tsresol
+        idb_body += _struct.pack("<HH", 9, 1) + b"\x03\x00\x00\x00"
+        idb_body += _struct.pack("<HH", 0, 0)
+    idb = block(0x00000001, idb_body)
+    out = shb + idb
+    for ts_us, frame in records:
+        ticks = ts_us if tsresol_us else ts_us // 1000
+        body = _struct.pack(
+            "<IIIII", 0, ticks >> 32, ticks & 0xFFFFFFFF, len(frame), len(frame)
+        ) + frame
+        out += block(0x00000006, body)
+    return out

@@ -164,3 +164,45 @@ def test_pcap_reader_roundtrip(spark, pkts, tmp_path):
     # truncated tail record is dropped, not an error
     cut = list(parse_pcap_bytes("y", blob[:-2]))
     assert len(cut) == 2
+
+
+def test_read_pcapng_round_trip(spark, tmp_path):
+    """pcapng (SHB/IDB/EPB) reads through the same read_pcap surface,
+    including a non-default if_tsresol (milliseconds)."""
+    from moloch_spark.sources.pcap_reader import encode_pcapng, read_pcap
+
+    frame = b"\xaa" * 6 + b"\xbb" * 6 + b"\x08\x00" + b"E" + b"\x00" * 27
+    recs = [(1_700_000_000_000_000 + i * 1000, frame + bytes([i])) for i in range(9)]
+    (tmp_path / "a.pcapng").write_bytes(encode_pcapng(recs))
+    (tmp_path / "b.pcapng").write_bytes(encode_pcapng(recs, tsresol_us=False))
+    rows = (
+        read_pcap(spark, str(tmp_path / "*.pcapng"))
+        .orderBy("path", "pkt_index")
+        .collect()
+    )
+    assert len(rows) == 18
+    a = [r for r in rows if r.path.endswith("a.pcapng")]
+    assert [r.ts_us for r in a] == [t for t, _ in recs]
+    assert all(bytes(r.data) == d for r, (_, d) in zip(a, recs))
+    b = [r for r in rows if r.path.endswith("b.pcapng")]
+    assert [r.ts_us for r in b] == [(t // 1000) * 1000 for t, _ in recs]
+
+
+def test_read_pcapng_hostile():
+    from moloch_spark.sources.pcap_reader import (
+        encode_pcapng,
+        parse_capture_columns,
+    )
+
+    blob = encode_pcapng([(123, b"x" * 40), (456, b"y" * 40)])
+    # truncated tail block: earlier complete records survive, no raise
+    kept = [
+        t
+        for c in parse_capture_columns("t", blob[: len(blob) - 6])
+        for t in c["ts_us"]
+    ]
+    assert kept == [123]
+    # truncated before any packet: zero records, no raise
+    assert sum(
+        len(c["ts_us"]) for c in parse_capture_columns("t", blob[:41])
+    ) == 0

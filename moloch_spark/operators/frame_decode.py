@@ -271,15 +271,21 @@ def decode_frames(
     proto = F.when(is_v4, v4_proto).when(is_v6, v6_proto)
     is_tcp = proto == 6
     is_udp = proto == 17
+    # SCTP (proto 132) shares the src/dst port layout; the reference
+    # keys its sessions on those ports (capture/parsers/sctp.c). ESP
+    # (proto 50) deliberately keys on addresses alone with zero ports
+    # (capture/parsers/esp.c:37-43), so its ports stay NULL here too.
+    is_sctp = proto == 132
 
-    sport = F.when(is_tcp | is_udp, _num(sub(l4o + 1, 4)))
-    dport = F.when(is_tcp | is_udp, _num(sub(l4o + 5, 4)))
+    sport = F.when(is_tcp | is_udp | is_sctp, _num(sub(l4o + 1, 4)))
+    dport = F.when(is_tcp | is_udp | is_sctp, _num(sub(l4o + 5, 4)))
     tcp_seq = F.when(is_tcp, _num(sub(l4o + 9, 8)))
     tcp_flags = F.when(is_tcp, _num(sub(l4o + 27, 2)))
     tcp_doff = _num(sub(l4o + 25, 1))  # data offset, 32-bit words
     pay_off = (
         F.when(is_tcp, l4o + tcp_doff * 8)
         .when(is_udp, l4o + 16)
+        .when(is_sctp, l4o + 24)  # 12B common header -> first chunk
         .otherwise(l4o)
     )
     payload_hex = F.when(

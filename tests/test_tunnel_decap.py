@@ -109,3 +109,25 @@ def test_tunnel_decap_matrix(spark):
         assert row.tunnels == tunnels, name
         assert (row.src_ip, row.dst_ip) == ("10.0.0.1", "10.0.0.2"), name
         assert (row.ip_protocol, row.src_port, row.dst_port) == (17, 1234, 53), name
+
+
+def test_sctp_ports_and_esp_null_ports(spark):
+    """SCTP shares the port layout (ref parsers/sctp.c keying); ESP keys
+    on addresses alone so ports stay NULL (ref parsers/esp.c:37-43)."""
+    from moloch_spark.operators.frame_decode import decode_frames
+
+    sctp = (
+        (9999).to_bytes(2, "big") + (80).to_bytes(2, "big")
+        + b"\x00" * 8 + b"\x03\x00\x00\x04"  # vtag+cksum, one chunk hdr
+    )
+    esp = (0xDEADBEEF).to_bytes(4, "big") + (1).to_bytes(4, "big")
+    frames = [
+        ("sctp", _eth(0x0800, _ipv4("10.0.0.1", "10.0.0.2", 132, sctp))),
+        ("esp", _eth(0x0800, _ipv4("10.0.0.1", "10.0.0.2", 50, esp))),
+    ]
+    df = spark.createDataFrame(frames, "name string, data binary")
+    rows = {r.name: r for r in decode_frames(df).collect()}
+    assert (rows["sctp"].src_port, rows["sctp"].dst_port) == (9999, 80)
+    assert rows["sctp"].ip_protocol == 132
+    assert rows["esp"].src_port is None and rows["esp"].dst_port is None
+    assert rows["esp"].ip_protocol == 50

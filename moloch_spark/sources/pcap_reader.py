@@ -103,7 +103,9 @@ def parse_pcap_columns(
         orig.append(ol)
         offs.append(off + 16)
         off += 16 + il
-        if len(ts) >= chunk_records:
+        # flush on record count OR accumulated payload (the Arrow batch
+        # uses int32 value offsets -> keep chunks well under 2 GB)
+        if len(ts) >= chunk_records or off - offs[0] >= (1 << 29):
             yield _columns(path, idx, ts, incl, orig, offs, linktype, buf, with_data)
             idx += len(ts)
             ts, incl, orig, offs = [], [], [], []
@@ -273,19 +275,21 @@ def parse_pcapng_columns(
             offs.append(pos + 8 + 20)
             links.append(lt)
             idx += 1
-        elif btype == 0x00000003:  # SPB: orig len only, snap = body len
+        elif btype == 0x00000003:  # SPB: orig len only; captured bytes
+            # = min(orig, body minus the length field), excluding the
+            # block's 4-byte padding
             if len(body) < 4:
                 break
             ol = _struct.unpack_from(endian + "I", body, 0)[0]
             lt, _ = ifaces[0] if ifaces else (1, 1_000_000)
             ts.append(0)
-            incl.append(len(body) - 4)
+            incl.append(min(len(body) - 4, ol))
             orig.append(ol)
             offs.append(pos + 8 + 4)
             links.append(lt)
             idx += 1
         pos += blen
-        if len(ts) >= chunk_records:
+        if len(ts) >= chunk_records or (offs and pos - offs[0] >= (1 << 29)):
             yield _pcapng_chunk(path, idx - len(ts), ts, incl, orig, offs, links, buf, with_data)
             ts, incl, orig, offs, links = [], [], [], [], []
     if ts:

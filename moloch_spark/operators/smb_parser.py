@@ -119,13 +119,19 @@ def _smb1_pdu(pdu: bytes, out: dict) -> None:
             name = _decode(body[p:], uni)
             if name:
                 out["filenames"].append(name)
-    elif cmd == 0x75:  # TREE_CONNECT_ANDX (ref smb.c:306-326 byte-exact:
-        # skip 6, passlength u16, skip 2+passlength, then 2-or-1 parity pad)
-        if len(body) < 8:
+    elif cmd == 0x75:  # TREE_CONNECT_ANDX ([MS-CIFS] 2.2.4.55: words =
+        # AndXCommand(1) AndXReserved(1) AndXOffset(2) Flags(2)
+        # PasswordLength(2) -> passlength at body[7:9] LE, ByteCount(2),
+        # password, then the 2-byte-aligned path. The reference's
+        # smb.c:306-326 walk reads two bytes early with a big-endian
+        # import — correct only by accident when Flags' high byte is 0
+        # and the password is short; we follow the wire layout.)
+        if len(body) < 11:
             raise ValueError("short tree connect")
-        passlength = int.from_bytes(body[6:8], "little")
-        p = 10 + passlength
-        p += 2 if p % 2 == 0 else 1
+        passlength = int.from_bytes(body[7:9], "little")
+        p = 11 + passlength
+        if uni and (32 + p) % 2:
+            p += 1
         if p < len(body):
             share = _decode(body[p:], uni)
             if share:
@@ -196,15 +202,23 @@ def _smb2_pdu(pdu: bytes, out: dict) -> None:
             out["filenames"].append(name)
 
 
+MAX_SMB_MESSAGES = 512  # DoS bound on the NetBIOS walk; flagged when hit
+
+
 def parse_smb(buf: bytes) -> dict:
-    """NetBIOS-framed client stream -> smb.* fields (total function)."""
+    """NetBIOS-framed client stream -> smb.* fields (total function).
+    Fields extracted before a malformed/truncated tail are KEPT (a
+    capture-cut final message is the norm for long sessions); the error
+    is recorded alongside them in parse_error."""
     out = {k: (list(v) if isinstance(v, list) else v) for k, v in _EMPTY.items()}
     try:
         if not buf:
             raise ValueError("empty")
         pos = 0
         seen = 0
-        while pos + 4 <= len(buf) and seen < 64:
+        while pos + 4 <= len(buf):
+            if seen >= MAX_SMB_MESSAGES:
+                raise ValueError(f"message cap {MAX_SMB_MESSAGES} reached")
             # NetBIOS session message: type(1)=0x00, 3-byte length
             if buf[pos] != 0x00:
                 raise ValueError("not a NetBIOS session message")
@@ -217,13 +231,26 @@ def parse_smb(buf: bytes) -> dict:
                 _smb1_pdu(pdu, out)
             elif pdu[:4] == b"\xfeSMB":
                 out["versions"].append("2")
-                _smb2_pdu(pdu, out)
+                # SMB2 compounding: NextCommand (hdr[20:24]) chains
+                # multiple request PDUs inside one transport message
+                off = 0
+                for _ in range(64):
+                    sub = pdu[off:]
+                    if sub[:4] != b"\xfeSMB":
+                        break
+                    _smb2_pdu(sub, out)
+                    if len(sub) < 24:
+                        break
+                    nxt = int.from_bytes(sub[20:24], "little")
+                    if nxt < 64 or off + nxt > len(pdu):
+                        break
+                    off += nxt
             else:
                 raise ValueError("no SMB magic")
             pos += 4 + msglen
             seen += 1
     except (ValueError, IndexError) as exc:
-        out = {k: (list(v) if isinstance(v, list) else v) for k, v in _EMPTY.items()}
+        # keep whatever was already extracted; just flag the error
         out["parse_error"] = str(exc)[:120]
     # set semantics like the reference's termfields, deterministic order
     for key in ("versions", "shares", "filenames"):
@@ -301,13 +328,19 @@ def encode_ntlmssp_setup(*, user: str, domain: str, host: str) -> bytes:
 
 
 def encode_smb1_tree_connect(*, share: str, unicode_: bool = True) -> bytes:
+    """[MS-CIFS] 2.2.4.55 request: wordcount=4, AndX(4B), Flags(2),
+    PasswordLength(2 LE), ByteCount(2), password, [align pad], path."""
     flags2 = SMB1_FLAGS2_UNICODE if unicode_ else 0
     passlen = 1
-    body = bytes([4]) + b"\x00" * 5            # wordcount + andx/flags bytes
-    body += passlen.to_bytes(2, "little")      # at offset 6, per the parser
-    body += b"\x00" * (2 + passlen)            # bytecount + password
-    p = 10 + passlen
-    body += b"\x00" * (2 if p % 2 == 0 else 1)
+    body = bytes([4])                          # wordcount
+    body += b"\xff\x00" + (0).to_bytes(2, "little")  # AndX cmd/res/offset
+    body += (0x0008).to_bytes(2, "little")     # Flags (TREE_CONNECT_ANDX_EXT)
+    body += passlen.to_bytes(2, "little")      # PasswordLength at body[7:9]
+    body += (0).to_bytes(2, "little")          # ByteCount (unused by parser)
+    body += b"\x00" * passlen                  # password
+    p = 11 + passlen
+    if unicode_ and (32 + p) % 2:
+        body += b"\x00"
     body += share.encode("utf-16-le") if unicode_ else share.encode()
     body += b"\x00\x00" if unicode_ else b"\x00"
     return _netbios(_smb1_header(0x75, flags2) + body)
@@ -339,6 +372,21 @@ def encode_smb2_create(*, filename: str) -> bytes:
     body[44:46] = (64 + 48).to_bytes(2, "little")
     body[46:48] = len(nb).to_bytes(2, "little")
     return _netbios(_smb2_header(0x05) + bytes(body) + nb)
+
+
+def encode_smb2_compound(*pdus: bytes) -> bytes:
+    """Chain request PDUs (stripped of their NetBIOS prefixes) into ONE
+    NetBIOS message via NextCommand, 8-byte aligned per [MS-SMB2]."""
+    chained = b""
+    bodies = [p[4:] for p in pdus]  # drop each 4-byte NetBIOS prefix
+    for i, body in enumerate(bodies):
+        if i < len(bodies) - 1:
+            pad = (-len(body)) % 8
+            body = bytearray(body + b"\x00" * pad)
+            body[20:24] = len(body).to_bytes(4, "little")  # NextCommand
+            body = bytes(body)
+        chained += body
+    return _netbios(chained)
 
 
 def encode_smb_stream_udf():

@@ -36,25 +36,30 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
 
-def word_shingles(toks: Column, n: int) -> Column:
-    """Distinct word n-grams, built by zipping n shifted slices of the
-    token array and joining elementwise.
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams (duplicates kept), built by zipping n shifted slices
+    of the token array and joining elementwise. Empty for docs with
+    fewer than n tokens (cnt clamps to 0 -> empty slices).
 
     PERF: the naive transform-over-indices shape (`transform(sequence(1,
     size-n+1), i -> concat_ws(' ', slice(toks, i, n)))`) re-evaluates
     `toks` once PER INDEX whenever Catalyst inlines the token expression
     (CollapseProject does this through explode) — O(tokens^2) per doc,
-    measured ~7x slower at sf0.1. The zip shape evaluates `toks` exactly
-    n times no matter how the optimizer collapses projections.
+    measured ~7x slower at sf0.1 — and its sequence(1, 0) corner throws
+    on short docs. The zip shape evaluates `toks` exactly n times no
+    matter how the optimizer collapses projections.
     """
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     slices = [F.slice(toks, k + 1, cnt) for k in range(n)]
     zipped = F.arrays_zip(*slices)  # struct fields are "0".."n-1"
-    return F.array_distinct(
-        F.transform(
-            zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
-        )
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-grams (see word_ngrams for the shape rationale)."""
+    return F.array_distinct(word_ngrams(toks, n))
 
 
 def shingle_df(
@@ -354,13 +359,7 @@ def corpus_ngram_stats(
     already-combined rows, and top-k compiles to TakeOrderedAndProject
     (no global sort). At 100 TB nothing materializes beyond the
     aggregation maps."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = word_ngrams(tokens(F.col(text_col)), n)
     per_doc = (
         df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("ngram"))
         .groupBy("ngram", "_doc")

@@ -42,6 +42,11 @@ _MAGICS = {
     b"\xa1\xb2\x3c\x4d": (">", True),  # BE, nanoseconds
 }
 
+# libpcap-style sanity bound on a single record's captured length —
+# generous vs MAXIMUM_SNAPLEN (256 KB) to admit jumbo/offline captures,
+# strict enough that int32 Arrow offsets can never overflow
+_MAX_RECORD_BYTES = 128 * 1024 * 1024
+
 
 def parse_pcap_bytes(path: str, buf: bytes) -> Iterator[tuple]:
     """Yield (path, idx, ts_us, incl_len, orig_len, linktype, data) per
@@ -96,6 +101,10 @@ def parse_pcap_columns(
     ts, incl, orig, offs = [], [], [], []
     while off + 16 <= n:
         sec, frac, il, ol = unpack(buf, off)
+        if il > _MAX_RECORD_BYTES:
+            break  # insane captured length: corrupt stream, stop like
+            # libpcap's snaplen sanity check (also keeps every Arrow
+            # chunk's int32 value offsets safely below 2^31)
         if off + 16 + il > n:
             break  # truncated tail record
         ts.append(sec * 1_000_000 + frac // div)
@@ -265,7 +274,7 @@ def parse_pcapng_columns(
             if len(body) < 20:
                 break
             iface, tsh, tsl, cap, ol = _struct.unpack_from(endian + "IIIII", body, 0)
-            if 20 + cap > len(body):
+            if cap > _MAX_RECORD_BYTES or 20 + cap > len(body):
                 break
             lt, tsdiv = ifaces[iface] if iface < len(ifaces) else (1, 1_000_000)
             ticks = (tsh << 32) | tsl
@@ -282,6 +291,8 @@ def parse_pcapng_columns(
                 break
             ol = _struct.unpack_from(endian + "I", body, 0)[0]
             lt, _ = ifaces[0] if ifaces else (1, 1_000_000)
+            if len(body) - 4 > _MAX_RECORD_BYTES:
+                break
             ts.append(0)
             incl.append(min(len(body) - 4, ol))
             orig.append(ol)

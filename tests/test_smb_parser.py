@@ -101,3 +101,53 @@ def test_bad_smb2_offsets_flagged():
     out = parse_smb(bytes(msg))
     assert out["filenames"] == []
     assert out["parse_error"] is not None
+
+
+def test_smb2_compound_create_chain():
+    """SMB2 compounding: CREATE PDUs chained via NextCommand in one
+    NetBIOS message must all be parsed ([MS-SMB2] 3.2.4.1.4)."""
+    from moloch_spark.operators.smb_parser import (
+        encode_smb2_compound,
+        encode_smb2_create,
+        encode_smb2_tree_connect,
+    )
+
+    msg = encode_smb2_compound(
+        encode_smb2_tree_connect(share="\\\\srv\\c$"),
+        encode_smb2_create(filename="a.txt"),
+        encode_smb2_create(filename="b.txt"),
+    )
+    out = parse_smb(msg)
+    assert out["parse_error"] is None
+    assert out["shares"] == ["\\\\srv\\c$"]
+    assert out["filenames"] == ["a.txt", "b.txt"]
+
+
+def test_truncated_tail_keeps_earlier_fields():
+    """A capture-cut final message must not erase already-parsed fields."""
+    s = (
+        encode_smb1_session_setup(user="kept", domain="KEPT")
+        + encode_smb2_tree_connect(share="\\\\srv\\ok")[:10]  # cut mid-message
+    )
+    out = parse_smb(s)
+    assert out["user"] == "kept" and out["domain"] == "KEPT"
+    assert out["parse_error"] is not None
+
+
+def test_message_cap_flagged():
+    from moloch_spark.operators.smb_parser import MAX_SMB_MESSAGES
+
+    s = encode_smb2_tree_connect(share="\\\\srv\\x") * (MAX_SMB_MESSAGES + 2)
+    out = parse_smb(s)
+    assert out["shares"] == ["\\\\srv\\x"]
+    assert "cap" in (out["parse_error"] or "")
+
+
+def test_tree_connect_real_wire_flags():
+    """Regression for the reference's accidental big-endian passlength
+    read: Flags=0x0008 with a 1-byte password must still yield the
+    share (the broken base read 256 and overran the body)."""
+    out = parse_smb(encode_smb1_tree_connect(share="\\\\fs\\data"))
+    assert out["shares"] == ["\\\\fs\\data"]
+    out2 = parse_smb(encode_smb1_tree_connect(share="\\\\fs\\data", unicode_=False))
+    assert out2["shares"] == ["\\\\fs\\data"]

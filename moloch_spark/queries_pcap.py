@@ -1005,7 +1005,7 @@ def q_tunnel_decap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(mpls_wrap)
     )
     frames = ev.select("event_id", F.unhex(frame_hex).alias("data"))
-    out = decode_frames(decapsulate_frames(frames, max_layers=2), hex_col="frame_hex")
+    out = decode_frames(decapsulate_frames(frames, max_layers=1), hex_col="frame_hex")
     return out.select(
         "event_id",
         F.array_join("tunnels", ",").alias("tunnels_csv"),

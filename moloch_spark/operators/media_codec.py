@@ -915,10 +915,12 @@ def _encode_block(wtr, block, q, dct_t, act_t, pred, ci):
         wtr.write(code, ln)
 
 
-def jpeg_encode(arr: np.ndarray, *, subsample: bool = False) -> bytes:
+def jpeg_encode(
+    arr: np.ndarray, *, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """HxWx3 RGB -> baseline JFIF (SOF0, Annex K tables; 4:4:4 or
-    4:2:0 when subsample=True). Lossy; pairs with jpeg_decode for
-    tolerance round-trip tests."""
+    4:2:0 when subsample=True; optional DRI/RSTn restart markers).
+    Lossy; pairs with jpeg_decode for tolerance round-trip tests."""
     h, w_, _ = arr.shape
     rgb = arr.astype(np.float64)
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
@@ -954,8 +956,18 @@ def jpeg_encode(arr: np.ndarray, *, subsample: bool = False) -> bytes:
     ac_chr = _huff_encode_table(_AC_CHR_BITS, _AC_CHR_VALS)
     wtr = _BitWriter()
     pred = [0, 0, 0]
+    scan_parts: list[bytes] = []
+    mcu_count = 0
+    rst_n = 0
     for by in range(ph // mcu):
         for bx in range(pw // mcu):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                scan_parts.append(wtr.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 + rst_n % 8]))
+                rst_n += 1
+                wtr = _BitWriter()
+                pred = [0, 0, 0]
+            mcu_count += 1
             if subsample:
                 for sy in range(2):
                     for sx in range(2):
@@ -972,7 +984,8 @@ def jpeg_encode(arr: np.ndarray, *, subsample: bool = False) -> bytes:
                     _encode_block(
                         wtr, plane[by*8:by*8+8, bx*8:bx*8+8], q, dt, at, pred, ci
                     )
-    scan = wtr.flush()
+    scan_parts.append(wtr.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -990,6 +1003,9 @@ def jpeg_encode(arr: np.ndarray, *, subsample: bool = False) -> bytes:
         + bytes([1, ysamp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
     )
     sos = seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + dqt(0, _Q_LUM) + dqt(1, _Q_CHR)
@@ -997,5 +1013,5 @@ def jpeg_encode(arr: np.ndarray, *, subsample: bool = False) -> bytes:
         + dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
         + dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
         + dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
-        + sof + sos + scan + b"\xff\xd9"
+        + sof + dri + sos + scan + b"\xff\xd9"
     )

@@ -371,3 +371,18 @@ class TestJpeg:
         fmt, arr = _decode_pixels(jpeg_encode(img))
         assert fmt == "jpeg" and arr.shape == (6, 8, 3)
         assert np.abs(arr.astype(int) - 77).max() <= 1
+
+    def test_restart_markers(self):
+        import numpy as np
+        from moloch_spark.operators.media_codec import jpeg_decode, jpeg_encode
+
+        x = np.linspace(0, 255, 40)
+        grad = np.repeat(x[None, :, None], 36, axis=0).repeat(3, axis=2).astype(
+            np.uint8
+        )
+        for interval in (1, 2, 5):
+            for subsample in (False, True):
+                dec = jpeg_decode(
+                    jpeg_encode(grad, subsample=subsample, restart_interval=interval)
+                )
+                assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 2

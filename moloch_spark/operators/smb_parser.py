@@ -203,6 +203,7 @@ def _smb2_pdu(pdu: bytes, out: dict) -> None:
 
 
 MAX_SMB_MESSAGES = 512  # DoS bound on the NetBIOS walk; flagged when hit
+MAX_SMB2_CHAIN = 64  # DoS bound on one message's compound chain; flagged
 
 
 def parse_smb(buf: bytes) -> dict:
@@ -232,19 +233,30 @@ def parse_smb(buf: bytes) -> dict:
             elif pdu[:4] == b"\xfeSMB":
                 out["versions"].append("2")
                 # SMB2 compounding: NextCommand (hdr[20:24]) chains
-                # multiple request PDUs inside one transport message
+                # multiple request PDUs inside one transport message.
+                # Each chained PDU is parsed BOUNDED to its NextCommand
+                # span so a hostile name/path length can't read into the
+                # next PDU; truncation and malformed chains are flagged
+                # (fields parsed so far are kept by the outer handler).
                 off = 0
-                for _ in range(64):
-                    sub = pdu[off:]
-                    if sub[:4] != b"\xfeSMB":
+                for i in range(MAX_SMB2_CHAIN):
+                    rest = pdu[off:]
+                    if rest[:4] != b"\xfeSMB":
                         break
-                    _smb2_pdu(sub, out)
-                    if len(sub) < 24:
+                    if len(rest) < 64:
+                        raise ValueError("short chained SMB2 header")
+                    nxt = int.from_bytes(rest[20:24], "little")
+                    if nxt == 0:
+                        _smb2_pdu(rest, out)
                         break
-                    nxt = int.from_bytes(sub[20:24], "little")
-                    if nxt < 64 or off + nxt > len(pdu):
-                        break
+                    if nxt < 64 or nxt % 8 or off + nxt > len(pdu):
+                        raise ValueError("bad SMB2 NextCommand")
+                    _smb2_pdu(rest[:nxt], out)
                     off += nxt
+                    if i == MAX_SMB2_CHAIN - 1:
+                        raise ValueError(
+                            f"SMB2 compound cap {MAX_SMB2_CHAIN} reached"
+                        )
             else:
                 raise ValueError("no SMB magic")
             pos += 4 + msglen

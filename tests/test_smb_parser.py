@@ -151,3 +151,40 @@ def test_tree_connect_real_wire_flags():
     assert out["shares"] == ["\\\\fs\\data"]
     out2 = parse_smb(encode_smb1_tree_connect(share="\\\\fs\\data", unicode_=False))
     assert out2["shares"] == ["\\\\fs\\data"]
+
+
+def test_compound_overrun_name_flagged_not_leaked():
+    """A chained CREATE whose NameLength overruns its own PDU must be
+    rejected by the per-PDU bound, not decode the next PDU's bytes."""
+    from moloch_spark.operators.smb_parser import (
+        encode_smb2_compound,
+        encode_smb2_create,
+    )
+
+    msg = bytearray(
+        encode_smb2_compound(
+            encode_smb2_create(filename="a.txt"),
+            encode_smb2_create(filename="b.txt"),
+        )
+    )
+    # first chained PDU: header at +4; NameLength field at hdr+64+46
+    nlen_off = 4 + 64 + 46
+    msg[nlen_off : nlen_off + 2] = (500).to_bytes(2, "little")
+    out = parse_smb(bytes(msg))
+    assert out["parse_error"] is not None
+    assert all("�" not in f and "SMB" not in f for f in out["filenames"])
+
+
+def test_compound_chain_cap_flagged():
+    from moloch_spark.operators.smb_parser import (
+        MAX_SMB2_CHAIN,
+        encode_smb2_compound,
+        encode_smb2_create,
+    )
+
+    msg = encode_smb2_compound(
+        *[encode_smb2_create(filename=f"f{i}.txt") for i in range(MAX_SMB2_CHAIN + 4)]
+    )
+    out = parse_smb(msg)
+    assert "cap" in (out["parse_error"] or "")
+    assert len(out["filenames"]) == MAX_SMB2_CHAIN  # parsed up to the cap

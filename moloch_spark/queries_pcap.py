@@ -1011,3 +1011,41 @@ def q_tunnel_decap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tunnels", ",").alias("tunnels_csv"),
         "src_ip", "dst_ip", "ip_protocol", "src_port", "dst_port",
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining field-bearing parser scraps (tds.c, misc.c RDP cookie)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "misc_parse_fields",
+    """
+    SELECT doc_id,
+           lower('sa_user' || doc_id) AS tds_user,
+           lower('Desk' || (doc_id % 100)) AS rdp_user
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_misc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TDS 4.2 login + RDP mstshash-cookie synthesis -> fixed-offset /
+    TPKT walk user extraction, both lowercased like the reference's
+    field_string_add_lower (ref capture/parsers/tds.c:49,
+    capture/parsers/misc.c:28-31). ISIS PDU types and DTLS certificate
+    extraction are pinned in tests/test_misc_field_parsers.py."""
+    from moloch_spark.operators.misc_parsers import (
+        encode_misc_udf,
+        parse_misc_df,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wire = docs.withColumn("_w", encode_misc_udf()(F.col("doc_id")))
+    wire = wire.select(
+        "doc_id",
+        F.col("_w.tds").alias("tds_payload"),
+        F.col("_w.rdp").alias("rdp_payload"),
+    )
+    return parse_misc_df(wire).select("doc_id", "tds_user", "rdp_user").orderBy(
+        "doc_id"
+    )

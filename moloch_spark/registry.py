@@ -64,6 +64,7 @@ _CHECK_PRIORITY = (
     "tls_ja3_fields", "x509_cert_fields", "decontaminate_ngrams",
     "dedup_semantic_clusters", "ssh_hassh_fields", "smtp_parse_fields",
     "smb_parse_fields", "tunnel_decap_roundtrip", "corpus_ngram_stats",
+    "misc_parse_fields",
     # the full TPC-H backlog fits inside the ~50 cap ahead of the
     # pytest-covered LLM extras (judge round-1 ask: every TPC-H row)
     "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",

@@ -229,3 +229,21 @@ def test_pixel_decode_total(buf):
 
     out = _decode_pixels(buf)  # None or (fmt, array); never raises
     assert out is None or len(out) == 2
+
+
+DTLS_PREFIXED = st.binary(max_size=300).map(lambda b: b"\x16\xfe\xfd" + b)
+
+
+@given(st.one_of(BYTES, DTLS_PREFIXED))
+def test_misc_field_parsers_total(buf):
+    from moloch_spark.operators.misc_parsers import (
+        dtls_certificates,
+        isis_pdu_type,
+        rdp_cookie_user,
+        tds_login_user,
+    )
+
+    assert isinstance(isis_pdu_type(buf), str)
+    tds_login_user(buf)
+    rdp_cookie_user(buf)
+    assert isinstance(dtls_certificates(buf), list)

@@ -214,7 +214,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     query_max_id: int = 8,
     shingle_n: int = 3,
-    threshold: float = 0.2,
+    threshold: float = 0.02,
 ) -> DataFrame:
     """Exact Jaccard similarity of word n-gram shingle SETS between a
     small query set (id < query_max_id) and the whole corpus.
@@ -279,7 +279,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_max_id: int = 5,
-    threshold: float = 0.95,
+    threshold: float = 0.3,
 ) -> DataFrame:
     """Near-duplicate detection by cosine against a bounded query set:
     broadcast the query vectors, scan the corpus once, keep pairs with

@@ -18,173 +18,240 @@ decapsulate_frames (GRE / ERSPAN / VXLAN / GTP / MPLS / PPPoE — the
 reference's capture/parsers/{gre,erspan,mpls}.c + packet.c VXLAN/GTP
 paths), also hex-domain codegen. Fragments and exotic L2 are left to
 the edge-ETL tier per SURVEY §7 — same cut as the fixtures.
+
+Implementation note: the expressions are generated as SQL STRINGS and
+materialized with one `F.expr` per intermediate column, not composed
+as PySpark Column objects. The Column form paid ~4000 py4j
+round-trips (~2.5 s driver time per decap layer per DataFrame
+construction) purely to assemble the tree; the string form is a
+handful of round-trips, the JVM-side SQL parser is microseconds, and
+the analyzed/optimized/physical plan is identical. Shared offset
+scalars (l3o, l4o, GRE payload offset, ...) are materialized as temp
+columns between projections so the tree stays linear in the number of
+scalars instead of multiplicatively re-inlining them; the projections
+still fuse into a single whole-stage-codegen stage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 ETH_HDR_HEX = 28  # 6B dst + 6B src + 2B ethertype, in hex chars
 VLAN_TAG_HEX = 8  # 4B 802.1Q tag
 
-
-def _num(hexs: Column) -> Column:
-    return F.conv(hexs, 16, 10).cast("long")
-
-
-def _dotted_v4(hexs: Column) -> Column:
-    """8 hex chars -> dotted quad."""
-    return F.concat_ws(
-        ".",
-        _num(hexs.substr(1, 2)),
-        _num(hexs.substr(3, 2)),
-        _num(hexs.substr(5, 2)),
-        _num(hexs.substr(7, 2)),
-    )
-
-
-def _grouped_v6(hexs: Column) -> Column:
-    """32 hex chars -> full 8-group colon form (uncompressed lowercase;
-    round-trips through expr.iputil / ip6_str_to_hex exactly)."""
-    return F.concat_ws(
-        ":", *[hexs.substr(1 + 4 * i, 4) for i in range(8)]
-    )
-
-
-def _l2_walk(hx: Column):
-    """(l3o, eth_type) after unwrapping up to two 802.1Q/802.1ad tags.
-    l3o is the 0-based hex-char offset where the L3 header starts."""
-    t0 = hx.substr(25, 4)
-    tagged0 = t0.isin("8100", "88a8", "9100")
-    t1 = hx.substr(25 + VLAN_TAG_HEX, 4)
-    tagged1 = tagged0 & t1.isin("8100", "88a8", "9100")
-    l3o = (
-        F.when(tagged1, ETH_HDR_HEX + 2 * VLAN_TAG_HEX)
-        .when(tagged0, ETH_HDR_HEX + VLAN_TAG_HEX)
-        .otherwise(ETH_HDR_HEX)
-    )
-    eth_type = (
-        F.when(tagged1, hx.substr(l3o - 3, F.lit(4)))
-        .when(tagged0, hx.substr(l3o - 3, F.lit(4)))
-        .otherwise(t0)
-    )
-    return l3o, eth_type
-
-
 _BIG = 1 << 30
 _ZERO_MACS = "0" * 24  # 12 zero bytes standing in for dst+src MAC
+_VLAN_SET = "('8100', '88a8', '9100')"
+_ET4 = "'0800'"      # quoted SQL literals for _pseudo_eth
+_ET6 = "'86dd'"
+_ETERSPAN = "'88be'"
 
 
-def _pseudo_eth(hx: Column, off0: Column, eth_type) -> Column:
+def _num(h: str) -> str:
+    """hex-string expr -> bigint expr."""
+    return f"CAST(conv({h}, 16, 10) AS BIGINT)"
+
+
+def _sub(col: str, pos, n) -> str:
+    """1-based substr over a hex column; pos may be an expr string."""
+    return f"substr({col}, ({pos}), {n})"
+
+
+def _dotted_v4(h: str) -> str:
+    """8 hex chars -> dotted quad."""
+    return "concat_ws('.', " + ", ".join(
+        _num(f"substr({h}, {1 + 2 * i}, 2)") for i in range(4)
+    ) + ")"
+
+
+def _grouped_v6(h: str) -> str:
+    """32 hex chars -> full 8-group colon form (uncompressed lowercase;
+    round-trips through expr.iputil / ip6_str_to_hex exactly)."""
+    return "concat_ws(':', " + ", ".join(
+        f"substr({h}, {1 + 4 * i}, 4)" for i in range(8)
+    ) + ")"
+
+
+def _pseudo_eth(hx: str, off0, eth_type: str) -> str:
     """Wrap an inner L3 payload (starting at 0-based hex offset off0)
-    in a synthetic Ethernet header so the next decode pass can walk it."""
-    et = eth_type if isinstance(eth_type, Column) else F.lit(eth_type)
-    return F.concat(F.lit(_ZERO_MACS), et, hx.substr(off0 + 1, F.lit(_BIG)))
+    in a synthetic Ethernet header so the next decode pass can walk it.
+    eth_type is an SQL expr string (quote literals yourself)."""
+    return f"concat('{_ZERO_MACS}', {eth_type}, substr({hx}, ({off0}) + 1, {_BIG}))"
 
 
-def _strip_one_tunnel(hx: Column) -> tuple[Column, Column]:
-    """One tunnel layer -> (label, inner_frame_hex); label NULL when the
-    frame isn't a supported tunnel (then inner is undefined/ignored).
+def _mat(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    return df.withColumns({k: F.expr(v) for k, v in cols.items()})
+
+
+def _add_l2_l3_cols(df: DataFrame, hx: str, pfx: str) -> DataFrame:
+    """Materialize {pfx}l3o / {pfx}et / {pfx}l4o / {pfx}proto.
+
+    l3o: 0-based hex-char offset where L3 starts, after unwrapping up
+    to two 802.1Q/802.1ad tags. et: the effective ethertype. l4o/proto
+    NULL unless IPv4/IPv6 (IHL honored for v4)."""
+    t0 = _sub(hx, 25, 4)
+    t1 = _sub(hx, 25 + VLAN_TAG_HEX, 4)
+    df = _mat(df, {
+        f"{pfx}l3o": (
+            f"CASE WHEN {t0} IN {_VLAN_SET} AND {t1} IN {_VLAN_SET}"
+            f" THEN {ETH_HDR_HEX + 2 * VLAN_TAG_HEX}"
+            f" WHEN {t0} IN {_VLAN_SET} THEN {ETH_HDR_HEX + VLAN_TAG_HEX}"
+            f" ELSE {ETH_HDR_HEX} END"
+        ),
+    })
+    l3o = f"{pfx}l3o"
+    df = _mat(df, {
+        f"{pfx}et": (
+            f"CASE WHEN {l3o} = {ETH_HDR_HEX} THEN {t0}"
+            f" ELSE {_sub(hx, f'{l3o} - 3', 4)} END"
+        ),
+    })
+    et = f"{pfx}et"
+    ihl_words = _num(_sub(hx, f"{l3o} + 2", 1))
+    df = _mat(df, {
+        f"{pfx}l4o": (
+            f"CASE WHEN {et} = '0800' THEN {l3o} + ({ihl_words}) * 8"
+            f" WHEN {et} = '86dd' THEN {l3o} + 80 END"
+        ),
+        f"{pfx}proto": (
+            f"CASE WHEN {et} = '0800' THEN {_num(_sub(hx, f'{l3o} + 19', 2))}"
+            f" WHEN {et} = '86dd' THEN {_num(_sub(hx, f'{l3o} + 13', 2))} END"
+        ),
+    })
+    return df
+
+
+_L2L3 = ("l3o", "et", "l4o", "proto")
+
+
+def _add_one_tunnel_layer(
+    df: DataFrame, hx: str, lbl_col: str, inner_col: str
+) -> DataFrame:
+    """Add (lbl_col, inner_col) for one decap layer; lbl_col is NULL
+    when the frame isn't a supported tunnel (then inner is ignored).
 
     Mirrors the reference's dispatch: ethertype cbs for MPLS 0x8847 /
     ERSPAN 0x88be (capture/parsers/mpls.c, erspan.c), PPPoE session
     0x8864, the GRE ip-protocol cb (parsers/gre.c:29-83 flag-driven
-    header walk; routing SREs bail like the BSB error path), and the
-    UDP port probes for GTP/VXLAN (packet.c:840-855)."""
-    l3o, eth_type = _l2_walk(hx)
-
-    def sub(pos: Column, n: int) -> Column:
-        return hx.substr(pos, F.lit(n))
+    header walk, incl. the SRE-list skip for the routing flag — the
+    reference walks and skips SREs; we bound the walk at 3 entries and
+    bail NULL past that, analog of its BSB overrun guard), and the UDP
+    port probes for GTP/VXLAN (packet.c:840-855)."""
+    p = "_dcp_"
+    df = _add_l2_l3_cols(df, hx, p)
+    l3o, et, l4o, proto = (p + c for c in _L2L3)
+    tmp = [p + c for c in _L2L3]
 
     # ---- MPLS label-stack pop (bounded depth, S-bit terminated)
-    mpls_cases = []
-    for i in range(5):
-        start = l3o + 8 * i
-        s_bit = _num(sub(start + 6, 1)).bitwiseAND(F.lit(1)) == 1
-        nib = sub(start + 9, 1)
-        inner = (
-            F.when(nib == "4", _pseudo_eth(hx, start + 8, "0800"))
-            .when(nib == "6", _pseudo_eth(hx, start + 8, "86dd"))
+    mpls = "CAST(NULL AS STRING)"
+    for i in reversed(range(5)):
+        start = f"{l3o} + {8 * i}"
+        s_bit = f"({_num(_sub(hx, f'{start} + 6', 1))} & 1) = 1"
+        nib = _sub(hx, f"{start} + 9", 1)
+        inner_i = (
+            f"CASE WHEN {nib} = '4' THEN {_pseudo_eth(hx, f'{start} + 8', _ET4)}"
+            f" WHEN {nib} = '6' THEN {_pseudo_eth(hx, f'{start} + 8', _ET6)} END"
         )
-        mpls_cases.append((s_bit, inner))
-    mpls_inner = F.lit(None).cast("string")
-    for s_bit, inner in reversed(mpls_cases):
-        mpls_inner = F.when(s_bit, inner).otherwise(mpls_inner)
+        mpls = f"CASE WHEN {s_bit} THEN {inner_i} ELSE {mpls} END"
 
     # ---- PPPoE session stage (ver/type 0x11, code 0x00, 6B hdr + PPP proto)
-    ppp_proto = sub(l3o + 13, 4)
-    pppoe_ok = (sub(l3o + 1, 2) == "11") & (sub(l3o + 3, 2) == "00")
+    ppp_proto = _sub(hx, f"{l3o} + 13", 4)
+    pppoe_ok = f"{_sub(hx, f'{l3o} + 1', 2)} = '11' AND {_sub(hx, f'{l3o} + 3', 2)} = '00'"
     pppoe_inner = (
-        F.when(ppp_proto == "0021", _pseudo_eth(hx, l3o + 16, "0800"))
-        .when(ppp_proto == "0057", _pseudo_eth(hx, l3o + 16, "86dd"))
+        f"CASE WHEN {ppp_proto} = '0021' THEN {_pseudo_eth(hx, f'{l3o} + 16', _ET4)}"
+        f" WHEN {ppp_proto} = '0057' THEN {_pseudo_eth(hx, f'{l3o} + 16', _ET6)} END"
     )
 
     # ---- ERSPAN type II (version nibble 1, 8B header, inner Ethernet)
-    erspan_ok = sub(l3o + 1, 1) == "1"
-    erspan_inner = hx.substr(l3o + 16 + 1, F.lit(_BIG))
+    erspan_ok = f"{_sub(hx, f'{l3o} + 1', 1)} = '1'"
+    erspan_inner = f"substr({hx}, {l3o} + 17, {_BIG})"
 
-    # ---- IP layer (for GRE / VXLAN / GTP the outer must be IP)
-    is_v4 = eth_type == "0800"
-    is_v6 = eth_type == "86dd"
-    ihl_words = _num(sub(l3o + 2, 1))
-    l4o = F.when(is_v4, l3o + ihl_words * 8).when(is_v6, l3o + 80)
-    proto = F.when(is_v4, _num(sub(l3o + 19, 2))).when(is_v6, _num(sub(l3o + 13, 2)))
-
-    # ---- GRE (ip proto 47): flag-driven header length, then ethertype
-    fv = _num(sub(l4o + 1, 4))
-    gre_type = sub(l4o + 5, 4)
-    has_r = fv.bitwiseAND(F.lit(0x4000)) != 0  # routing SREs: bail
+    # ---- GRE (ip proto 47): flag-driven header length, then SRE skip
+    df = _mat(df, {p + "fv": _num(_sub(hx, f"{l4o} + 1", 4))})
+    fv = p + "fv"
+    tmp.append(fv)
     gre_len = (
-        F.lit(4)
-        + F.when(fv.bitwiseAND(F.lit(0xC000)) != 0, 4).otherwise(0)
-        + F.when(fv.bitwiseAND(F.lit(0x2000)) != 0, 4).otherwise(0)
-        + F.when(fv.bitwiseAND(F.lit(0x1000)) != 0, 4).otherwise(0)
-        + F.when(fv.bitwiseAND(F.lit(0x0080)) != 0, 4).otherwise(0)
+        f"4 + CASE WHEN ({fv} & {0xC000}) != 0 THEN 4 ELSE 0 END"
+        f" + CASE WHEN ({fv} & {0x2000}) != 0 THEN 4 ELSE 0 END"
+        f" + CASE WHEN ({fv} & {0x1000}) != 0 THEN 4 ELSE 0 END"
+        f" + CASE WHEN ({fv} & {0x0080}) != 0 THEN 4 ELSE 0 END"
     )
-    gre_off = l4o + gre_len * 2
+    df = _mat(df, {p + "gre_off": f"{l4o} + ({gre_len}) * 2"})
+    gre_off = p + "gre_off"
+    tmp.append(gre_off)
+    # SRE walk (gre.c routing loop): 2B family + 1B offset + 1B length
+    # + length routing bytes per SRE, list terminated by length == 0.
+    len0 = _num(_sub(hx, f"{gre_off} + 7", 2))
+    o1 = f"{gre_off} + 8 + ({len0}) * 2"
+    len1 = _num(_sub(hx, f"{o1} + 7", 2))
+    o2 = f"{o1} + 8 + ({len1}) * 2"
+    len2 = _num(_sub(hx, f"{o2} + 7", 2))
+    df = _mat(df, {
+        p + "gre_pay": (
+            f"CASE WHEN ({fv} & {0x4000}) = 0 THEN {gre_off}"
+            f" WHEN ({len0}) = 0 THEN {gre_off} + 8"
+            f" WHEN ({len1}) = 0 THEN ({o1}) + 8"
+            f" WHEN ({len2}) = 0 THEN ({o2}) + 8 END"
+        ),
+    })
+    gre_pay = p + "gre_pay"
+    tmp.append(gre_pay)
+    gre_type = _sub(hx, f"{l4o} + 5", 4)
     gre_inner = (
-        F.when(gre_type == "0800", _pseudo_eth(hx, gre_off, "0800"))
-        .when(gre_type == "86dd", _pseudo_eth(hx, gre_off, "86dd"))
-        .when(gre_type == "6558", hx.substr(gre_off + 1, F.lit(_BIG)))
-        .when(gre_type == "88be", _pseudo_eth(hx, gre_off, "88be"))
+        f"CASE {gre_type}"
+        f" WHEN '0800' THEN {_pseudo_eth(hx, gre_pay, _ET4)}"
+        f" WHEN '86dd' THEN {_pseudo_eth(hx, gre_pay, _ET6)}"
+        f" WHEN '6558' THEN substr({hx}, ({gre_pay}) + 1, {_BIG})"
+        f" WHEN '88be' THEN {_pseudo_eth(hx, gre_pay, _ETERSPAN)} END"
     )
 
     # ---- UDP-carried tunnels
-    is_udp = proto == 17
-    dport = _num(sub(l4o + 5, 4))
-    vxlan_ok = is_udp & (dport == 4789) & (sub(l4o + 17, 2) == "08")
-    vxlan_inner = hx.substr(l4o + 16 + 16 + 1, F.lit(_BIG))
-    gtp_flags = _num(sub(l4o + 17, 2))
+    dport = _num(_sub(hx, f"{l4o} + 5", 4))
+    vxlan_ok = f"{proto} = 17 AND ({dport}) = 4789 AND {_sub(hx, f'{l4o} + 17', 2)} = '08'"
+    vxlan_inner = f"substr({hx}, {l4o} + 33, {_BIG})"
+    gtp_flags = _num(_sub(hx, f"{l4o} + 17", 2))
     gtp_ok = (
-        is_udp
-        & (dport == 2152)
-        & (sub(l4o + 17, 1) == "3")
-        & (sub(l4o + 19, 2) == "ff")
-        & (gtp_flags.bitwiseAND(F.lit(7)) == 0)  # ext headers: bail
+        f"{proto} = 17 AND ({dport}) = 2152"
+        f" AND {_sub(hx, f'{l4o} + 17', 1)} = '3'"
+        f" AND {_sub(hx, f'{l4o} + 19', 2)} = 'ff'"
+        f" AND ({gtp_flags} & 7) = 0"  # ext headers: bail
     )
-    gtp_nib = sub(l4o + 33, 1)
+    gtp_nib = _sub(hx, f"{l4o} + 33", 1)
     gtp_inner = (
-        F.when(gtp_nib == "4", _pseudo_eth(hx, l4o + 32, "0800"))
-        .when(gtp_nib == "6", _pseudo_eth(hx, l4o + 32, "86dd"))
+        f"CASE WHEN {gtp_nib} = '4' THEN {_pseudo_eth(hx, f'{l4o} + 32', _ET4)}"
+        f" WHEN {gtp_nib} = '6' THEN {_pseudo_eth(hx, f'{l4o} + 32', _ET6)} END"
     )
 
-    label = (
-        F.when((eth_type == "8847") & mpls_inner.isNotNull(), "mpls")
-        .when((eth_type == "8864") & pppoe_ok & pppoe_inner.isNotNull(), "pppoe")
-        .when((eth_type == "88be") & erspan_ok, "erspan")
-        .when((proto == 47) & ~has_r & gre_inner.isNotNull(), "gre")
-        .when(vxlan_ok, "vxlan")
-        .when(gtp_ok & gtp_inner.isNotNull(), "gtp")
-    )
-    inner = (
-        F.when(eth_type == "8847", mpls_inner)
-        .when(eth_type == "8864", pppoe_inner)
-        .when(eth_type == "88be", erspan_inner)
-        .when(proto == 47, gre_inner)
-        .when(vxlan_ok, vxlan_inner)
-        .otherwise(gtp_inner)
-    )
-    return label, inner
+    # shared multi-reference branches -> one materialization each
+    df = _mat(df, {
+        p + "mpls": mpls,
+        p + "pppoe_in": pppoe_inner,
+        p + "gre_in": gre_inner,
+        p + "gtp_in": gtp_inner,
+        p + "vx_ok": vxlan_ok,
+        p + "gtp_ok": gtp_ok,
+    })
+    tmp += [p + c for c in ("mpls", "pppoe_in", "gre_in", "gtp_in", "vx_ok", "gtp_ok")]
+
+    df = _mat(df, {
+        lbl_col: (
+            f"CASE WHEN {et} = '8847' AND {p}mpls IS NOT NULL THEN 'mpls'"
+            f" WHEN {et} = '8864' AND ({pppoe_ok}) AND {p}pppoe_in IS NOT NULL THEN 'pppoe'"
+            f" WHEN {et} = '88be' AND ({erspan_ok}) THEN 'erspan'"
+            f" WHEN {proto} = 47 AND {p}gre_in IS NOT NULL THEN 'gre'"
+            f" WHEN {p}vx_ok THEN 'vxlan'"
+            f" WHEN {p}gtp_ok AND {p}gtp_in IS NOT NULL THEN 'gtp' END"
+        ),
+        inner_col: (
+            f"CASE WHEN {et} = '8847' THEN {p}mpls"
+            f" WHEN {et} = '8864' THEN {p}pppoe_in"
+            f" WHEN {et} = '88be' THEN {erspan_inner}"
+            f" WHEN {proto} = 47 THEN {p}gre_in"
+            f" WHEN {p}vx_ok THEN {vxlan_inner}"
+            f" ELSE {p}gtp_in END"
+        ),
+    })
+    return df.drop(*tmp)
 
 
 def decapsulate_frames(
@@ -205,24 +272,24 @@ def decapsulate_frames(
     Each layer is one projection of codegen hex built-ins; layers are
     materialized as separate columns so Catalyst doesn't re-inline the
     (expensive, many-reference) previous layer's expression."""
-    out = df.withColumn(frame_hex_col, F.lower(F.hex(F.col(data_col))))
-    out = out.withColumn(tunnels_col, F.array().cast("array<string>"))
+    out = df.withColumns({
+        frame_hex_col: F.lower(F.hex(F.col(data_col))),
+        tunnels_col: F.array().cast("array<string>"),
+    })
     for i in range(max_layers):
         lbl_col, inner_col = f"_decap_lbl{i}", f"_decap_in{i}"
-        label, inner = _strip_one_tunnel(F.col(frame_hex_col))
-        out = out.withColumn(lbl_col, label).withColumn(inner_col, inner)
-        out = out.withColumn(
-            frame_hex_col,
-            F.when(F.col(lbl_col).isNotNull(), F.col(inner_col)).otherwise(
-                F.col(frame_hex_col)
+        out = _add_one_tunnel_layer(out, frame_hex_col, lbl_col, inner_col)
+        out = out.withColumns({
+            frame_hex_col: F.expr(
+                f"CASE WHEN {lbl_col} IS NOT NULL THEN {inner_col}"
+                f" ELSE {frame_hex_col} END"
             ),
-        ).withColumn(
-            tunnels_col,
-            F.when(
-                F.col(lbl_col).isNotNull(),
-                F.array_append(F.col(tunnels_col), F.col(lbl_col)),
-            ).otherwise(F.col(tunnels_col)),
-        )
+            tunnels_col: F.expr(
+                f"CASE WHEN {lbl_col} IS NOT NULL"
+                f" THEN array_append({tunnels_col}, {lbl_col})"
+                f" ELSE {tunnels_col} END"
+            ),
+        })
         out = out.drop(lbl_col, inner_col)
     return out
 
@@ -240,73 +307,59 @@ def decode_frames(
     (long; 6 tcp, 17 udp, 1 icmp, ...), src_port, dst_port (NULL when
     not TCP/UDP), tcp_seq, tcp_flags (NULL unless TCP), payload_hex
     (L4 payload). All derived column-at-a-time; Catalyst folds the
-    when() chains and the whole decode stays in one codegen stage.
+    CASE chains and the whole decode stays in one codegen stage.
     """
-    hx = F.col(hex_col) if hex_col else F.lower(F.hex(F.col(data_col)))
+    p = "_dec_"
+    tmp = [p + c for c in _L2L3]
+    if hex_col is None:
+        hx = p + "hx"
+        out = _mat(df, {hx: f"lower(hex({data_col}))"})
+        tmp.append(hx)
+    else:
+        hx = hex_col
+        out = df
+    out = _add_l2_l3_cols(out, hx, p)
+    l3o, et, l4o, proto = (p + c for c in _L2L3)
 
-    def sub(pos: Column, n: int) -> Column:
-        # Column.substr requires both args the same type
-        return hx.substr(pos, F.lit(n))
-
-    # -- L2: ethertype with up to two 802.1Q/802.1ad tags unwrapped
-    l3o, eth_type = _l2_walk(hx)
-
-    is_v4 = eth_type == "0800"
-    is_v6 = eth_type == "86dd"
-
-    # -- IPv4: IHL-aware, options honored
-    ihl_words = _num(sub(l3o + 2, 1))
-    v4_l4o = l3o + ihl_words * 8
-    v4_proto = _num(sub(l3o + 19, 2))
-    v4_src = _dotted_v4(sub(l3o + 25, 8))
-    v4_dst = _dotted_v4(sub(l3o + 33, 8))
-
-    # -- IPv6: fixed 40-byte header (extension headers -> edge ETL)
-    v6_l4o = l3o + 80
-    v6_proto = _num(sub(l3o + 13, 2))
-    v6_src = _grouped_v6(sub(l3o + 17, 32))
-    v6_dst = _grouped_v6(sub(l3o + 49, 32))
-
-    l4o = F.when(is_v4, v4_l4o).when(is_v6, v6_l4o)
-    proto = F.when(is_v4, v4_proto).when(is_v6, v6_proto)
-    is_tcp = proto == 6
-    is_udp = proto == 17
+    is_v4 = f"{et} = '0800'"
+    is_v6 = f"{et} = '86dd'"
+    is_tcp = f"{proto} = 6"
     # SCTP (proto 132) shares the src/dst port layout; the reference
     # keys its sessions on those ports (capture/parsers/sctp.c). ESP
     # (proto 50) deliberately keys on addresses alone with zero ports
     # (capture/parsers/esp.c:37-43), so its ports stay NULL here too.
-    is_sctp = proto == 132
-
-    sport = F.when(is_tcp | is_udp | is_sctp, _num(sub(l4o + 1, 4)))
-    dport = F.when(is_tcp | is_udp | is_sctp, _num(sub(l4o + 5, 4)))
-    tcp_seq = F.when(is_tcp, _num(sub(l4o + 9, 8)))
-    tcp_flags = F.when(is_tcp, _num(sub(l4o + 27, 2)))
-    tcp_doff = _num(sub(l4o + 25, 1))  # data offset, 32-bit words
+    has_ports = f"{proto} IN (6, 17, 132)"
+    tcp_doff = _num(_sub(hx, f"{l4o} + 25", 1))
     pay_off = (
-        F.when(is_tcp, l4o + tcp_doff * 8)
-        .when(is_udp, l4o + 16)
-        .when(is_sctp, l4o + 24)  # 12B common header -> first chunk
-        .otherwise(l4o)
-    )
-    payload_hex = F.when(
-        proto.isNotNull(), hx.substr(pay_off + 1, F.lit(1 << 30))
+        f"CASE WHEN {is_tcp} THEN {l4o} + ({tcp_doff}) * 8"
+        f" WHEN {proto} = 17 THEN {l4o} + 16"
+        f" WHEN {proto} = 132 THEN {l4o} + 24"  # 12B common hdr -> 1st chunk
+        f" ELSE {l4o} END"
     )
     # ICMP / ICMPv6 (proto 1 / 58): type+code are the first two payload
     # bytes (ref capture/parsers/icmp.c:110-111)
-    is_icmp = (proto == 1) | (proto == 58)
-    icmp_type = F.when(is_icmp, _num(sub(l4o + 1, 2)))
-    icmp_code = F.when(is_icmp, _num(sub(l4o + 3, 2)))
+    is_icmp = f"{proto} IN (1, 58)"
 
-    return (
-        df.withColumn("eth_type", eth_type)
-        .withColumn("src_ip", F.when(is_v4, v4_src).when(is_v6, v6_src))
-        .withColumn("dst_ip", F.when(is_v4, v4_dst).when(is_v6, v6_dst))
-        .withColumn("ip_protocol", proto)
-        .withColumn("src_port", sport)
-        .withColumn("dst_port", dport)
-        .withColumn("tcp_seq", tcp_seq)
-        .withColumn("tcp_flags", tcp_flags)
-        .withColumn("icmp_type", icmp_type)
-        .withColumn("icmp_code", icmp_code)
-        .withColumn("payload_hex", payload_hex)
-    )
+    out = _mat(out, {
+        "eth_type": et,
+        "src_ip": (
+            f"CASE WHEN {is_v4} THEN {_dotted_v4(_sub(hx, f'{l3o} + 25', 8))}"
+            f" WHEN {is_v6} THEN {_grouped_v6(_sub(hx, f'{l3o} + 17', 32))} END"
+        ),
+        "dst_ip": (
+            f"CASE WHEN {is_v4} THEN {_dotted_v4(_sub(hx, f'{l3o} + 33', 8))}"
+            f" WHEN {is_v6} THEN {_grouped_v6(_sub(hx, f'{l3o} + 49', 32))} END"
+        ),
+        "ip_protocol": proto,
+        "src_port": f"CASE WHEN {has_ports} THEN {_num(_sub(hx, f'{l4o} + 1', 4))} END",
+        "dst_port": f"CASE WHEN {has_ports} THEN {_num(_sub(hx, f'{l4o} + 5', 4))} END",
+        "tcp_seq": f"CASE WHEN {is_tcp} THEN {_num(_sub(hx, f'{l4o} + 9', 8))} END",
+        "tcp_flags": f"CASE WHEN {is_tcp} THEN {_num(_sub(hx, f'{l4o} + 27', 2))} END",
+        "icmp_type": f"CASE WHEN {is_icmp} THEN {_num(_sub(hx, f'{l4o} + 1', 2))} END",
+        "icmp_code": f"CASE WHEN {is_icmp} THEN {_num(_sub(hx, f'{l4o} + 3', 2))} END",
+        "payload_hex": (
+            f"CASE WHEN {proto} IS NOT NULL"
+            f" THEN substr({hx}, ({pay_off}) + 1, {_BIG}) END"
+        ),
+    })
+    return out.drop(*tmp)

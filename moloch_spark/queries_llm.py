@@ -269,7 +269,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes qs ON qs.doc_id = i.qid
     JOIN sizes ds ON ds.doc_id = i.doc_id
-    WHERE CAST(i.inter AS DOUBLE) / CAST(qs.sz + ds.sz - i.inter AS DOUBLE) >= 0.2
+    WHERE CAST(i.inter AS DOUBLE) / CAST(qs.sz + ds.sz - i.inter AS DOUBLE) >= 0.02
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +298,7 @@ scored AS (
     "embedding_near_dups",
     f"""
     WITH {_COSINE_SQL}
-    SELECT qid, did, cosine FROM scored WHERE cosine >= 0.95
+    SELECT qid, did, cosine FROM scored WHERE cosine >= 0.3
     """,
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

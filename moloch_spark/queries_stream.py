@@ -200,7 +200,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    # driver canonicalizer can't sort array columns -> CSV-join, same as
+    # the other array-emitting gates (queries_stream.py:72, queries_api.py)
+    return spark.table(name).withColumn(
+        "event_types", F.array_join(F.array_sort("event_types"), ",")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -41,58 +41,43 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# Round-2 rotation: round-1 red rows (all fixed) first, then the
-# never-checked non-TPC-H backlog, then the operators new this round,
-# then the TPC-H backlog (q20-q22 sit at positions 51-53 — the least
-# bad cut if the cap is exactly 50: every query, including the spill,
-# is also oracle-gated by tests/test_oracle_parity.py), then green
-# regression sentinels;
-# everything else follows in registration order.
+# Round-3 rotation: the 25 queries never driver-checked in r1/r2 go
+# first (all pytest-oracle-green, so risk is low), then the rows
+# changed this round (the fixed streaming gate, the de-vacuated dedup
+# gates, the new bucketed tag-merge / hunt-control gates), then green
+# regression sentinels. With this head checked, every registered query
+# has had a driver CORRECTNESS row across rounds 1-3.
 _CHECK_PRIORITY = (
-    # round-1 red, fixed this round
-    "sessionize_events_30m", "session_segments_merge", "session_tag_update",
-    "session_store_bounded_either", "unique_multivalue_session_types",
-    "expr_sessions_store_search", "rules_tagging", "suricata_interval_join",
-    # round-1 unchecked (driver cap)
-    "sessionize_chunked_rootid", "sessionize_per_proto_timeouts",
-    "streaming_sessionize_closed", "hunt_ascii_and_regex", "cron_query_tick",
-    "pcap_export_sessions", "pcap_packet_positions", "frame_decode_roundtrip",
-    "dedup_ngram_jaccard", "embedding_near_dups", "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk", "ann_ivf_topk", "multimodal_features",
-    # new this round (never had a row by definition)
-    "yara_scan_documents", "dns_parse_fields", "http_parse_fields",
-    "tls_ja3_fields", "x509_cert_fields", "decontaminate_ngrams",
-    "dedup_semantic_clusters", "ssh_hassh_fields", "smtp_parse_fields",
-    "smb_parse_fields", "tunnel_decap_roundtrip", "corpus_ngram_stats",
-    "misc_parse_fields",
-    # the full TPC-H backlog fits inside the ~50 cap ahead of the
-    # pytest-covered LLM extras (judge round-1 ask: every TPC-H row)
-    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority", "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_supply_nation", "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "pii_scan", "repetition_signals",
-    # beyond the ~50 cap this round; all covered by pytest oracle-parity
-    # (test_oracle_parity.py), rotate into the head in round 3
-    "curate_mixture_sample",
-    "multimodal_resize", "multimodal_frame_sample",
+    # --- never driver-checked in r1/r2 (25) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
     "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
-    "multimodal_audio", "gopher_quality_flags", "quality_char_entropy",
-    "pcap_over_ip_reframe", "mysql_parse_fields", "postgresql_parse_fields",
-    "tns_parse_fields", "bgp_parse_fields", "http2_parse_fields",
-    "quic_parse_fields",
-    # round-1 green representatives (regression sentinels)
-    "tpch_q1_pricing_summary", "sessions_search_events",
+    "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
+    "bgp_parse_fields", "http2_parse_fields", "quic_parse_fields",
+    "pcap_over_ip_reframe",
+    "multimodal_resize", "multimodal_frame_sample", "multimodal_audio",
+    "pii_scan", "repetition_signals",
+    "gopher_quality_flags", "quality_char_entropy",
+    "curate_mixture_sample",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_part_supply_nation",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    # --- changed this round: need a fresh row ---
+    "streaming_sessionize_closed",           # r2 red (gate output) -> fixed
+    "dedup_ngram_jaccard", "embedding_near_dups",  # de-vacuated thresholds
+    "session_tag_update",                    # now bucketed no-shuffle merge
+    "hunt_job_control",                      # new: pause/resume job queue
+    "streaming_state_cap",                   # new: maxStreams analog
+    "tunnel_decap_roundtrip",                # plan-cache rewrite
+    # --- green regression sentinels ---
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit", "tpch_q18_large_orders",
+    "sessionize_events_30m", "sessions_search_events",
     "timeline_events_hourly", "unique_event_type",
     "spigraph_event_type_daily", "connections_nation_graph",
-    "dedup_exact", "curate_global_shuffle", "wise_feed_enrich",
+    "dedup_exact", "dedup_semantic_clusters", "decontaminate_ngrams",
+    "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_ivf_topk",
+    "curate_global_shuffle", "wise_feed_enrich", "yara_scan_documents",
+    "expr_sessions_store_search", "multimodal_features",
+    "corpus_ngram_stats",
 )
 
 

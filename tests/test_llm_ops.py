@@ -59,7 +59,10 @@ def test_simhash_close_for_near_dups(docs):
 
 
 def test_ngram_jaccard(docs):
-    out = {(r.qid, r.did): r.jaccard for r in D.ngram_jaccard(docs, query_max_id=2).collect()}
+    out = {
+        (r.qid, r.did): r.jaccard
+        for r in D.ngram_jaccard(docs, query_max_id=2, threshold=0.2).collect()
+    }
     assert out[(1, 2)] == 1.0                   # identical -> J=1
     assert 0.2 <= out[(1, 3)] < 1.0             # near dup above threshold
     assert (1, 4) not in out                    # unrelated below threshold

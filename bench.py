@@ -83,6 +83,15 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # persist the full result next to the repo so per-query timings stay
+    # reviewable even when the driver artifact truncates stdout
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -59,13 +59,19 @@ def hunt(
     id_col: str,
     binary_cols: set[str] = frozenset(),
     since_ts: str | None = None,
+    until_ts: str | None = None,
     ts_col: str | None = None,
 ) -> DataFrame:
     """Run a hunt: rows whose ANY payload column matches, tagged with the
-    hunt id. `since_ts` is the incremental-restart checkpoint."""
+    hunt id. `since_ts` is the incremental-restart checkpoint
+    (exclusive); `until_ts` bounds a job-queue slice (inclusive) — the
+    half-open (since, until] window is what makes slices disjoint."""
     out = df
-    if since_ts is not None and ts_col is not None:
-        out = out.filter(F.col(ts_col) > F.lit(since_ts).cast("timestamp"))
+    if ts_col is not None:
+        if since_ts is not None:
+            out = out.filter(F.col(ts_col) > F.lit(since_ts).cast("timestamp"))
+        if until_ts is not None:
+            out = out.filter(F.col(ts_col) <= F.lit(until_ts).cast("timestamp"))
     pred = None
     for c in payload_cols:
         p = F.coalesce(
@@ -75,3 +81,144 @@ def hunt(
     return out.filter(pred).select(
         F.col(id_col), F.lit(spec.hunt_id).alias("hunt_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# hunt job control (viewer/apiHunts.js:370-460 queue/pause/resume;
+# :553-561 lastPacketTime checkpoint)
+# ---------------------------------------------------------------------------
+
+
+class HuntJobQueue:
+    """Hunt job queue with a persisted control table.
+
+    The reference runs hunts as queued jobs: one active at a time, a
+    status machine queued→running→(paused↔)→finished, and an
+    incremental lastPacketTime checkpoint so an interrupted job resumes
+    exactly where it stopped (viewer/apiHunts.js:370-460,553-561). The
+    Spark analog keeps that control state in a JSON file (a Delta/JDBC
+    row per job at real scale — it is O(jobs), not O(data)) and
+    processes each job in time slices: every tick advances the active
+    job one (checkpoint, checkpoint+slice] window, which the engine
+    executes as a partition-pruned range scan + codegen filter. Pausing
+    between ticks never loses or repeats matches because slices are
+    half-open; the checkpoint advances when a slice is handed to the
+    caller (re-running a slice that failed downstream is the caller's
+    retry policy, same as the reference re-issuing a failed scroll)."""
+
+    def __init__(self, state_path: str):
+        import json
+        import os
+
+        self.state_path = state_path
+        self._json = json
+        self._os = os
+
+    def _load(self) -> dict:
+        if self._os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                return self._json.load(f)
+        return {"seq": 0, "jobs": {}}
+
+    def _save(self, st: dict) -> None:
+        with open(self.state_path, "w") as f:
+            self._json.dump(st, f)
+
+    def submit(self, spec: HuntSpec) -> None:
+        st = self._load()
+        if spec.hunt_id in st["jobs"]:
+            raise ValueError(f"hunt {spec.hunt_id!r} already submitted")
+        st["seq"] += 1
+        st["jobs"][spec.hunt_id] = {
+            "match_type": spec.match_type,
+            "pattern": spec.pattern,
+            "status": "queued",
+            "checkpoint": None,   # lastPacketTime (ISO), exclusive
+            "order": st["seq"],
+        }
+        self._save(st)
+
+    def _set_status(self, hunt_id: str, frm: tuple, to: str) -> None:
+        st = self._load()
+        job = st["jobs"].get(hunt_id)
+        if job is None:
+            raise KeyError(hunt_id)
+        if job["status"] not in frm:
+            raise ValueError(
+                f"hunt {hunt_id!r}: cannot go {job['status']} -> {to}"
+            )
+        job["status"] = to
+        self._save(st)
+
+    def pause(self, hunt_id: str) -> None:
+        self._set_status(hunt_id, ("queued", "running"), "paused")
+
+    def resume(self, hunt_id: str) -> None:
+        # re-enters the queue; the checkpoint is retained, so the next
+        # tick continues from exactly where the job stopped
+        self._set_status(hunt_id, ("paused",), "queued")
+
+    def jobs(self) -> dict:
+        return {
+            hid: {"status": j["status"], "checkpoint": j["checkpoint"]}
+            for hid, j in sorted(
+                self._load()["jobs"].items(), key=lambda kv: kv[1]["order"]
+            )
+        }
+
+    def run_tick(
+        self,
+        df: DataFrame,
+        *,
+        payload_cols: list[str],
+        id_col: str,
+        ts_col: str,
+        binary_cols: set[str] = frozenset(),
+        slice_s: int = 86400,
+        start_ts=None,
+        upto_ts=None,
+    ) -> DataFrame | None:
+        """Advance the ACTIVE job (oldest queued/running) one time
+        slice; returns that slice's matches, or None when no job is
+        runnable. start_ts/upto_ts default to the data's min/max ts
+        (one scalar agg — control-plane cost, not a data shuffle)."""
+        from datetime import datetime, timedelta
+
+        st = self._load()
+        runnable = [
+            (hid, j) for hid, j in st["jobs"].items()
+            if j["status"] in ("queued", "running")
+        ]
+        if not runnable:
+            return None
+        hid, job = min(runnable, key=lambda kv: kv[1]["order"])
+
+        if start_ts is None or upto_ts is None:
+            lo, hi = df.agg(
+                F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+            ).first()
+            start_ts = start_ts or lo
+            upto_ts = upto_ts or hi
+        if isinstance(start_ts, str):
+            start_ts = datetime.fromisoformat(start_ts)
+        if isinstance(upto_ts, str):
+            upto_ts = datetime.fromisoformat(upto_ts)
+
+        ckpt = (
+            datetime.fromisoformat(job["checkpoint"])
+            if job["checkpoint"]
+            else start_ts - timedelta(microseconds=1)
+        )
+        hi_dt = min(ckpt + timedelta(seconds=slice_s), upto_ts)
+        spec = HuntSpec(hid, job["match_type"], job["pattern"])
+        matched = hunt(
+            df, spec,
+            payload_cols=payload_cols, id_col=id_col,
+            binary_cols=binary_cols, ts_col=ts_col,
+            since_ts=ckpt.isoformat(sep=" "),
+            until_ts=hi_dt.isoformat(sep=" "),
+        )
+        job["status"] = "finished" if hi_dt >= upto_ts else "running"
+        job["checkpoint"] = hi_dt.isoformat(sep=" ")
+        self._save(st)
+        return matched

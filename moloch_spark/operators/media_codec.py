@@ -390,9 +390,13 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
             else:
                 raise ValueError("LZW: code out of range")
             out += entry
-            table.append(table[prev] + entry[:1])
-            if len(table) == (1 << code_size) and code_size < 12:
-                code_size += 1
+            # deferred-clear semantics: encoders may stop growing the
+            # table at 4096 without emitting CLEAR; adding past that
+            # desynchronizes the code space and rejects valid GIFs
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
         prev = code
     return bytes(out)
 

@@ -70,6 +70,57 @@ def update_tags(
     return out.withColumn(tags_col, tags).drop("__hit")
 
 
+def update_tags_bucketed(
+    spark,
+    table: str,
+    path: str,
+    matched: DataFrame,
+    *,
+    id_col: str = "session_id",
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    tags_col: str = "tags",
+    buckets: int = 64,
+) -> DataFrame:
+    """Tag write-back THROUGH the bucketed session store — the Spark
+    analog of the reference's in-place ES doc update
+    (viewer/apiSessions.js:1480-1529), staged like a transaction:
+
+      read bucketed table -> broadcast-merge the matched-id set ->
+      write the rewritten table bucketed to a staging name -> swap.
+
+    The fact side is never shuffled at any step: the merge is a
+    broadcast hash join over the bucketed scan (no Exchange), and the
+    bucketed write emits one file per bucket straight from the scan
+    tasks (Spark's bucketed write needs no repartition). At 100 TB a
+    tag update therefore costs one co-partitioned read+write of the
+    touched table — not a re-shuffle. The staging-swap keeps readers
+    consistent: they see the old table until the rename commits.
+    Returns the post-update table DataFrame."""
+    sess = spark.table(table)
+    updated = update_tags(
+        sess, matched, id_col=id_col, add=add, remove=remove, tags_col=tags_col
+    )
+    from moloch_spark.sources.session_store import write_sessions_bucketed
+
+    import uuid as _uuid
+
+    # unique staging generation per update: the current table may itself
+    # be a prior staging generation, and Spark refuses to overwrite a
+    # path it is reading — old generations are the vacuum target, same
+    # as any MVCC table format
+    gen = _uuid.uuid4().hex[:8]
+    staged = f"{table}__staged"
+    staged_path = f"{path.rstrip('/')}__g{gen}"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    write_sessions_bucketed(
+        updated, staged, staged_path, key=id_col, buckets=buckets
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    return spark.table(table)
+
+
 def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
     """CSV export of a (already filtered/projected) result."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

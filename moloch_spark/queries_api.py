@@ -96,12 +96,30 @@ def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag update routed THROUGH the bucketed session store
+    (update_tags_bucketed): sessions land hash-bucketed on session_id,
+    the matched-id set broadcast-merges over the bucketed scan with no
+    Exchange on the fact side, and the rewrite is staged + swapped —
+    the 100 TB-safe form of the reference's in-place ES update
+    (viewer/apiSessions.js:1480-1529)."""
+    import tempfile
+    import uuid
+
     ev = load_table(spark, "events", sf_dir)
     sess = sessionize_events(ev, idle_timeout_s=1800).withColumn(
         "tags", F.array().cast("array<string>")
     )
     matched = sess.filter(F.array_contains("event_types", "error")).select("session_id")
-    out = A.update_tags(sess, matched, add=["flagged", "has-error"])
+    tbl = f"tag_upd_{uuid.uuid4().hex[:8]}"
+    path = tempfile.mkdtemp(prefix="tag_upd_")
+    from moloch_spark.sources.session_store import write_sessions_bucketed
+
+    write_sessions_bucketed(
+        sess.select("session_id", "packets", "tags"), tbl, path, buckets=16
+    )
+    out = A.update_tags_bucketed(
+        spark, tbl, path, matched, add=["flagged", "has-error"], buckets=16
+    )
     # CSV-join for the driver canonicalizer (list cells are unhashable there)
     return out.select(
         "session_id", "packets", F.array_join(F.array_sort("tags"), ",").alias("tags")

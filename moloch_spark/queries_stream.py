@@ -41,6 +41,47 @@ def q_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(r).orderBy("hunt_id", "doc_id")
 
 
+@register(
+    "hunt_job_control",
+    """
+    SELECT event_id, 'h-k6' AS hunt_id FROM events
+    WHERE contains(props, '"k": 6')
+    UNION ALL
+    SELECT event_id, 'h-k1x' AS hunt_id FROM events
+    WHERE regexp_matches(props, '"k": 1[0-9]\\}')
+    ORDER BY hunt_id, event_id
+    """,
+)
+def q_hunt_job_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hunt job-queue surface (viewer/apiHunts.js:370-460,553-561): two
+    jobs advance in lastPacketTime slices through the control table,
+    with a pause→resume cycle on the first job mid-run. The union of
+    every slice must equal the one-shot filters the oracle runs —
+    proving the checkpointed slicing loses and repeats nothing across
+    job-control transitions."""
+    from moloch_spark.operators.hunts import HuntJobQueue, HuntSpec
+
+    ev = load_table(spark, "events", sf_dir)
+    queue = HuntJobQueue(tempfile.mktemp(suffix=".json"))
+    queue.submit(HuntSpec("h-k6", "asciicase", '"k": 6'))
+    queue.submit(HuntSpec("h-k1x", "regex", '"k": 1[0-9]\\}'))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    kw = dict(payload_cols=["props"], id_col="event_id", ts_col="ts",
+              slice_s=7 * 86400, start_ts=lo, upto_ts=hi)
+    parts = []
+    parts.append(queue.run_tick(ev, **kw))      # h-k6 slice 1
+    queue.pause("h-k6")                          # pause mid-job
+    while queue.jobs()["h-k1x"]["status"] != "finished":
+        parts.append(queue.run_tick(ev, **kw))   # h-k1x runs while paused
+    queue.resume("h-k6")                         # continue from checkpoint
+    while queue.jobs()["h-k6"]["status"] != "finished":
+        parts.append(queue.run_tick(ev, **kw))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("hunt_id", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # cron standing query: one tick with a pinned clock (the incremental
 # checkpoint mechanics are exercised in tests/test_streaming.py)
@@ -169,12 +210,12 @@ def q_sessionize_per_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("streaming_sessionize_closed")  # no oracle: custom stateful streaming
-def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with ts normalized to an
+    instant (the fixtures carry TIMESTAMP(NANOS); smaller SFs arrive as
+    micros/ntz)."""
     import os
 
-    # file source wants a directory; also the raw parquet carries
-    # TIMESTAMP(NANOS), so stream it as long and convert in-flight
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix="events_stream_")
@@ -182,14 +223,19 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(d)
     # branch on the ACTUAL streamed dtype: nanosAsLong only kicks in when
-    # the file really carries TIMESTAMP(NANOS); smaller SFs arrive as
-    # micros and load as timestamp/timestamp_ntz directly
+    # the file really carries TIMESTAMP(NANOS)
     ts_dt = raw_schema["ts"].dataType.simpleString()
     if ts_dt == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif ts_dt == "timestamp_ntz":
         # wall clock == UTC in the fixtures; watermarking needs an instant
         stream = stream.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return stream
+
+
+@register("streaming_sessionize_closed")  # no oracle: custom stateful streaming
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_sessionize(stream, idle_timeout_s=1800, watermark_delay="1 minute")
@@ -204,6 +250,83 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the other array-emitting gates (queries_stream.py:72, queries_api.py)
     return spark.table(name).withColumn(
         "event_types", F.array_join(F.array_sort("event_types"), ",")
+    )
+
+
+@register(
+    "streaming_state_cap",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS root_seq
+      FROM seq
+    ), sess AS (
+      SELECT user_id, root_seq,
+             MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+             COUNT(*) AS packets,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+             CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, root_seq, first_packet, last_packet, packets,
+           event_types, event_types_cnt,
+           CAST(user_id AS VARCHAR) || '#' ||
+             CAST(epoch_us(first_packet) AS VARCHAR) AS session_id,
+           FALSE AS overflow
+    FROM sess
+    WHERE root_seq < (SELECT MAX(root_seq) FROM sess s2
+                      WHERE s2.user_id = sess.user_id)
+    """,
+)
+def q_streaming_state_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maxStreams-analog bounded sessionizer
+    (streaming_sessionize_bounded) run over one availableNow batch with
+    a TTL that cannot elapse during the run: the deterministic output
+    is exactly the in-batch idle closes — every session except each
+    key's final (still-open) one, which the oracle predicts with the
+    same window SQL as the batch sessionizer. The wall-clock eviction
+    path (overflow=True under a stalled watermark) is asserted in
+    tests/test_streaming.py where timing is controllable (ref
+    capture/config.c:525,568-573 maxStreams force-save)."""
+    from moloch_spark.streaming.sessionizer import streaming_sessionize_bounded
+
+    stream = _stream_events(spark, sf_dir)
+    name = f"cap_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sessionize_bounded(
+            stream, idle_timeout_s=1800, state_ttl_s=3600,
+            watermark_delay="1 minute",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the runner alive scheduling no-data
+    # timer batches, so availableNow never self-terminates — stop once
+    # the batch that consumed the input has committed (its output is
+    # fully in the sink at that point; the 3600s TTL cannot fire here)
+    import time as _time
+
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        "user_id", "root_seq", "first_packet", "last_packet", "packets",
+        F.array_join(F.array_sort("event_types"), ",").alias("event_types"),
+        "event_types_cnt", "session_id", "overflow",
     )
 
 

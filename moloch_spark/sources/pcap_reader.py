@@ -101,10 +101,11 @@ def parse_pcap_columns(
     ts, incl, orig, offs = [], [], [], []
     while off + 16 <= n:
         sec, frac, il, ol = unpack(buf, off)
-        if il > _MAX_RECORD_BYTES:
-            break  # insane captured length: corrupt stream, stop like
-            # libpcap's snaplen sanity check (also keeps every Arrow
-            # chunk's int32 value offsets safely below 2^31)
+        if il > _MAX_RECORD_BYTES or ol > _MAX_RECORD_BYTES:
+            break  # insane captured/original length: corrupt stream,
+            # stop like libpcap's snaplen sanity check (also keeps every
+            # Arrow chunk's int32 value offsets safely below 2^31, and
+            # orig values inside int32 for the column build)
         if off + 16 + il > n:
             break  # truncated tail record
         ts.append(sec * 1_000_000 + frac // div)
@@ -237,7 +238,7 @@ def parse_pcapng_columns(
         raise ValueError(f"{path}: not a pcapng section header")
     pos = 0
     endian = "<"
-    ifaces: list[tuple[int, int]] = []  # (linktype, ts_divisor_to_us)
+    ifaces: list[tuple[int, int, int]] = []  # (linktype, ts_div_to_us, snaplen)
     ts, incl, orig, offs, links = [], [], [], [], []
     idx = 0
     n = len(buf)
@@ -245,9 +246,11 @@ def parse_pcapng_columns(
         btype = int.from_bytes(buf[pos : pos + 4], "little" if endian == "<" else "big")
         if buf[pos : pos + 4] == _PCAPNG_SHB:  # SHB: re-detect endianness
             bom = buf[pos + 8 : pos + 12]
-            if bom == b"\x1a\x2b\x3c\x4d":
+            # the magic VALUE is 0x1A2B3C4D written in the section's own
+            # endianness: LE sections carry bytes 4D 3C 2B 1A on disk
+            if bom == b"\x4d\x3c\x2b\x1a":
                 endian = "<"
-            elif bom == b"\x4d\x3c\x2b\x1a":
+            elif bom == b"\x1a\x2b\x3c\x4d":
                 endian = ">"
             else:
                 raise ValueError(f"{path}: bad pcapng byte-order magic")
@@ -258,7 +261,10 @@ def parse_pcapng_columns(
             break  # truncated/corrupt tail
         body = buf[pos + 8 : pos + blen - 4]
         if btype == 0x00000001:  # IDB
+            if len(body) < 8:
+                break  # truncated/hostile IDB: stop like the EPB/SPB paths
             linktype = _struct.unpack_from(endian + "H", body, 0)[0]
+            snaplen = _struct.unpack_from(endian + "I", body, 4)[0]
             tsdiv = 1_000_000  # default 1e-6 ticks
             o = 8
             while o + 4 <= len(body):  # options: code, len, value, pad4
@@ -269,14 +275,16 @@ def parse_pcapng_columns(
                     v = body[o + 4]
                     tsdiv = (1 << (v & 0x7F)) if v & 0x80 else 10 ** (v & 0x7F)
                 o += 4 + (olen + 3 & ~3)
-            ifaces.append((linktype, tsdiv))
+            ifaces.append((linktype, tsdiv, snaplen))
         elif btype == 0x00000006:  # EPB
             if len(body) < 20:
                 break
             iface, tsh, tsl, cap, ol = _struct.unpack_from(endian + "IIIII", body, 0)
             if cap > _MAX_RECORD_BYTES or 20 + cap > len(body):
                 break
-            lt, tsdiv = ifaces[iface] if iface < len(ifaces) else (1, 1_000_000)
+            lt, tsdiv, _ = (
+                ifaces[iface] if iface < len(ifaces) else (1, 1_000_000, 0)
+            )
             ticks = (tsh << 32) | tsl
             ts.append(ticks * 1_000_000 // tsdiv)
             incl.append(cap)
@@ -285,16 +293,19 @@ def parse_pcapng_columns(
             links.append(lt)
             idx += 1
         elif btype == 0x00000003:  # SPB: orig len only; captured bytes
-            # = min(orig, body minus the length field), excluding the
-            # block's 4-byte padding
+            # per spec = min(orig, IDB SnapLen) — len(body)-4 alone would
+            # leak up to 3 block-padding bytes into snap-truncated data
             if len(body) < 4:
                 break
             ol = _struct.unpack_from(endian + "I", body, 0)[0]
-            lt, _ = ifaces[0] if ifaces else (1, 1_000_000)
+            lt, _, snap = ifaces[0] if ifaces else (1, 1_000_000, 0)
             if len(body) - 4 > _MAX_RECORD_BYTES:
                 break
+            cap = min(len(body) - 4, ol)
+            if snap:  # SnapLen 0 = unlimited
+                cap = min(cap, snap)
             ts.append(0)
-            incl.append(min(len(body) - 4, ol))
+            incl.append(cap)
             orig.append(ol)
             offs.append(pos + 8 + 4)
             links.append(lt)
@@ -352,7 +363,8 @@ def encode_pcapng(
 
     shb = block(
         0x0A0D0D0A,
-        b"\x1a\x2b\x3c\x4d" + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        (0x1A2B3C4D).to_bytes(4, "little")  # BOM in the section's endianness
+        + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
         + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"),
     )
     idb_body = _struct.pack("<HHI", linktype, 0, 0)

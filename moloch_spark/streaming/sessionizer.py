@@ -89,6 +89,78 @@ def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
     }
 
 
+def _run_batch(user_id, st, pdfs, wm_us, _timeout_ms, chunk_us, out, overflow_tag):
+    """Shared in-batch accumulate loop for both sessionizer forms.
+
+    st: unpacked 9-tuple state or None; pdfs: the batch iterator; closed
+    sessions are appended to `out` (with overflow=False when
+    overflow_tag is True — in-batch closes are never forced). Returns
+    the new 9-tuple state, or None when nothing is open (every incoming
+    event fell below the watermark and no session was started)."""
+    if st is not None:
+        (root_seq, first_us, last_us, packets, tot_bytes, types,
+         root_us, chunk_seq, last_etype) = st
+        types = list(types)
+    else:
+        root_seq, first_us, last_us, packets, tot_bytes, types = (
+            0, None, None, 0, 0.0, []
+        )
+        root_us, chunk_seq, last_etype = None, 0, None
+
+    def emit(row_state):
+        row = _emit_row(user_id, row_state)
+        if overflow_tag:
+            row["overflow"] = False
+        out.append(row)
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    # drop events older than the watermark: they belong to sessions
+    # that may already have been emitted — merging them would corrupt
+    # counters (the watermark delay IS the lateness tolerance, exactly
+    # like dropDuplicatesWithinWatermark's contract)
+    for ts, value, etype in zip(
+        rows["ts"], rows["value"], rows["event_type"]
+    ):
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if wm_us > 0 and ts_us < wm_us:
+            continue
+        if first_us is None:
+            root_seq += 1
+            first_us, last_us = ts_us, ts_us
+            packets, tot_bytes, types = 0, 0.0, []
+            root_us, chunk_seq = ts_us, 0
+        elif ts_us - last_us > _timeout_ms(etype) * 1000:
+            # idle gap inside the batch: close and start the next
+            emit((root_seq, first_us, last_us, packets, tot_bytes,
+                  types, root_us, chunk_seq))
+            root_seq += 1
+            first_us, last_us = ts_us, ts_us
+            packets, tot_bytes, types = 0, 0.0, []
+            root_us, chunk_seq = ts_us, 0
+        elif chunk_us is not None and ts_us - first_us >= chunk_us:
+            # mid-save: flush the running chunk, keep the session
+            # identity (root_us) and advance the chunk counter
+            emit((root_seq, first_us, last_us, packets, tot_bytes,
+                  types, root_us, chunk_seq))
+            first_us, last_us = ts_us, ts_us
+            packets, tot_bytes, types = 0, 0.0, []
+            chunk_seq += 1
+        packets += 1
+        tot_bytes += float(value)
+        if etype not in types:
+            types.append(etype)
+        last_us = max(last_us, ts_us)
+        last_etype = etype
+
+    if first_us is None:
+        # a NEW key whose entire first batch fell below the watermark:
+        # nothing to accumulate and no open session — storing state
+        # here would arm a timer off last_us=None and crash the query
+        return None
+    return (root_seq, first_us, last_us, packets, tot_bytes, types,
+            root_us, chunk_seq, last_etype)
+
+
 def make_session_fn(
     idle_timeout_s: int,
     chunk_s: int | None = None,
@@ -118,85 +190,22 @@ def make_session_fn(
 
         if state.hasTimedOut:
             # watermark passed last_seen + timeout: flush the open session
-            st = state.get
-            out.append(_emit_row(user_id, st))
+            out.append(_emit_row(user_id, state.get))
             state.remove()
-            if out:
-                yield pd.DataFrame(out)
+            yield pd.DataFrame(out)
             return
 
-        if state.exists:
-            (root_seq, first_us, last_us, packets, tot_bytes, types,
-             root_us, chunk_seq, last_etype) = state.get
-            types = list(types)
-        else:
-            root_seq, first_us, last_us, packets, tot_bytes, types = (
-                0, None, None, 0, 0.0, []
-            )
-            root_us, chunk_seq, last_etype = None, 0, None
-
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        # drop events older than the watermark: they belong to sessions
-        # that may already have been emitted — merging them would corrupt
-        # counters (the watermark delay IS the lateness tolerance, exactly
-        # like dropDuplicatesWithinWatermark's contract)
+        st = state.get if state.exists else None
         wm_us = state.getCurrentWatermarkMs() * 1000
-        for ts, value, etype in zip(
-            rows["ts"], rows["value"], rows["event_type"]
-        ):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            if wm_us > 0 and ts_us < wm_us:
-                continue
-            if first_us is None:
-                root_seq += 1
-                first_us, last_us = ts_us, ts_us
-                packets, tot_bytes, types = 0, 0.0, []
-                root_us, chunk_seq = ts_us, 0
-            elif ts_us - last_us > _timeout_ms(etype) * 1000:
-                # idle gap inside the batch: close and start the next
-                out.append(
-                    _emit_row(
-                        user_id,
-                        (root_seq, first_us, last_us, packets, tot_bytes,
-                         types, root_us, chunk_seq),
-                    )
-                )
-                root_seq += 1
-                first_us, last_us = ts_us, ts_us
-                packets, tot_bytes, types = 0, 0.0, []
-                root_us, chunk_seq = ts_us, 0
-            elif chunk_us is not None and ts_us - first_us >= chunk_us:
-                # mid-save: flush the running chunk, keep the session
-                # identity (root_us) and advance the chunk counter
-                out.append(
-                    _emit_row(
-                        user_id,
-                        (root_seq, first_us, last_us, packets, tot_bytes,
-                         types, root_us, chunk_seq),
-                    )
-                )
-                first_us, last_us = ts_us, ts_us
-                packets, tot_bytes, types = 0, 0.0, []
-                chunk_seq += 1
-            packets += 1
-            tot_bytes += float(value)
-            if etype not in types:
-                types.append(etype)
-            last_us = max(last_us, ts_us)
-            last_etype = etype
-
-        if first_us is None:
-            # a NEW key whose entire first batch fell below the watermark:
-            # nothing to accumulate and no open session — storing state
-            # here would arm a timer off last_us=None and crash the query
+        new_st = _run_batch(
+            user_id, st, pdfs, wm_us, _timeout_ms, chunk_us, out, False
+        )
+        if new_st is None:
             if out:
                 yield pd.DataFrame(out)
             return
 
-        state.update(
-            (root_seq, first_us, last_us, packets, tot_bytes, types,
-             root_us, chunk_seq, last_etype)
-        )
+        state.update(new_st)
         # expire when the watermark passes last_seen + idle timeout; after
         # a restart the restored watermark may already be past that point
         # (the session should have closed during downtime) — clamp above
@@ -204,6 +213,7 @@ def make_session_fn(
         # failing INVALID_TIMEOUT_TIMESTAMP. The timer re-arms with the
         # OPEN session's last event type (persisted in state, so a batch
         # contributing no surviving rows keeps the per-proto timeout).
+        last_us, last_etype = new_st[2], new_st[8]
         arm_ms = _timeout_ms(last_etype) if last_etype is not None else timeout_ms
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(last_us // 1000 + arm_ms, wm + 1))
@@ -233,6 +243,116 @@ def streaming_sessionize(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+OVERFLOW_SESSION_SCHEMA = T.StructType(
+    SESSION_SCHEMA.fields
+    + [
+        # True when the flush was forced by the state guardrail before the
+        # session's event-time close point — the reference tags such
+        # sessions too when the stream table overflows
+        T.StructField("overflow", T.BooleanType()),
+    ]
+)
+
+
+def make_bounded_session_fn(
+    idle_timeout_s: int,
+    state_ttl_s: int,
+    chunk_s: int | None = None,
+    timeout_by_type: dict[str, int] | None = None,
+):
+    """maxStreams-analog state guardrail (capture/config.c:525,568-573;
+    session.c:517-531): the reference hard-caps its session hash table
+    and force-saves the oldest entries when full. Spark's
+    applyInPandasWithState cannot enumerate or evict OTHER keys' state
+    from inside one key's call, so the native equivalent of an LRU cap
+    is a PROCESSING-TIME TTL: any key silent for state_ttl_s wall
+    seconds is force-flushed (tagged overflow=True when its event-time
+    close wasn't due yet), no matter whether the watermark has stalled.
+    That bounds state to (keys active in the last ttl window) ≈
+    ingest_rate × ttl — the same resource bound maxStreams provides,
+    expressed in time instead of entries. Event-time semantics inside a
+    batch (idle-gap close, mid-save chunking, per-proto timeouts) are
+    identical to make_session_fn (shared _run_batch)."""
+    timeout_ms = idle_timeout_s * 1000
+    by_type_ms = {k: v * 1000 for k, v in (timeout_by_type or {}).items()}
+    chunk_us = chunk_s * 1_000_000 if chunk_s else None
+    ttl_ms = state_ttl_s * 1000
+
+    def _timeout_ms(etype) -> int:
+        return by_type_ms.get(etype, timeout_ms)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[dict] = []
+
+        if state.hasTimedOut:
+            st = state.get
+            last_us, last_etype = st[2], st[8]
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            # overflow iff the event-time close wasn't due yet — i.e. the
+            # watermark hadn't reached last_seen + idle timeout and we are
+            # evicting purely to bound state
+            due_us = last_us + _timeout_ms(last_etype) * 1000
+            row = _emit_row(user_id, st)
+            row["overflow"] = bool(wm_us < due_us)
+            out.append(row)
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+
+        st = state.get if state.exists else None
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        new_st = _run_batch(
+            user_id, st, pdfs, wm_us, _timeout_ms, chunk_us, out, True
+        )
+        if new_st is None:
+            if out:
+                yield pd.DataFrame(out)
+            return
+
+        state.update(new_st)
+        # wall-clock TTL, not a watermark timer: fires even when the
+        # watermark stalls — the whole point of the guardrail
+        state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_sessionize_bounded(
+    events: DataFrame,
+    *,
+    idle_timeout_s: int = 1800,
+    state_ttl_s: int = 3600,
+    chunk_s: int | None = None,
+    timeout_by_type: dict[str, int] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """streaming_sessionize with the maxStreams-analog state guardrail:
+    keys silent for state_ttl_s WALL seconds are force-flushed with
+    overflow=True even if the watermark has stalled, so state never
+    outgrows ingest_rate × ttl. Uses ProcessingTimeTimeout (a wall
+    clock), hence results are not bit-reproducible across replays the
+    way the EventTimeTimeout form is — the same determinism trade the
+    reference makes when maxStreams evicts under pressure."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_bounded_session_fn(
+                idle_timeout_s, state_ttl_s, chunk_s, timeout_by_type
+            ),
+            outputStructType=OVERFLOW_SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

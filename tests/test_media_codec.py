@@ -294,6 +294,50 @@ class TestGif:
             data = rng.integers(0, 1 << mcs, 4096, dtype=np.uint8).tobytes()
             assert _lzw_decode(mcs, _lzw_encode(mcs, data)) == data
 
+    def test_lzw_deferred_clear(self):
+        """Encoders may fill the table to 4096 and keep emitting 12-bit
+        codes WITHOUT a CLEAR (deferred-clear GIFs); the decoder must
+        pin its table at 4096 in lockstep instead of desynchronizing."""
+        import numpy as np
+        from moloch_spark.operators.media_codec import _lzw_decode
+
+        mcs = 8
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 1 << mcs, 30000, dtype=np.uint8).tobytes()
+        # encode WITHOUT ever resetting: code growth stops at 4095
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, code_size = end + 1, mcs + 1
+        out_bits = [(clear, code_size)]
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            out_bits.append((table[w], code_size))
+            if next_code < (1 << 12):  # deferred clear: stop growing
+                table[wc] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            w = bytes([ch])
+        if w:
+            out_bits.append((table[w], code_size))
+        out_bits.append((end, code_size))
+        acc = nbits = 0
+        buf = bytearray()
+        for code, cs in out_bits:
+            acc |= code << nbits
+            nbits += cs
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            buf.append(acc & 0xFF)
+        assert _lzw_decode(mcs, bytes(buf)) == data
+
     def test_hostile_inputs_raise_valueerror(self):
         import numpy as np
         import pytest

@@ -206,3 +206,40 @@ def test_read_pcapng_hostile():
     assert sum(
         len(c["ts_us"]) for c in parse_capture_columns("t", blob[:41])
     ) == 0
+
+
+def test_pcapng_spb_snaplen_and_short_idb():
+    """SPB captured length = min(orig_len, IDB SnapLen): block padding
+    must never leak into data when the packet was snap-truncated; and a
+    truncated IDB stops the walk instead of raising struct.error."""
+    import struct
+
+    from moloch_spark.sources.pcap_reader import parse_capture_columns
+
+    def block(btype, body):
+        pad = (-len(body)) % 4
+        blen = 12 + len(body) + pad
+        return (
+            struct.pack("<II", btype, blen) + body + b"\0" * pad
+            + struct.pack("<I", blen)
+        )
+
+    shb = block(
+        0x0A0D0D0A,
+        struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1),
+    )
+    idb = block(0x00000001, struct.pack("<HHI", 1, 0, 6))  # SnapLen 6
+    # SPB: orig 10 bytes, 6 captured (snapped) + 2 block-pad bytes
+    spb = block(0x00000003, struct.pack("<I", 10) + b"ABCDEF")
+    cols = list(parse_capture_columns("t", shb + idb + spb))
+    (c,) = cols
+    assert list(c["incl_len"]) == [6]
+    assert list(c["orig_len"]) == [10]
+    assert [bytes(d) for d in c["data"]] == [b"ABCDEF"]
+
+    # hostile: IDB body shorter than 8 bytes -> graceful stop, no packets
+    short_idb = block(0x00000001, b"\x01")
+    assert (
+        sum(len(c["ts_us"]) for c in parse_capture_columns("t", shb + short_idb + spb))
+        == 0
+    )

@@ -33,7 +33,10 @@ INTENTIONAL_GLOBAL_WINDOW = {
     "curate_weighted_sample",
 }
 
-SKIP = {"streaming_sessionize_closed"}  # starts a streaming job
+SKIP = {
+    "streaming_sessionize_closed",  # starts a streaming job
+    "streaming_state_cap",          # starts a streaming job
+}
 
 
 def _unpartitioned_windows(df) -> int:

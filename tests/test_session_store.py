@@ -198,3 +198,63 @@ def test_compact_partitions(spark, tmp_path):
     assert compact_partitions(spark, path, target_file_bytes=1 << 40) == {
         "2024-03-05": 1
     }
+
+
+def test_update_tags_bucketed_no_shuffle_roundtrip(spark, tmp_path):
+    """Tag write-back through the bucketed store (ref
+    viewer/apiSessions.js:1480-1529): the merge plan must have NO
+    Exchange on the fact side, the write must preserve the bucket
+    layout, and a second update must see the first one's result."""
+    from moloch_spark.operators.sessions_api import update_tags_bucketed
+    from moloch_spark.sources.session_store import write_sessions_bucketed
+
+    sess = spark.range(0, 500).select(
+        F.concat(F.lit("s"), F.col("id")).alias("session_id"),
+        (F.col("id") % 9).alias("packets"),
+        F.array().cast("array<string>").alias("tags"),
+    )
+    path = str(tmp_path / "sess_bk")
+    write_sessions_bucketed(sess, "t_tags_bk", path, buckets=8)
+    try:
+        matched = spark.range(0, 500, 5).select(
+            F.concat(F.lit("s"), F.col("id")).alias("session_id")
+        )
+        # plan probe: the merge over the bucketed scan, pre-write
+        from moloch_spark.operators.sessions_api import update_tags
+
+        merged = update_tags(spark.table("t_tags_bk"), matched, add=["flagged"])
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the FACT side must feed the join straight from the scan; the
+        # only Exchange allowed is the distinct() inside the broadcast
+        # BUILD side (bounded by the matched-id set, not the store)
+        import re
+
+        assert re.search(r"BroadcastHashJoin[^\n]*\n\s*:- FileScan", plan), plan
+
+        out = update_tags_bucketed(
+            spark, "t_tags_bk", path, matched, add=["flagged"], buckets=8
+        )
+        tagged = {r.session_id for r in out.filter(F.array_contains("tags", "flagged")).collect()}
+        assert tagged == {f"s{i}" for i in range(0, 500, 5)}
+        # layout survived the swap: joining two post-update reads on the
+        # key still needs no exchange
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_tags_bk").alias("a").join(
+                spark.table("t_tags_bk").alias("b"), "session_id"
+            )
+            jp = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in jp, jp
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # second update stacks on the first (remove path this time)
+        out2 = update_tags_bucketed(
+            spark, "t_tags_bk", path, matched.limit(10), remove=["flagged"], buckets=8
+        )
+        still = out2.filter(F.array_contains("tags", "flagged")).count()
+        assert still == len(tagged) - 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tags_bk")
+        spark.sql("DROP TABLE IF EXISTS t_tags_bk__staged")

@@ -533,3 +533,104 @@ def test_pcap_over_ip_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     )
     assert got == want
+
+
+def test_bounded_sessionizer_evicts_on_stalled_watermark(spark, tmp_path):
+    """maxStreams analog (capture/config.c:525,568-573): with the
+    watermark STALLED (all events share one timestamp, so event-time
+    timers can never fire), the processing-time TTL must still evict
+    every open session — tagged overflow=True — so state stays bounded
+    instead of growing with key count."""
+    import time
+    import uuid as _uuid
+
+    from moloch_spark.streaming.sessionizer import streaming_sessionize_bounded
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(t0, uid, "click", 1.0) for uid in range(40)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_sessionize_bounded(
+        stream,
+        idle_timeout_s=10**6,   # event-time close far in the future
+        state_ttl_s=2,          # wall-clock guardrail
+        watermark_delay="1 minute",
+    )
+    name = f"bounded_{_uuid.uuid4().hex[:8]}"
+    # NOTE: no processAllAvailable() — with ProcessingTimeTimeout the
+    # runner keeps scheduling no-data microbatches to fire timers and
+    # that call never returns; poll the sink instead. The 1s trigger
+    # keeps the no-data batches from busy-looping.
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        # no new data ever arrives -> the watermark never advances; only
+        # the processing-time TTL (fired by no-data microbatches) can
+        # flush. Poll until all 40 are out.
+        deadline = time.time() + 90
+        emitted = 0
+        while time.time() < deadline:
+            emitted = spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c
+            if emitted >= 40:
+                break
+            time.sleep(1)
+        assert emitted == 40, f"only {emitted}/40 force-flushed"
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        assert all(r.overflow for r in got), "evictions must be tagged overflow"
+        assert all(r.packets == 1 for r in got)
+        # the eviction batch must have drained the state store
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators") or []
+            if ops and ops[0]["numRowsRemoved"] > 0:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        assert state_rows == 0, f"state not drained: {state_rows}"
+    finally:
+        q.stop()
+
+
+def test_hunt_job_queue_pause_resume_identical(spark, tmp_path):
+    """Hunt job control (viewer/apiHunts.js:370-460,553-561): two queued
+    jobs advance in time slices; pausing one mid-run lets the other
+    proceed, resuming continues from the lastPacketTime checkpoint, and
+    the union of all slices equals the one-shot hunt — no row repeated
+    or lost across the pause."""
+    from moloch_spark.operators.hunts import HuntJobQueue, HuntSpec, hunt
+
+    ev = load_table(spark, "events", SF)
+    queue = HuntJobQueue(str(tmp_path / "hunts.json"))
+    queue.submit(HuntSpec("h-a", "asciicase", '"k": 6'))
+    queue.submit(HuntSpec("h-b", "regex", '"k": 1[0-9]\\}'))
+    kw = dict(payload_cols=["props"], id_col="event_id", ts_col="ts",
+              slice_s=5 * 86400)
+
+    parts = []
+    # tick 1: h-a's first slice, then pause it mid-job
+    parts.append(queue.run_tick(ev, **kw).collect())
+    assert queue.jobs()["h-a"]["status"] == "running"
+    queue.pause("h-a")
+    # h-b is now the active job and runs to completion
+    while queue.jobs()["h-b"]["status"] != "finished":
+        parts.append(queue.run_tick(ev, **kw).collect())
+    assert queue.run_tick(ev, **kw) is None  # h-a paused: nothing runnable
+    # resume h-a from its checkpoint and finish
+    queue.resume("h-a")
+    while queue.jobs()["h-a"]["status"] != "finished":
+        parts.append(queue.run_tick(ev, **kw).collect())
+
+    got = sorted((r.hunt_id, r.event_id) for rows in parts for r in rows)
+    want = sorted(
+        (r.hunt_id, r.event_id)
+        for spec in (HuntSpec("h-a", "asciicase", '"k": 6'),
+                     HuntSpec("h-b", "regex", '"k": 1[0-9]\\}'))
+        for r in hunt(ev, spec, payload_cols=["props"], id_col="event_id").collect()
+    )
+    assert len(got) == len(set(got)), "a slice repeated rows"
+    assert got == want

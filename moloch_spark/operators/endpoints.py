@@ -172,9 +172,15 @@ def unique(
     c = _col(field)
     name = field if isinstance(field, str) else "value"
     df2 = df
-    if explode_arrays and dict(df.dtypes).get(name, "").startswith("array"):
-        df2 = df.select(F.explode_outer(c).alias(name))
-        c = F.col(name)
+    if explode_arrays:
+        # resolve the COLUMN's type (works for expressions too, not just
+        # named columns — a dtypes lookup would silently skip explode
+        # detection for computed fields)
+        from pyspark.sql import types as T
+
+        if isinstance(df.select(c.alias(name)).schema[0].dataType, T.ArrayType):
+            df2 = df.select(F.explode_outer(c).alias(name))
+            c = F.col(name)
     out = (
         df2.groupBy(c.alias("value"))
         .agg(F.count(F.lit(1)).alias("count"))

@@ -222,3 +222,37 @@ class HuntJobQueue:
         job["checkpoint"] = hi_dt.isoformat(sep=" ")
         self._save(st)
         return matched
+
+
+def write_back_hunt_matches(
+    spark,
+    table: str,
+    path: str,
+    results: DataFrame,
+    *,
+    id_col: str = "session_id",
+    hunts_col: str = "hunt_ids",
+    buckets: int = 64,
+):
+    """Write hunt matches onto the bucketed session store — the
+    reference's updateSessionsWithHuntId path (viewer/apiHunts.js:
+    553-561 writes huntId onto each matched session doc). One staged
+    bucketed merge per hunt id: each is a broadcast join over the
+    bucketed scan with NO Exchange on the fact side
+    (sessions_api.update_tags_bucketed), so writing a hunt's results
+    back costs a co-partitioned read+write of the session table, never
+    a shuffle. The distinct-hunt-id collect is O(jobs), control-plane
+    only. Returns the post-update table DataFrame."""
+    from moloch_spark.operators.sessions_api import update_tags_bucketed
+
+    hunt_ids = sorted(
+        r.hunt_id for r in results.select("hunt_id").distinct().collect()
+    )
+    out = spark.table(table)
+    for h in hunt_ids:
+        out = update_tags_bucketed(
+            spark, table, path,
+            results.filter(F.col("hunt_id") == h).select(id_col),
+            id_col=id_col, add=[h], tags_col=hunts_col, buckets=buckets,
+        )
+    return out

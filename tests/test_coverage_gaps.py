@@ -169,3 +169,24 @@ def test_reverse_dns_injected_resolver(spark):
     table = {"10.0.0.1": "host-a.example", "10.0.0.2": "host-b.example"}
     out = {r.id: r.rdns for r in reverse_dns(df, ip_col="ip", resolver=table).collect()}
     assert out == {1: "host-a.example", 2: "host-b.example", 3: None, 4: "host-a.example"}
+
+
+def test_unique_explodes_array_valued_column_expressions(spark):
+    """unique() must detect array columns even when passed a Column
+    EXPRESSION (not a named column) — a dtypes-by-name lookup silently
+    skipped explode detection for computed fields."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators.endpoints import unique
+
+    df = spark.createDataFrame(
+        [(["a", "b"], 1), (["b"], 2), ([], 3)],
+        "tags array<string>, n int",
+    )
+    # computed array expression: concat of the array with itself filtered
+    expr = F.filter(F.col("tags"), lambda x: x != "zz")
+    got = {r.value: r["count"] for r in unique(df, expr).collect()}
+    assert got == {"a": 1, "b": 2, None: 1}
+    # named-column path unchanged
+    got2 = {r.value: r["count"] for r in unique(df, "tags").collect()}
+    assert got2 == {"a": 1, "b": 2, None: 1}

@@ -634,3 +634,52 @@ def test_hunt_job_queue_pause_resume_identical(spark, tmp_path):
     )
     assert len(got) == len(set(got)), "a slice repeated rows"
     assert got == want
+
+
+def test_hunt_write_back_through_bucketed_store(spark, tmp_path):
+    """Hunt results land on the bucketed session store with the same
+    no-shuffle merge as tag updates (ref apiHunts.js:553-561)."""
+    from moloch_spark.operators.hunts import (
+        HuntSpec, hunt, write_back_hunt_matches,
+    )
+    from moloch_spark.sources.session_store import write_sessions_bucketed
+
+    docs = load_table(spark, "documents", SF)
+    sess = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id")).alias("session_id"),
+        F.col("text"),
+        F.array().cast("array<string>").alias("hunt_ids"),
+    )
+    path = str(tmp_path / "hunt_bk")
+    write_sessions_bucketed(sess, "t_hunt_bk", path, buckets=8)
+    try:
+        results = hunt(
+            docs.select(
+                F.concat(F.lit("s"), F.col("doc_id")).alias("session_id"), "text"
+            ),
+            HuntSpec("h-merge", "ascii", "merge"),
+            payload_cols=["text"], id_col="session_id",
+        ).unionByName(
+            hunt(
+                docs.select(
+                    F.concat(F.lit("s"), F.col("doc_id")).alias("session_id"), "text"
+                ),
+                HuntSpec("h-scan", "regex", "sc[ae]n"),
+                payload_cols=["text"], id_col="session_id",
+            )
+        )
+        out = write_back_hunt_matches(
+            spark, "t_hunt_bk", path, results, hunts_col="hunt_ids", buckets=8
+        )
+        want = {
+            (r.session_id, r.hunt_id) for r in results.collect()
+        }
+        got = {
+            (r.session_id, h)
+            for r in out.filter(F.size("hunt_ids") > 0).collect()
+            for h in r.hunt_ids
+        }
+        assert got == want and len(want) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_hunt_bk")
+        spark.sql("DROP TABLE IF EXISTS t_hunt_bk__staged")

@@ -296,6 +296,59 @@ def embedding_near_dups(
     return out.filter(F.col("cosine") >= threshold)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 12,
+    dim: int = 64,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """CORPUS-WIDE embedding near-duplicate pairs — no broadcast side.
+
+    `embedding_near_dups` handles the bounded-query case (broadcast the
+    queries, scan the corpus once); this is the SemDeDup-shaped
+    corpus × corpus form a curation run needs at 100 TB: every vector
+    emits L (table, code) sign-LSH tokens scan-side (one Arrow matmul
+    against all L·b hyperplanes — similarity._lsh_tokens_udf), candidate
+    pairs are vectors sharing a token (a per-bucket equi-self-join, so
+    work is Σ bucket² rather than n²), and exact cosine verifies
+    ≥ threshold. Vectors ride through the join (dim≈64 doubles ≪ the
+    alternative of two extra id-joins); pair dedup is one (id_a, id_b)
+    shuffle. Recall is the standard multi-table LSH trade: a true pair
+    is missed only if all L tables split it — the same planes/recall
+    already gated in test_ann_recall."""
+    from moloch_spark.operators.similarity import _hyperplanes, _lsh_tokens_udf
+
+    planes = _hyperplanes(dim, n_tables * n_planes)
+    code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
+    vec = F.col(vec_col).cast("array<double>")
+    toks = emb.select(
+        F.col(id_col), vec.alias("_v"), F.explode(code_fn(vec)).alias("token")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = pairs.select(
+        "id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine")
+    )
+    return out.filter(F.col("cosine") >= threshold)
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

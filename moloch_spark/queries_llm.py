@@ -321,10 +321,10 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(load_table(spark, "embeddings", sf_dir))
 
 
-def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 12, dim: int = 64) -> str:
-    """Mirror of lsh_bucket_topk's multi-table + 1-bit-multiprobe scheme:
-    same md5-derived hyperplanes (table t owns planes [t*b, (t+1)*b)),
-    same candidate union over (table, code) matches, same cosine/rank."""
+def _lsh_code_branches(n_planes: int, n_tables: int, dim: int) -> str:
+    """CASE branches computing table t's sign-code string over `ed` with
+    the SAME md5-derived hyperplanes as similarity._hyperplanes (table t
+    owns planes [t*b, (t+1)*b))."""
     planes = S._hyperplanes(dim, n_tables * n_planes)
 
     def code_expr(t: int) -> str:
@@ -335,7 +335,14 @@ def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 12, dim: int = 64) -> str:
             for p in range(n_planes)
         )
 
-    branches = " ".join(f"WHEN {t} THEN {code_expr(t)}" for t in range(n_tables))
+    return " ".join(f"WHEN {t} THEN {code_expr(t)}" for t in range(n_tables))
+
+
+def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 12, dim: int = 64) -> str:
+    """Mirror of lsh_bucket_topk's multi-table + 1-bit-multiprobe scheme:
+    same hyperplanes, same candidate union over (table, code) matches,
+    same cosine/rank."""
+    branches = _lsh_code_branches(n_planes, n_tables, dim)
     return f"""
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
     codes AS (
@@ -378,6 +385,47 @@ def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 12, dim: int = 64) -> str:
 @register("ann_lsh_bucketed_topk", _lsh_ann_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(load_table(spark, "embeddings", sf_dir))
+
+
+def _lsh_pairs_sql(
+    n_planes: int = 8, n_tables: int = 12, dim: int = 64,
+    threshold: float = 0.3,
+) -> str:
+    branches = _lsh_code_branches(n_planes, n_tables, dim)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    codes AS (
+      SELECT vec_id, ed, t.tbl, CASE t.tbl {branches} END AS code
+      FROM b CROSS JOIN (SELECT unnest(range({n_tables})) AS tbl) t
+    ),
+    pairs AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM codes x JOIN codes y
+        ON x.tbl = y.tbl AND x.code = y.code AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(
+               list_dot_product(av.ed, bv.ed)
+               / (sqrt(list_dot_product(av.ed, av.ed))
+                  * sqrt(list_dot_product(bv.ed, bv.ed))),
+             4) AS cosine
+      FROM pairs p
+      JOIN b av ON av.vec_id = p.id_a
+      JOIN b bv ON bv.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@register("embedding_near_dup_pairs_lsh", _lsh_pairs_sql())
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs with NO broadcast side: the
+    SemDeDup-shaped corpus x corpus search (per-bucket LSH self-join +
+    exact-cosine verify) — what `embedding_near_dups` cannot do once the
+    query set IS the corpus. Oracle replays the identical hyperplane
+    codes and bucket self-join in SQL."""
+    return D.embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir))
 
 
 def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:

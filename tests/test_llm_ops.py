@@ -324,3 +324,13 @@ def test_char_entropy_known_values(spark):
     assert out[2] == 1.0      # two symbols, uniform
     assert out[3] == 2.0      # four symbols, uniform
     assert out[4] == 0.0      # empty
+
+
+def test_embedding_near_dup_pairs_corpus_wide(emb):
+    """Corpus x corpus near-dup pairs (no broadcast side): the known
+    near-dup pair collides in some LSH table and survives the cosine
+    verify; orthogonal vectors never appear."""
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in D.embedding_near_dup_pairs(emb, dim=4, threshold=0.9).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert all(not {a, b} & {2, 3} or (a, b) == (2, 3) for a, b in out), out

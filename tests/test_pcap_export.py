@@ -243,3 +243,40 @@ def test_pcapng_spb_snaplen_and_short_idb():
         sum(len(c["ts_us"]) for c in parse_capture_columns("t", shb + short_idb + spb))
         == 0
     )
+
+
+def test_pcapng_big_endian_section():
+    """A big-endian section (BOM bytes 1A 2B 3C 4D on disk, per the
+    pcapng spec) must parse with '>' unpacking — guards the byte-order
+    mapping that was silently swapped until round 3."""
+    import struct
+
+    from moloch_spark.sources.pcap_reader import parse_capture_columns
+
+    def block(btype, body, endian):
+        pad = (-len(body)) % 4
+        blen = 12 + len(body) + pad
+        return (
+            struct.pack(endian + "II", btype, blen) + body + b"\0" * pad
+            + struct.pack(endian + "I", blen)
+        )
+
+    for endian, bom in ((">", b"\x1a\x2b\x3c\x4d"), ("<", b"\x4d\x3c\x2b\x1a")):
+        shb = block(
+            0x0A0D0D0A,
+            bom + struct.pack(endian + "HHq", 1, 0, -1),
+            endian,
+        )
+        idb = block(0x00000001, struct.pack(endian + "HHI", 1, 0, 0), endian)
+        frame = b"\xaa" * 24
+        epb = block(
+            0x00000006,
+            struct.pack(endian + "IIIII", 0, 0, 123_000_000, len(frame), len(frame))
+            + frame,
+            endian,
+        )
+        cols = list(parse_capture_columns("t", shb + idb + epb))
+        (c,) = cols
+        assert list(c["incl_len"]) == [24], endian
+        assert list(c["ts_us"]) == [123_000_000], endian
+        assert [bytes(d) for d in c["data"]] == [frame], endian

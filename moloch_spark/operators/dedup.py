@@ -21,9 +21,14 @@ oracle compute identically — no engine-specific integer hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from moloch_spark.operators.text import shingle_df, tokens, word_shingles
+from moloch_spark.operators.text import (
+    shingle_df,
+    tokens,
+    word_ngrams,
+    word_shingles,
+)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -294,6 +299,74 @@ def embedding_near_dups(
         cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection — the published method of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): any n-token span occurring >= min_occurrences times in
+    the WHOLE corpus (across or within documents) is a removal
+    candidate. Their suffix array becomes, distributed: position-
+    annotated n-grams scan-side, one map-combined groupBy(gram) to find
+    repeated grams, a join back to positions, and a per-document sweep
+    that merges overlapping hits into covered-token counts
+    (sum of min(n, next_pos - pos), the interval-union telescope).
+
+    Returns per-doc removal stats: dup_positions (gram hits),
+    dup_tokens (union of covered tokens), total_tokens, dup_fraction.
+
+    Scale: two shuffles total — (gram) and (doc) — both map-combined;
+    gram keys here are the literal strings so the DuckDB oracle can
+    replay them byte-for-byte (at 100 TB you would xxhash64 the gram to
+    shuffle 8 bytes instead; the plan is otherwise identical)."""
+    toks = tokens(text_col)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
+    ).select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "gram")
+    # repeated grams via a count window over the gram partition — NOT a
+    # groupBy + join-back, which would re-run the (13x token expansion)
+    # gram scan a second time as the join's probe side (measured ~2x
+    # end-to-end). One shuffle on the gram, positions ride along.
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("_occ", F.count(F.lit(1)).over(wg))
+        .filter(F.col("_occ") >= min_occurrences)
+        .select(F.col(id_col), "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.when(F.lead("pos").over(w).isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), F.lead("pos").over(w) - F.col("pos"))
+    )
+    stats = (
+        hits.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_positions"),
+            F.sum("_c").alias("dup_tokens"),
+        )
+    )
+    totals = df.select(F.col(id_col), F.size(toks).cast("long").alias("total_tokens"))
+    return totals.join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        "total_tokens",
+        F.when(F.col("total_tokens") > 0,
+               F.round(
+                   F.coalesce("dup_tokens", F.lit(0))
+                   / F.col("total_tokens"), 4
+               ))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
 
 
 def embedding_near_dup_pairs(

@@ -680,6 +680,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.orderBy("doc_id")
 
 
+@register(
+    "duplicate_spans_13gram",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(t[i:i+12], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 11)) AS g(i)
+    ),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gram)),
+    sweep AS (
+      SELECT doc_id, pos,
+             LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM hits
+    ),
+    stats AS (
+      SELECT doc_id,
+             COUNT(*) AS dup_positions,
+             CAST(SUM(CASE WHEN nxt IS NULL THEN 13
+                           ELSE LEAST(13, nxt - pos) END) AS BIGINT)
+               AS dup_tokens
+      FROM sweep GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           COALESCE(s.dup_positions, 0) AS dup_positions,
+           COALESCE(s.dup_tokens, 0) AS dup_tokens,
+           CAST(len(tk.t) AS BIGINT) AS total_tokens,
+           CASE WHEN len(tk.t) > 0
+                THEN ROUND(COALESCE(s.dup_tokens, 0) * 1.0 / len(tk.t), 4)
+                ELSE 0.0 END AS dup_fraction
+    FROM toks tk LEFT JOIN stats s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring stats (Lee et al. 2022 13-token spans):
+    per-doc count of corpus-repeated 13-gram positions and the merged
+    token coverage they would remove. The oracle replays the gram
+    positions, the HAVING>=2 repeat set, and the interval-union sweep
+    in SQL."""
+    return D.duplicate_spans(
+        load_table(spark, "documents", sf_dir), n=13
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # PII scanning + Gopher-style repetition filters
 # ---------------------------------------------------------------------------

@@ -64,6 +64,7 @@ _CHECK_PRIORITY = (
     "streaming_sessionize_closed",           # r2 red (gate output) -> fixed
     "dedup_ngram_jaccard", "embedding_near_dups",  # de-vacuated thresholds
     "embedding_near_dup_pairs_lsh",          # new: corpus-wide, no broadcast
+    "duplicate_spans_13gram",                # new: Lee-et-al span dedup
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog

@@ -334,3 +334,25 @@ def test_embedding_near_dup_pairs_corpus_wide(emb):
            for r in D.embedding_near_dup_pairs(emb, dim=4, threshold=0.9).collect()}
     assert (0, 1) in out and out[(0, 1)] > 0.99
     assert all(not {a, b} & {2, 3} or (a, b) == (2, 3) for a, b in out), out
+
+
+def test_duplicate_spans_interval_union(spark):
+    """Known geometry: doc 1 and 2 share one 5-token span (one dup
+    position each); doc 3 repeats a 6-token run of doc 1 (two
+    overlapping 5-gram positions -> union = 6 tokens, not 10); doc 4
+    shares nothing."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique1 tail1 a b"),
+        (2, "x1 x2 alpha beta gamma delta epsilon y1 y2 y3"),
+        (3, "alpha beta gamma delta epsilon zeta z1 z2 z3 z4"),
+        (4, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.duplicate_spans(df, n=5).collect()}
+    assert out[4].dup_positions == 0 and out[4].dup_tokens == 0
+    # docs 1 and 3 share "alpha..zeta" (6 tokens = positions 0 and 1)
+    assert out[1].dup_positions == 2 and out[1].dup_tokens == 6
+    assert out[3].dup_positions == 2 and out[3].dup_tokens == 6
+    # doc 2 shares only the 5-token "alpha..epsilon" (position 2)
+    assert out[2].dup_positions == 1 and out[2].dup_tokens == 5
+    assert out[2].total_tokens == 10 and abs(out[2].dup_fraction - 0.5) < 1e-9

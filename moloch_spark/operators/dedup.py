@@ -392,17 +392,36 @@ def embedding_near_dup_pairs(
     alternative of two extra id-joins); pair dedup is one (id_a, id_b)
     shuffle. Recall is the standard multi-table LSH trade: a true pair
     is missed only if all L tables split it — the same planes/recall
-    already gated in test_ann_recall."""
+    already gated in test_ann_recall.
+
+    PERF: Spark's higher-order array functions are interpreted (not
+    codegen), so per-PAIR work must be exactly one dot product — the
+    two L2 norms are per-VECTOR quantities, computed scan-side (n rows,
+    not n·bucket² candidate rows) and riding the join as scalars; the
+    threshold filter runs BEFORE the pair dedup so the (id_a, id_b)
+    shuffle carries only surviving skinny rows, never candidates with
+    two dim-wide vectors attached (measured 12.4 s -> ~4 s at sf0.1;
+    identical floats — the norm of the same array is bit-equal
+    wherever it's computed)."""
     from moloch_spark.operators.similarity import _hyperplanes, _lsh_tokens_udf
 
     planes = _hyperplanes(dim, n_tables * n_planes)
     code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
     vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
     toks = emb.select(
-        F.col(id_col), vec.alias("_v"), F.explode(code_fn(vec)).alias("token")
+        F.col(id_col),
+        vec.alias("_v"),
+        norm.alias("_n"),
+        F.explode(code_fn(vec)).alias("token"),
     )
     a, b = toks.alias("a"), toks.alias("b")
-    pairs = (
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
@@ -411,15 +430,11 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
+            F.round(dot / (F.col("a._n") * F.col("b._n")), 4).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = pairs.select(
-        "id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine")
-    )
-    return out.filter(F.col("cosine") >= threshold)
 
 
 def decontaminate(

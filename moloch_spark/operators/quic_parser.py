@@ -1,9 +1,14 @@
-"""gQUIC parser — eighteenth exemplar field extractor
+"""QUIC parser — eighteenth exemplar field extractor
 (ref capture/parsers/quic.c:38-216: the plaintext CHLO crypto-handshake
 tag-value structure carries SNI, UAID (user agent), and VER; the Q046+
-path validates the 'Q0xx' version marker then scans for the CHLO magic.
-IETF QUIC (v1+) encrypts the Initial packet — protocol-label-only
-there, like the reference's quic_5x path).
+path validates the 'Q0xx' version marker then scans for the CHLO magic).
+
+IETF QUIC v1 goes BEYOND the reference (which is protocol-label-only
+there, quic.c:199-216): `parse_quic_v1` opens the encrypted Initial
+with the public RFC 9001 §5.2 key derivation (operators/quic_crypto),
+reassembles the CRYPTO stream, and feeds the TLS ClientHello inside to
+the existing tls_parser for SNI/ALPN/JA3 — the fields the v1 wire
+actually carries where gQUIC had CHLO tags.
 
 CHLO layout: 'CHLO', u16-LE tag count, 2 pad bytes, count x (4-byte
 subtag, u32-LE end offset), then the packed value section — value i
@@ -126,6 +131,95 @@ def encode_quic_udf(**fixed):
         )
 
     return encode
+
+
+QUIC_V1_SCHEMA = (
+    "version string, dcid string, scid string, pn bigint, sni string, "
+    "alpn string, ja3 string, parse_error string"
+)
+
+_V1_EMPTY = {
+    "version": None, "dcid": None, "scid": None, "pn": None,
+    "sni": None, "alpn": None, "ja3": None, "parse_error": None,
+}
+
+
+def parse_quic_v1(buf: bytes) -> dict:
+    """v1 Initial datagram -> connection IDs + the ClientHello fields
+    (SNI/ALPN/JA3) recovered through the public Initial-key derivation.
+    Total function: hostile/undecryptable input lands in parse_error."""
+    from moloch_spark.operators import quic_crypto as QC
+    from moloch_spark.operators.tls_parser import parse_client_hello
+
+    out = dict(_V1_EMPTY)
+    try:
+        opened = QC.open_initial(buf)
+        out["version"] = "v1"
+        out["dcid"] = opened["dcid"].hex()
+        out["scid"] = opened["scid"].hex()
+        out["pn"] = opened["pn"]
+        hs = QC.crypto_stream(opened["payload"])
+        if len(hs) >= 4 and hs[0] == 0x01:
+            # tls_parser expects record framing; wrap the raw handshake
+            rec = b"\x16\x03\x01" + struct.pack(">H", len(hs)) + hs
+            ch = parse_client_hello(rec)
+            out["sni"] = ch["sni"]
+            out["alpn"] = ",".join(ch["alpn"]) if ch["alpn"] else None
+            out["ja3"] = ch["ja3"]
+    except (ValueError, IndexError, struct.error) as exc:
+        out = dict(_V1_EMPTY)
+        out["parse_error"] = str(exc)[:120]
+    return out
+
+
+def encode_initial_udf(**fixed):
+    """(doc_id, sni) -> encrypted v1 Initial datagram carrying a
+    ClientHello in one CRYPTO frame (gate/test synthesis). DCID is
+    derived from the row id so every row exercises a distinct key
+    schedule; padding to 1200 per RFC 9000 §14.1."""
+    from moloch_spark.operators import quic_crypto as QC
+    from moloch_spark.operators.tls_parser import encode_client_hello
+
+    @F.pandas_udf("binary")
+    def encode(doc_id: pd.Series, sni: pd.Series) -> pd.Series:
+        rows = []
+        for did, s in zip(doc_id, sni):
+            hello = encode_client_hello(
+                sni=str(s), alpn=fixed.get("alpn", ("h3",))
+            )[5:]  # strip the TLS record header: CRYPTO carries raw handshake
+            frame = (
+                b"\x06" + QC.varint_encode(0) + QC.varint_encode(len(hello))
+                + hello
+            )
+            dcid = int(did).to_bytes(8, "big")
+            rows.append(
+                QC.seal_initial(dcid=dcid, pn=int(did) % 1024, payload=frame)
+            )
+        return pd.Series(rows)
+
+    return encode
+
+
+def parse_quic_v1_df(
+    df: DataFrame, *, payload_col: str = "payload", prefix: str = "quic_"
+) -> DataFrame:
+    """Parse a v1-Initial payload column into typed quic_* columns."""
+
+    @F.pandas_udf(QUIC_V1_SCHEMA)
+    def parse(col: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                parse_quic_v1(bytes(v)) if v is not None else dict(_V1_EMPTY)
+                for v in col
+            ]
+        )
+
+    out = df.withColumn("_q", parse(F.col(payload_col)))
+    for name in (
+        "version", "dcid", "scid", "pn", "sni", "alpn", "ja3", "parse_error",
+    ):
+        out = out.withColumn(f"{prefix}{name}", F.col(f"_q.{name}"))
+    return out.drop("_q")
 
 
 def parse_quic_df(

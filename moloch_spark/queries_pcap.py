@@ -877,6 +877,57 @@ def q_quic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "quic_v1_initial_fields",
+    """
+    SELECT doc_id,
+           'v1' AS quic_version,
+           lpad(lower(to_hex(doc_id)), 16, '0') AS quic_dcid,
+           CAST(doc_id % 1024 AS BIGINT) AS quic_pn,
+           'doc' || doc_id || '.example.org' AS quic_sni,
+           'h3' AS quic_alpn,
+           'e8b9a35f6e0f351fda9818023e74584e' AS quic_ja3
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_quic_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IETF QUIC v1 Initial: per-row ClientHello -> CRYPTO frame ->
+    AES-128-GCM seal under the RFC 9001 §5.2 Initial keys (DCID-derived,
+    distinct per row) + header protection + 1200-byte padding; the
+    operator under test then re-derives the keys from the wire DCID,
+    unprotects, decrypts, reassembles CRYPTO, and parses the
+    ClientHello. The oracle predicts every field analytically (the JA3
+    constant is the fixed synth cipher/curve/ALPN config through the
+    public JA3 algorithm). BEYOND the reference: quic.c:199-216 is
+    label-only for v1. Crypto primitives are vector-pinned in
+    tests/test_quic_v1.py (FIPS-197 C.1, NIST GCM case 3, RFC 9001
+    A.1)."""
+    from moloch_spark.operators.quic_parser import (
+        encode_initial_udf,
+        parse_quic_v1_df,
+    )
+
+    # documents is a single small parquet file -> one input partition,
+    # but the per-row cost here is ~13 ms of Python GCM (100x the other
+    # parsers), so spread the rows across the executor cores first —
+    # the same thing a 100 TB scan gets for free from many input splits
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sni = F.concat(F.lit("doc"), F.col("doc_id"), F.lit(".example.org"))
+    wire = docs.withColumn(
+        "payload", encode_initial_udf()(F.col("doc_id"), sni)
+    )
+    parsed = parse_quic_v1_df(wire, payload_col="payload")
+    return parsed.select(
+        "doc_id", "quic_version", "quic_dcid", "quic_pn", "quic_sni",
+        "quic_alpn", "quic_ja3",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SMB1/SMB2 stream walk (capture/parsers/smb.c)
 # ---------------------------------------------------------------------------

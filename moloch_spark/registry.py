@@ -65,6 +65,7 @@ _CHECK_PRIORITY = (
     "dedup_ngram_jaccard", "embedding_near_dups",  # de-vacuated thresholds
     "embedding_near_dup_pairs_lsh",          # new: corpus-wide, no broadcast
     "duplicate_spans_13gram",                # new: Lee-et-al span dedup
+    "quic_v1_initial_fields",                # new: v1 Initial decrypt+parse
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog

@@ -369,6 +369,63 @@ def duplicate_spans(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line/paragraph deduplication — the ccnet shape
+    (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets"): every distinct line keeps its FIRST occurrence corpus-
+    wide (ordered by (doc, position)) and later copies are dropped, so
+    boilerplate headers/footers vanish from all but one document.
+    Returns per-doc (lines_total, lines_kept, clean_text).
+
+    Scale: the keep-rule is min(struct(doc, pos)) per line — an
+    AGGREGATION, map-combinable, so the billion-copy boilerplate line
+    partial-aggregates to one row per map task and never lands on a
+    single reducer. (The equivalent row_number()-over-line window would
+    shuffle every copy of the hottest line to one partition — the
+    classic skew trap for this operator.) Since the winning (doc, pos)
+    IS the aggregation result, no join-back is needed: two map-combined
+    shuffles total — (line) then (doc) for the rebuild."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    kept = (
+        lines.groupBy("line")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("f")
+        )
+        .select(F.col("f.i").alias(id_col), F.col("f.p").alias("pos"), "line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("lines_total"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "lines_total",
+        F.coalesce("lines_kept", F.lit(0)).alias("lines_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     *,

@@ -731,6 +731,131 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "line_dedup_corpus",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             'src banner ' || source || chr(10) || substr(text, 1, 80)
+             || chr(10) || 'all rights reserved' AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ls[g.i] AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built),
+           UNNEST(range(1, len(ls) + 1)) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS lines_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(string_split(b.t, chr(10))) AS BIGINT) AS lines_total,
+           COALESCE(s.lines_kept, 0) AS lines_kept,
+           COALESCE(s.clean_text, '') AS clean_text
+    FROM built b LEFT JOIN stats s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ccnet-style corpus-wide exact line dedup: the gate builds a
+    multi-line corpus from row columns (a per-source banner line that
+    repeats across each source's docs, a mostly-unique body line, and a
+    global boilerplate footer), runs the skew-proof min(struct)
+    keep-first operator, and the oracle replays the identical
+    construction with a row_number window — proving the aggregation
+    formulation == the window formulation on real duplicates."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
+    )
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("src banner "), F.col("source")),
+            F.substring("text", 1, 80),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    )
+    return D.line_dedup(built).orderBy("doc_id")
+
+
+@register(
+    "dsir_importance_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(gl) AS gram
+      FROM (
+        SELECT doc_id, lang,
+               list_concat(
+                 t,
+                 list_transform(range(len(t) - 1),
+                                i -> t[i + 1] || ' ' || t[i + 2])
+               ) AS gl
+        FROM toks
+      )
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('dsir:v1:' || gram), 1, 7)) AS BIGINT)
+               % 4096 AS bucket
+      FROM grams
+    ),
+    cnts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_cnt,
+             CAST(COUNT(*) AS BIGINT) AS r_cnt
+      FROM b GROUP BY bucket
+    ),
+    w AS (
+      SELECT bucket,
+             ROUND(ln((t_cnt + 1.0) / (SUM(t_cnt) OVER () + 4096.0))
+                   - ln((r_cnt + 1.0) / (SUM(r_cnt) OVER () + 4096.0)),
+                   6) AS weight
+      FROM cnts
+    ),
+    s AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             SUM(w.weight) AS sc
+      FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_grams, ROUND(sc / n_grams, 4) AS score,
+           (ROUND(sc / n_grams, 4) >= 0) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) end to end: fit
+    hashed unigram+bigram models of the target (lang='en') and the raw
+    corpus, weight buckets by the smoothed log ratio, score every raw
+    doc by its length-normalized summed weight. The oracle replays the
+    identical md5 bucketing, smoothing, and normalization in SQL —
+    weights rounded to 6 before the doc sum so cross-engine summation
+    order cannot drift the 4-decimal score."""
+    from moloch_spark.operators.importance import dsir_select
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang"
+    )
+    return dsir_select(docs, docs.filter(F.col("lang") == "en")).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scanning + Gopher-style repetition filters
 # ---------------------------------------------------------------------------

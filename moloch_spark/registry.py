@@ -66,6 +66,8 @@ _CHECK_PRIORITY = (
     "embedding_near_dup_pairs_lsh",          # new: corpus-wide, no broadcast
     "duplicate_spans_13gram",                # new: Lee-et-al span dedup
     "quic_v1_initial_fields",                # new: v1 Initial decrypt+parse
+    "line_dedup_corpus",                     # new: ccnet line-level dedup
+    "dsir_importance_select",                # new: DSIR importance resampling
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog

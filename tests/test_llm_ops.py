@@ -356,3 +356,45 @@ def test_duplicate_spans_interval_union(spark):
     # doc 2 shares only the 5-token "alpha..epsilon" (position 2)
     assert out[2].dup_positions == 1 and out[2].dup_tokens == 5
     assert out[2].total_tokens == 10 and abs(out[2].dup_fraction - 0.5) < 1e-9
+
+
+def test_line_dedup_keep_first_corpus_wide(spark):
+    """Footer repeats in all docs -> kept only in doc 1; the banner
+    repeats within doc 3 -> second in-doc copy also dropped; empty
+    lines dedup like any other line."""
+    rows = [
+        (1, "alpha\nfooter"),
+        (2, "beta\nfooter"),
+        (3, "banner\nbody3\nbanner\nfooter"),
+        (4, "footer\nunique4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.line_dedup(df).collect()}
+    assert out[1].clean_text == "alpha\nfooter" and out[1].lines_kept == 2
+    assert out[2].clean_text == "beta" and out[2].lines_kept == 1
+    assert out[3].clean_text == "banner\nbody3" and out[3].lines_total == 4
+    assert out[4].clean_text == "unique4"
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Docs drawn from the target vocabulary must outscore docs from a
+    disjoint vocabulary, and the end-to-end keep flag must follow."""
+    from moloch_spark.operators.importance import dsir_select
+
+    target_like = "cat feline whiskers purr cat feline purr whiskers"
+    off_topic = "gear piston torque diesel gear piston torque diesel"
+    rows = [
+        (1, target_like, "en"),
+        (2, off_topic, "en"),
+        (3, "cat feline purr gear", "de"),
+        (4, off_topic, "de"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = raw.filter("doc_id = 1")  # pure target distribution
+    out = {r.doc_id: r for r in dsir_select(raw, target).collect()}
+    assert out[1].score > out[3].score > out[4].score
+    # absolute keep threshold is only meaningful when corpus gram mass
+    # >> alpha * n_buckets (true at corpus scale, not in a 4-doc toy) —
+    # here just pin the flag's definition
+    assert all(r.keep == (r.score >= 0) for r in out.values())
+    assert out[2].score == out[4].score  # identical text, identical score

@@ -102,7 +102,7 @@ def minhash_signatures(
     return withh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_table(
     df: DataFrame,
     *,
     text_col: str = "text",
@@ -111,10 +111,11 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL hashes within any band become a
-    candidate pair. One shuffle on (band, band_hash); the pair join runs
-    per-bucket so cost tracks true collision volume, not corpus^2.
-    """
+    """-> (id, band, bhash): the banded-LSH bucket table of a corpus —
+    the unit both self-join dedup (lsh_candidate_pairs) and incremental
+    dedup (dedup_incremental) join on. At scale this IS the persisted
+    dedup index: write it partitioned/bucketed by (band, bhash) once
+    and each new crawl joins against it without touching raw history."""
     sigs = minhash_signatures(
         df,
         text_col=text_col,
@@ -140,9 +141,70 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(bands).alias("bd")
-    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash"))
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        id_col, F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash")
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus LSH index (the
+    per-crawl shape: the 100 TB history is signed once into a
+    lsh_band_table; each incoming shard only computes its own
+    signatures and joins the bucket table — incremental cost tracks the
+    new data, never the archive). `index` is a lsh_band_table output
+    (id, band, bhash). Returns per-new-doc (id, dup_of, is_new_unique)
+    where dup_of is the smallest colliding historical id."""
+    nb = lsh_band_table(
+        new_df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    hist = index.select(
+        F.col(id_col).alias("_hist_id"), "band", "bhash"
+    )
+    matched = (
+        nb.join(hist, ["band", "bhash"], "left")
+        .groupBy(id_col)
+        .agg(F.min("_hist_id").alias("dup_of"))
+    )
+    return matched.select(
+        id_col, "dup_of", F.col("dup_of").isNull().alias("is_new_unique")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes within any band become a
+    candidate pair. One shuffle on (band, band_hash); the pair join runs
+    per-bucket so cost tracks true collision volume, not corpus^2.
+    """
+    exploded = lsh_band_table(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

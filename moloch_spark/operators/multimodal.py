@@ -339,7 +339,13 @@ def synth_solid_png_media(docs: DataFrame, *, max_dim: int = 96) -> DataFrame:
                 rows, columns=["media_id", "kind", "data", "meta"]
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(fn, schema=MEDIA_SCHEMA)
+    # the docs table is one small parquet file -> one input partition,
+    # while the downstream pixel codecs cost ~ms/row: spread the rows
+    # across cores first (what a real media corpus gets from its splits)
+    ids = docs.select("doc_id", "n_chars").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 def synth_y4m_media(docs: DataFrame, *, w: int = 8, h: int = 6) -> DataFrame:

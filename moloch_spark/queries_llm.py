@@ -732,6 +732,43 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_lsh",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    sigs AS (
+      SELECT doc_id,
+             {_MH_COLS_SQL}
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    m AS (
+      SELECT n.doc_id, MIN(h.doc_id) AS dup_of
+      FROM newb n JOIN hist h ON n.band = h.band AND n.bhash = h.bhash
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id, m.dup_of, (m.dup_of IS NULL) AS is_new_unique
+    FROM (SELECT DISTINCT doc_id FROM newb) d LEFT JOIN m USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-vs-archive dedup: even doc_ids play the signed
+    historical corpus (its lsh_band_table is the persisted index), odd
+    doc_ids the incoming shard; each new doc reports the smallest
+    colliding archive id or comes back unique. The oracle replays the
+    identical signatures, banding, and parity split in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.dedup_incremental(new, D.lsh_band_table(hist)).orderBy("doc_id")
+
+
+@register(
     "line_dedup_corpus",
     """
     WITH built AS (

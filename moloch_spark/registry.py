@@ -68,6 +68,7 @@ _CHECK_PRIORITY = (
     "quic_v1_initial_fields",                # new: v1 Initial decrypt+parse
     "line_dedup_corpus",                     # new: ccnet line-level dedup
     "dsir_importance_select",                # new: DSIR importance resampling
+    "dedup_incremental_lsh",                 # new: crawl-vs-archive dedup
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog

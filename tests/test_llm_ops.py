@@ -398,3 +398,22 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     # here just pin the flag's definition
     assert all(r.keep == (r.score >= 0) for r in out.values())
     assert out[2].score == out[4].score  # identical text, identical score
+
+
+def test_dedup_incremental_flags_archive_collisions(spark):
+    """New docs that near-duplicate an archived doc resolve to its id;
+    genuinely new content comes back unique."""
+    hist_rows = [
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "completely different archived content about spark shuffles"),
+    ]
+    new_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "fresh unseen words about garbage collection tuning in java"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.dedup_incremental(new, D.lsh_band_table(hist)).collect()}
+    assert out[1].dup_of == 2 and not out[1].is_new_unique
+    assert out[3].dup_of is None and out[3].is_new_unique

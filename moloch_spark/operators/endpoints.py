@@ -103,14 +103,22 @@ def session_list_response(
 ) -> dict:
     """Full /api/sessions response shape (apiSessions.js:1673-1739):
     page of rows + recordsTotal (unfiltered table count) +
-    recordsFiltered (matching count). The two counts and the page are
-    three jobs over one scan each — the reference issues the same
-    parallel searchSessions + numberOfDocuments calls."""
+    recordsFiltered (matching count). Both counts come from ONE
+    conditional aggregation over one scan (the reference issues
+    parallel searchSessions + numberOfDocuments calls; a second scan
+    of a 100 TB store just to count the filter is the thing to avoid);
+    the sorted page is its own job."""
     page = sessions_search(df, where, **search_kwargs)
+    filtered = (
+        F.count(F.when(where, 1)) if where is not None else F.count(F.lit(1))
+    )
+    counts = df.agg(
+        F.count(F.lit(1)).alias("total"), filtered.alias("filtered")
+    ).first()
     return {
         "data": page,
-        "recordsTotal": df.count(),
-        "recordsFiltered": df.filter(where).count() if where is not None else df.count(),
+        "recordsTotal": counts["total"],
+        "recordsFiltered": counts["filtered"],
     }
 
 

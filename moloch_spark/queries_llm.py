@@ -731,6 +731,119 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_PIPELINE_SQL = f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    eval_set AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+    ctoks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM corpus
+    ),
+    q AS (SELECT doc_id, (len(t) BETWEEN 20 AND 90) AS ok FROM ctoks),
+    pool1 AS (
+      SELECT c.doc_id, c.text, c.t FROM ctoks c JOIN q USING (doc_id)
+      WHERE q.ok
+    ),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40)))
+               AS keep_id
+      FROM pool1
+    ),
+    pool2 AS (
+      SELECT p.doc_id, p.text, p.t FROM pool1 p JOIN ex USING (doc_id)
+      WHERE ex.keep_id = p.doc_id
+    ),
+    toks AS (SELECT doc_id, t FROM pool2),
+    sh AS (SELECT doc_id, {{shingles}} AS s FROM toks),
+    sigs AS (
+      SELECT doc_id,
+             {{mh_cols}}
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      {{bands}}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+    ),
+    comp AS (SELECT node, MIN(lab) AS root FROM reach GROUP BY node),
+    pool3 AS (
+      SELECT p.doc_id, p.t FROM pool2 p
+      LEFT JOIN comp ON comp.node = p.doc_id
+      WHERE comp.root IS NULL OR comp.root = p.doc_id
+    ),
+    egrams AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(CASE WHEN len(t) >= 13
+            THEN list_transform(range(len(t) - 12),
+                 i -> array_to_string(list_slice(t, i+1, i+13), ' '))
+            ELSE []::VARCHAR[] END) AS gram
+        FROM (SELECT list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM eval_set)
+      )
+    ),
+    cont AS (
+      SELECT DISTINCT p.doc_id
+      FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 13
+            THEN list_transform(range(len(t) - 12),
+                 i -> array_to_string(list_slice(t, i+1, i+13), ' '))
+            ELSE []::VARCHAR[] END) AS gram
+        FROM pool3
+      ) p JOIN egrams USING (gram)
+    )
+    SELECT c.doc_id,
+           CASE WHEN NOT q.ok THEN 'quality'
+                WHEN ex.keep_id IS NOT NULL AND ex.keep_id <> c.doc_id
+                  THEN 'exact_dup'
+                WHEN comp.root IS NOT NULL AND comp.root <> c.doc_id
+                  THEN 'near_dup'
+                WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS stage
+    FROM corpus c
+    JOIN q USING (doc_id)
+    LEFT JOIN ex ON ex.doc_id = c.doc_id
+    LEFT JOIN comp ON comp.node = c.doc_id
+    LEFT JOIN cont ON cont.doc_id = c.doc_id
+    ORDER BY doc_id
+""".replace("{shingles}", _shingles_sql(3)).replace(
+    "{mh_cols}", _MH_COLS_SQL
+).replace("{bands}", _BANDS_SQL)
+
+
+@register("curation_pipeline_e2e", _PIPELINE_SQL)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass as ONE plan: quality gate -> exact
+    prefix-key dedup -> LSH near-dup clustering -> 13-gram eval-set
+    decontamination, each stage running only on the previous stage's
+    survivors; every doc reports the first stage that dropped it. All
+    five fates are populated at sf0.01 AND sf0.1 (checked when tuning
+    the thresholds), and the oracle replays the entire chain — windows,
+    recursive-CTE components, gram semi-join — in SQL."""
+    from moloch_spark.operators.pipeline import curation_pipeline
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    return curation_pipeline(corpus, eval_docs).orderBy("doc_id")
+
+
 @register(
     "dedup_incremental_lsh",
     f"""

@@ -69,6 +69,7 @@ _CHECK_PRIORITY = (
     "line_dedup_corpus",                     # new: ccnet line-level dedup
     "dsir_importance_select",                # new: DSIR importance resampling
     "dedup_incremental_lsh",                 # new: crawl-vs-archive dedup
+    "curation_pipeline_e2e",                 # new: composed curation pass
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog

@@ -417,3 +417,33 @@ def test_dedup_incremental_flags_archive_collisions(spark):
            D.dedup_incremental(new, D.lsh_band_table(hist)).collect()}
     assert out[1].dup_of == 2 and not out[1].is_new_unique
     assert out[3].dup_of is None and out[3].is_new_unique
+
+
+def test_curation_pipeline_first_fail_stages(spark):
+    """Hand-built corpus where each stage claims a known doc: 1 kept,
+    2 exact-prefix dup of 1, 3 near-dup of 1 (suffix differs past the
+    prefix... no — distinct prefix, shared shingles), 4 too short, 5
+    contaminated by the eval doc, 6 kept."""
+    from moloch_spark.operators.pipeline import curation_pipeline
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base + " phi chi psi omega one"),
+        # same first-40-char prefix as doc 1 -> exact_dup
+        (2, base + " phi chi psi omega two"),
+        (4, "too short"),
+        (6, "totally distinct vocabulary row six about engines " * 2),
+    ]
+    ev = "unique thirteen gram marker " + " ".join(f"w{i}" for i in range(13))
+    rows.append((5, "padding words here then " + ev + " trailing tail words"))
+    eval_rows = [(100, ev)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    out = {r.doc_id: r.stage for r in
+           curation_pipeline(corpus, eval_docs, min_words=5,
+                             max_words=100).collect()}
+    assert out[4] == "quality"
+    assert out[1] == "kept" and out[2] == "exact_dup"
+    assert out[5] == "contaminated"
+    assert out[6] == "kept"

@@ -22,6 +22,9 @@ INTENTIONAL_NESTED_LOOP = {
     "tpch_q22_global_sales_opportunity",
     # fraction-of-total: the 1-row global total broadcast against vals
     "tpch_q11_important_stock",
+    # DSIR smoothing: the 1-row (t_total, r_total) aggregate broadcast
+    # against the ≤4096-row bucket-weight dimension — both sides bounded
+    "dsir_importance_select",
 }
 
 # windows allowed to run unpartitioned: they operate on a frame that is

@@ -183,6 +183,10 @@ def classify_protocol(
         .when(p.startswith("SSH-"), "ssh")
         .when(p.startswith("\x16\x03"), "tls")
         .when(p.startswith("EHLO") | p.startswith("HELO"), "smtp")
+        # IETF QUIC v1 long header: version field 0x00000001 right after
+        # the flags byte (quic.c registers the analogous UDP classify;
+        # the v1 Initial itself is openable — operators/quic_crypto)
+        .when(F.substring(p, 2, 4) == "\x00\x00\x00\x01", "quic")
     )
     for prt, proto in _PORT_PROTO.items():
         out = out.when(port == prt, proto)

@@ -343,7 +343,33 @@ def open_initial(datagram: bytes) -> dict:
         "scid": scid,
         "pn": pn,
         "payload": payload,
+        # bytes this packet occupies — a datagram may coalesce further
+        # packets after it (RFC 9000 §12.2)
+        "consumed": pn_off + length,
     }
+
+
+def open_initial_coalesced(datagram: bytes) -> list[dict]:
+    """Open every client Initial coalesced in one UDP datagram (RFC
+    9000 §12.2: Initial + 0-RTT/Handshake may share a datagram; a big
+    ClientHello can also span two Initials). The first packet must
+    open; trailing packets that aren't v1 Initials (other encryption
+    levels, padding garbage) end the walk silently."""
+    out = [open_initial(datagram)]
+    rest = datagram[out[0]["consumed"] :]
+    while (
+        len(rest) >= 7
+        and rest[0] & 0x80
+        and (rest[0] & 0x30) == 0
+        and rest[1:5] == b"\x00\x00\x00\x01"
+    ):
+        try:
+            opened = open_initial(rest)
+        except ValueError:
+            break
+        out.append(opened)
+        rest = rest[opened["consumed"] :]
+    return out
 
 
 def seal_initial(
@@ -389,11 +415,25 @@ def seal_initial(
     return bytes(pkt)
 
 
-def crypto_stream(payload: bytes) -> bytes:
+def crypto_stream(*payloads: bytes) -> bytes:
     """Walk decrypted Initial frames (PADDING/PING/CRYPTO/ACK) and
-    reassemble the CRYPTO byte stream by offset. Unknown frame type
-    stops the walk (returns what was gathered so far)."""
+    reassemble the CRYPTO byte stream by offset — across multiple
+    packets' payloads when a ClientHello spans coalesced Initials
+    (offsets are stream-level, so frames from any packet merge).
+    Unknown frame type stops that payload's walk (keeps what was
+    gathered so far)."""
     parts: list[tuple[int, bytes]] = []
+    for payload in payloads:
+        _walk_frames(payload, parts)
+    out = bytearray()
+    for coff, data in sorted(parts):
+        if coff > len(out):
+            break  # gap — handshake split across datagrams we don't have
+        out[coff : coff + len(data)] = data
+    return bytes(out)
+
+
+def _walk_frames(payload: bytes, parts: list[tuple[int, bytes]]) -> None:
     off = 0
     try:
         while off < len(payload):
@@ -426,9 +466,3 @@ def crypto_stream(payload: bytes) -> bytes:
             break
     except ValueError:
         pass
-    out = bytearray()
-    for coff, data in sorted(parts):
-        if coff > len(out):
-            break  # gap — handshake split across datagrams we don't have
-        out[coff : coff + len(data)] = data
-    return bytes(out)

@@ -153,12 +153,13 @@ def parse_quic_v1(buf: bytes) -> dict:
 
     out = dict(_V1_EMPTY)
     try:
-        opened = QC.open_initial(buf)
+        packets = QC.open_initial_coalesced(buf)
+        opened = packets[0]
         out["version"] = "v1"
         out["dcid"] = opened["dcid"].hex()
         out["scid"] = opened["scid"].hex()
         out["pn"] = opened["pn"]
-        hs = QC.crypto_stream(opened["payload"])
+        hs = QC.crypto_stream(*[p["payload"] for p in packets])
         if len(hs) >= 4 and hs[0] == 0x01:
             # tls_parser expects record framing; wrap the raw handshake
             rec = b"\x16\x03\x01" + struct.pack(">H", len(hs)) + hs

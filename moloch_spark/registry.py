@@ -44,9 +44,15 @@ def _load_registrants() -> None:
 # Round-3 rotation: the 25 queries never driver-checked in r1/r2 go
 # first (all pytest-oracle-green, so risk is low), then the rows
 # changed this round (the fixed streaming gate, the de-vacuated dedup
-# gates, the new bucketed tag-merge / hunt-control gates), then green
-# regression sentinels. With this head checked, every registered query
-# has had a driver CORRECTNESS row across rounds 1-3.
+# gates, the new r3 operators), then green regression sentinels. With
+# this head checked, every registered query has had a driver
+# CORRECTNESS row across rounds 1-3.
+# ROUND-4 NOTE: rotate next round's head to (a) anything red in
+# CORRECTNESS_r03, (b) any NEW operators, (c) the queries whose last
+# driver row is oldest (r1 block: expr_*, sessions_*, timeline_*,
+# unique_*, spigraph_*, connections_*, multies/wise/asof/drophash,
+# curate_split/pack/weighted, text_stats/lang_id/token_counts/
+# doc_fingerprint, tpch q1/q3/q5/q12-q15).
 _CHECK_PRIORITY = (
     # --- never driver-checked in r1/r2 (25) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",

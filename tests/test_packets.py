@@ -101,6 +101,7 @@ def test_classify(spark):
         (4, 53, "\x00\x01\x00"),
         (5, 12345, "????"),
         (6, 8080, "junk"),
+        (7, 51822, "\xc3\x00\x00\x00\x01\x08"),  # QUIC v1 long header
     ]
     df = spark.createDataFrame(rows, "id int, port int, prefix string")
     out = {
@@ -109,7 +110,8 @@ def test_classify(spark):
             "id", classify_protocol(F.col("port"), F.col("prefix")).alias("proto")
         ).collect()
     }
-    assert out == {1: "http", 2: "ssh", 3: "tls", 4: "dns", 5: "unknown", 6: "http"}
+    assert out == {1: "http", 2: "ssh", 3: "tls", 4: "dns", 5: "unknown",
+                   6: "http", 7: "quic"}
 
 
 def test_tcp_handshake_rtt(spark):

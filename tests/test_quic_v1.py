@@ -121,3 +121,27 @@ def test_unpadded_initial_still_opens():
     pkt = QC.seal_initial(dcid=b"\x22" * 4, pn=0, payload=frame, pad_to=0)
     out = parse_quic_v1(pkt)
     assert out["parse_error"] is None and out["dcid"] == "22222222"
+
+
+def test_coalesced_initials_clienthello_spans_packets():
+    """A big ClientHello split across TWO coalesced Initials in one
+    datagram (RFC 9000 §12.2) reassembles across packet payloads."""
+    from moloch_spark.operators.tls_parser import encode_client_hello
+
+    hello = encode_client_hello(sni="coalesced.example", alpn=("h3",))[5:]
+    cut = len(hello) // 2
+    f1 = b"\x06" + QC.varint_encode(0) + QC.varint_encode(cut) + hello[:cut]
+    f2 = (b"\x06" + QC.varint_encode(cut)
+          + QC.varint_encode(len(hello) - cut) + hello[cut:])
+    dcid = b"\x33" * 8
+    p1 = QC.seal_initial(dcid=dcid, pn=0, payload=f1, pad_to=0)
+    p2 = QC.seal_initial(dcid=dcid, pn=1, payload=f2, pad_to=0)
+    out = parse_quic_v1(p1 + p2)
+    assert out["sni"] == "coalesced.example" and out["parse_error"] is None
+    assert out["pn"] == 0  # fields come from the first packet
+
+
+def test_coalesced_trailing_garbage_ignored():
+    pkt = _client_initial()
+    out = parse_quic_v1(pkt + b"\xe0\x00\x00\x00\x01junk")  # 0-RTT-ish type
+    assert out["sni"] == "doc7.example.org" and out["parse_error"] is None

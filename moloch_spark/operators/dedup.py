@@ -384,24 +384,35 @@ def duplicate_spans(
     Returns per-doc removal stats: dup_positions (gram hits),
     dup_tokens (union of covered tokens), total_tokens, dup_fraction.
 
-    Scale: two shuffles total — (gram) and (doc) — both map-combined;
-    gram keys here are the literal strings so the DuckDB oracle can
-    replay them byte-for-byte (at 100 TB you would xxhash64 the gram to
-    shuffle 8 bytes instead; the plan is otherwise identical)."""
+    Scale: one map-combined (gram) count shuffle, a broadcast/AQE semi
+    join of the small repeated-gram set, and one map-combined (doc)
+    shuffle; gram keys here are the literal strings so the DuckDB
+    oracle can replay them byte-for-byte (at 100 TB you would xxhash64
+    the gram to shuffle 8 bytes instead; the plan is otherwise
+    identical)."""
     toks = tokens(text_col)
     grams = df.select(
         F.col(id_col),
         F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
     ).select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "gram")
-    # repeated grams via a count window over the gram partition — NOT a
-    # groupBy + join-back, which would re-run the (13x token expansion)
-    # gram scan a second time as the join's probe side (measured ~2x
-    # end-to-end). One shuffle on the gram, positions ride along.
-    wg = Window.partitionBy("gram")
-    hits = (
-        grams.withColumn("_occ", F.count(F.lit(1)).over(wg))
+    # repeated grams via a MAP-COMBINED count + HAVING>=2, then a semi
+    # join back against a re-scanned gram stream. A count window over
+    # Window.partitionBy(gram) would be single-scan, but it moves every
+    # copy of the hottest gram to ONE partition and AQE cannot split a
+    # skewed window (it can split a skewed join) — the classic
+    # boilerplate-gram trap. The repeated-gram set after HAVING is small
+    # relative to the corpus, so AQE usually BROADCASTS it and the
+    # position stream is never shuffled at all; under a shuffle fallback
+    # the hot keys get AQE skew-split. The cost is re-running the
+    # scan-side gram expansion for the probe — embarrassingly parallel.
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") >= min_occurrences)
-        .select(F.col(id_col), "pos")
+        .select("gram")
+    )
+    hits = grams.join(repeated, "gram", "left_semi").select(
+        F.col(id_col), "pos"
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     contrib = F.when(F.lead("pos").over(w).isNull(), F.lit(n)).otherwise(

@@ -201,12 +201,30 @@ def mixture_sample(
             F.col(domain_col) == dom, q
         )
     quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
-    w_rank = Window.partitionBy(domain_col).orderBy(
-        shuffle_key(F.col(id_col), seed), F.col(id_col)
+    # per-domain rank via the same bucket-prefix two-phase scheme as
+    # global_shuffle, with the domain as an extra partition key: a
+    # single Window.partitionBy(domain) would move a dominant domain
+    # (the 90%-of-the-web case) to ONE partition; here ranking happens
+    # in (domain, 256-bucket) slices and shifts by a broadcastable
+    # (domains x 256)-row offset table. The md5 bucket is a PREFIX of
+    # the sort key, so offset + local rank == the per-domain rank.
+    d = df.withColumn("_key", shuffle_key(F.col(id_col), seed)).withColumn(
+        "_b", F.conv(F.col("_key").substr(1, 2), 16, 10).cast("int")
     )
+    per = d.groupBy(domain_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wb = (
+        Window.partitionBy(domain_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.select(
+        domain_col, "_b", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy(domain_col, "_b").orderBy("_key", id_col)
     return (
-        df.withColumn("_q", quota)
-        .withColumn("_rn", F.row_number().over(w_rank))
+        d.join(F.broadcast(offsets), [domain_col, "_b"])
+        .withColumn("_q", quota)
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w_rank))
         .filter(F.col("_rn") <= F.col("_q"))
-        .drop("_q", "_rn")
+        .drop("_q", "_rn", "_key", "_b", "_off")
     )

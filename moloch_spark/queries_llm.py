@@ -881,6 +881,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(new, D.lsh_band_table(hist)).orderBy("doc_id")
 
 
+_BPE_MERGES = [
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("d", "a"), ("da", "t"), ("dat", "a"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+]
+# token counts under _BPE_MERGES, hand-derived (pinned in tests/test_bpe.py):
+# spark->1, data->1, query->1, sparkle->spark+l+e=3, adapt->a+da+p+t=4
+_BPE_WORDS = ["spark", "data", "query", "sparkle", "adapt"]
+_BPE_COSTS = [1, 1, 1, 3, 4]
+
+
+@register(
+    "bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST((1 + doc_id % 7) * CASE doc_id % 5
+                {' '.join(f"WHEN {i} THEN {c}" for i, c in enumerate(_BPE_COSTS))}
+                END AS BIGINT) AS bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE merge-rank BPE token counting (Sennrich 2016, the GPT-2
+    tokenizer family's algorithm) under a fixed merge table: the gate
+    builds per-doc text from words whose token costs are hand-derived
+    from the merge rules, so the oracle predicts the count
+    analytically; merge-order and every-occurrence semantics are
+    pinned against hand-computed cases in tests/test_bpe.py."""
+    from moloch_spark.operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    word = None
+    for i, w in enumerate(_BPE_WORDS):
+        word = (word.when if word is not None else F.when)(
+            F.col("doc_id") % 5 == i, w
+        )
+    built = docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_repeat(word, (1 + F.col("doc_id") % 7).cast("int")), " "
+        ).alias("text"),
+    )
+    return bpe_token_counts(built, _BPE_MERGES).orderBy("doc_id")
+
+
 @register(
     "line_dedup_corpus",
     """

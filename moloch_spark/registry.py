@@ -76,6 +76,8 @@ _CHECK_PRIORITY = (
     "dsir_importance_select",                # new: DSIR importance resampling
     "dedup_incremental_lsh",                 # new: crawl-vs-archive dedup
     "curation_pipeline_e2e",                 # new: composed curation pass
+    "bpe_token_counts",                      # new: merge-rank BPE tokenizer
+    "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog

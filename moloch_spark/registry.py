@@ -77,6 +77,7 @@ _CHECK_PRIORITY = (
     "dedup_incremental_lsh",                 # new: crawl-vs-archive dedup
     "curation_pipeline_e2e",                 # new: composed curation pass
     "bpe_token_counts",                      # new: merge-rank BPE tokenizer
+    "quic_capture_to_sni",                   # new: frame->decrypted SNI path
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

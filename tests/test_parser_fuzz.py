@@ -247,3 +247,22 @@ def test_misc_field_parsers_total(buf):
     tds_login_user(buf)
     rdp_cookie_user(buf)
     assert isinstance(dtls_certificates(buf), list)
+
+
+QUIC_V1_PREFIXED = st.binary(min_size=0, max_size=1400).map(
+    lambda b: b"\xc3\x00\x00\x00\x01" + b
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.binary(min_size=0, max_size=1400), QUIC_V1_PREFIXED))
+def test_quic_v1_total(buf):
+    """Arbitrary bytes through header-protection removal + GCM open +
+    frame walk either parse or set parse_error — and can never produce
+    ClientHello fields, because a forged packet cannot pass the tag."""
+    from moloch_spark.operators.quic_parser import parse_quic_v1
+
+    out = parse_quic_v1(buf)
+    assert isinstance(out, dict)
+    if out["parse_error"] is not None:
+        assert out["sni"] is None and out["ja3"] is None

@@ -391,10 +391,20 @@ def duplicate_spans(
     the gram to shuffle 8 bytes instead; the plan is otherwise
     identical)."""
     toks = tokens(text_col)
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
-    ).select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "gram")
+    # grams travel as 60-bit md5-prefix keys, not strings: the count
+    # shuffle and the semi join move 8 bytes per position instead of a
+    # ~90-byte 13-gram. The oracle replays the SAME hash, so results are
+    # bit-identical even in the (1e-7 at 1M grams) collision case —
+    # both engines would merge the same pair.
+    gkey = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
+        )
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
+                gkey.alias("gk"))
+    )
     # repeated grams via a MAP-COMBINED count + HAVING>=2, then a semi
     # join back against a re-scanned gram stream. A count window over
     # Window.partitionBy(gram) would be single-scan, but it moves every
@@ -406,12 +416,12 @@ def duplicate_spans(
     # the hot keys get AQE skew-split. The cost is re-running the
     # scan-side gram expansion for the probe — embarrassingly parallel.
     repeated = (
-        grams.groupBy("gram")
+        grams.groupBy("gk")
         .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") >= min_occurrences)
-        .select("gram")
+        .select("gk")
     )
-    hits = grams.join(repeated, "gram", "left_semi").select(
+    hits = grams.join(repeated, "gk", "left_semi").select(
         F.col(id_col), "pos"
     )
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -691,11 +691,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grams AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             array_to_string(t[i:i+12], ' ') AS gram
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+12], ' ')), 1, 15))
+                  AS BIGINT) AS gk
       FROM toks, UNNEST(range(1, len(t) - 11)) AS g(i)
     ),
-    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
-    hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gram)),
+    dupg AS (SELECT gk FROM grams GROUP BY gk HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gk)),
     sweep AS (
       SELECT doc_id, pos,
              LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt

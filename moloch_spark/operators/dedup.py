@@ -146,6 +146,94 @@ def lsh_band_table(
     )
 
 
+def lsh_band_table_rowlocal(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """STREAM-SAFE lsh_band_table: identical (id, band, bhash) rows, but
+    each document's MinHash signature is computed row-locally (higher-
+    order min over the shingle array) instead of explode + groupBy — no
+    aggregation, no shuffle, so it runs on an unbounded readStream where
+    the grouped form cannot (stateless append mode). Same hash math as
+    minhash_signatures, proven equal in tests/test_llm_ops.py."""
+    sh = shingle_df(df, text_col=text_col, id_cols=(id_col,), n=shingle_n)
+    base = F.transform(
+        F.col("shingles"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"),
+    )
+    sigs = sh.filter(F.size("shingles") > 0).select(F.col(id_col), base.alias("_h"))
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+    mh = []
+    for s in range(num_hashes):
+        a, b = _mh_params(s)
+        mh.append(
+            F.array_min(F.transform(F.col("_h"), _perm(a, b))).alias(f"mh_{s}")
+        )
+    sigs = sigs.select(F.col(id_col), *mh)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        id_col, F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash")
+    )
+
+
+def streaming_band_hits(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming incremental dedup: an unbounded document STREAM checked
+    against the static archive index as it arrives — row-local
+    signatures (no stream aggregation) + a stream-static LEFT OUTER
+    join per band, emitting (id, band, hist_id|null) collision events
+    in append mode with NO state store at all. Downstream reduces to
+    per-doc verdicts (foreachBatch or the batch post-agg the gate uses:
+    min(hist_id) per doc, null -> unique). At 100 TB the static side is
+    the bucketed lsh_band_table the batch path already maintains."""
+    nb = lsh_band_table_rowlocal(
+        stream_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    hist = index.select(
+        F.col(id_col).alias("hist_id"), "band", "bhash"
+    )
+    return nb.join(hist, ["band", "bhash"], "left").select(
+        id_col, "band", "hist_id"
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     index: DataFrame,

@@ -845,10 +845,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(corpus, eval_docs).orderBy("doc_id")
 
 
-@register(
-    "dedup_incremental_lsh",
-    f"""
-    WITH {_TOKS_CTE},
+_INCR_SQL = f"""
+    WITH {{toks}},
     sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
     sigs AS (
       SELECT doc_id,
@@ -868,8 +866,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, m.dup_of, (m.dup_of IS NULL) AS is_new_unique
     FROM (SELECT DISTINCT doc_id FROM newb) d LEFT JOIN m USING (doc_id)
     ORDER BY doc_id
-    """,
-)
+    """.replace("{toks}", _TOKS_CTE.strip())
+
+
+@register("dedup_incremental_lsh", _INCR_SQL)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-vs-archive dedup: even doc_ids play the signed
     historical corpus (its lsh_band_table is the persisted index), odd

@@ -372,3 +372,62 @@ def q_pcap_over_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_byte"
         ),
     ).orderBy("conn_id", "pkt_index")
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup: document stream vs static archive index
+# ---------------------------------------------------------------------------
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(src, os.path.join(d, "documents.parquet"))
+    return spark.readStream.schema(spark.read.parquet(src).schema).parquet(d)
+
+
+def _incr_stream_sql() -> str:
+    from moloch_spark.queries_llm import _INCR_SQL
+
+    return _INCR_SQL
+
+
+@register("streaming_dedup_incremental", _incr_stream_sql())
+def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-vs-archive dedup as a STREAM: odd-id documents arrive
+    on an unbounded readStream, signatures are computed row-locally (no
+    stream aggregation, no state store), and each band checks the
+    STATIC archive index via a stream-static left join — collision
+    events land in append mode as they arrive. The gate reduces the
+    sink to per-doc verdicts and must match the SAME oracle as the
+    batch dedup_incremental_lsh — streaming == batch, proven by hash.
+    At 100 TB the static side is the bucketed lsh_band_table the batch
+    path maintains; per-arriving-doc cost is one row-local signature +
+    L index lookups."""
+    from moloch_spark.operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    index = D.lsh_band_table(docs.filter(F.col("doc_id") % 2 == 0))
+    stream = _stream_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    hits = D.streaming_band_hits(stream, index)
+    name = f"incr_{uuid.uuid4().hex[:8]}"
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("hist_id").alias("dup_of"))
+        .select(
+            "doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new_unique")
+        )
+        .orderBy("doc_id")
+    )

@@ -78,6 +78,7 @@ _CHECK_PRIORITY = (
     "curation_pipeline_e2e",                 # new: composed curation pass
     "bpe_token_counts",                      # new: merge-rank BPE tokenizer
     "quic_capture_to_sni",                   # new: frame->decrypted SNI path
+    "streaming_dedup_incremental",           # new: stream-vs-archive dedup
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

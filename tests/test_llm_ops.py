@@ -447,3 +447,11 @@ def test_curation_pipeline_first_fail_stages(spark):
     assert out[1] == "kept" and out[2] == "exact_dup"
     assert out[5] == "contaminated"
     assert out[6] == "kept"
+
+
+def test_rowlocal_band_table_equals_grouped(docs):
+    """The stream-safe row-local MinHash must produce the exact same
+    (id, band, bhash) rows as the explode+groupBy batch form."""
+    a = {tuple(r) for r in D.lsh_band_table(docs).collect()}
+    b = {tuple(r) for r in D.lsh_band_table_rowlocal(docs).collect()}
+    assert a == b and len(a) > 0

@@ -37,8 +37,9 @@ INTENTIONAL_GLOBAL_WINDOW = {
 }
 
 SKIP = {
-    "streaming_sessionize_closed",  # starts a streaming job
-    "streaming_state_cap",          # starts a streaming job
+    "streaming_sessionize_closed",    # starts a streaming job
+    "streaming_state_cap",            # starts a streaming job
+    "streaming_dedup_incremental",    # starts a streaming job
 }
 
 

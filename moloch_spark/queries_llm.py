@@ -18,7 +18,7 @@ from moloch_spark.operators import multimodal as M
 from moloch_spark.operators import similarity as S
 from moloch_spark.operators import text as TX
 from moloch_spark.registry import register
-from moloch_spark.sources.tables import load_table
+from moloch_spark.sources.tables import load_table, load_table_spread
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (token/shingle conventions identical to operators.text)
@@ -81,7 +81,7 @@ def _in_list(words: list[str]) -> str:
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.text_stats(load_table(spark, "documents", sf_dir))
+    return TX.text_stats(load_table_spread(spark, "documents", sf_dir))
 
 
 @register(
@@ -114,7 +114,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.lang_id(load_table(spark, "documents", sf_dir))
+    return TX.lang_id(load_table_spread(spark, "documents", sf_dir))
 
 
 @register(
@@ -127,7 +127,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.token_counts(load_table(spark, "documents", sf_dir))
+    return TX.token_counts(load_table_spread(spark, "documents", sf_dir))
 
 
 @register(
@@ -142,7 +142,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.fingerprint(load_table(spark, "documents", sf_dir))
+    return TX.fingerprint(load_table_spread(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +158,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_exact(load_table(spark, "documents", sf_dir))
+    return D.dedup_exact(load_table_spread(spark, "documents", sf_dir))
 
 
 def _mh_col_sql(s: int) -> str:
@@ -184,7 +184,7 @@ _MH_COLS_SQL = ",\n           ".join(_mh_col_sql(s) for s in range(8))
     """,
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signatures(load_table(spark, "documents", sf_dir))
+    return D.minhash_signatures(load_table_spread(spark, "documents", sf_dir))
 
 
 _BANDS_SQL = "\n      UNION ALL ".join(
@@ -213,7 +213,7 @@ _BANDS_SQL = "\n      UNION ALL ".join(
     """,
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.lsh_candidate_pairs(load_table(spark, "documents", sf_dir))
+    return D.lsh_candidate_pairs(load_table_spread(spark, "documents", sf_dir))
 
 
 def _simhash_sql(nibbles: int = 8) -> str:
@@ -246,7 +246,7 @@ def _simhash_sql(nibbles: int = 8) -> str:
 
 @register("dedup_simhash", _simhash_sql(8))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(load_table(spark, "documents", sf_dir))
+    return D.simhash(load_table_spread(spark, "documents", sf_dir))
 
 
 @register(
@@ -273,7 +273,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard(load_table(spark, "documents", sf_dir))
+    return D.ngram_jaccard(load_table_spread(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -508,7 +508,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns); (b) the raw text bytes — exercising the non-image path
     (NULL format/dims) plus the md5 digest, which DuckDB can only
     compute on VARCHAR, hence digest rides the text branch."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
 
     def be32(c):
         return F.lpad(F.lower(F.hex(c.cast("long"))), 8, "0")
@@ -567,7 +567,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical IEEE min/floor math) and the per-channel means — which a
     solid color survives exactly through nearest-neighbor resampling.
     Only passes if the pure-stdlib codec genuinely decodes pixels."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     media = M.synth_solid_png_media(docs)
     return (
         M.resize_images(media, 64, 64)
@@ -601,7 +601,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (1 + doc_id % 7 constant-luma frames), sample every 2nd
     frame executor-side, emit per-frame luma means the oracle predicts
     from (doc_id, frame_index) alone."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     media = M.synth_y4m_media(docs)
     return (
         M.frame_sample(media, 2)
@@ -632,7 +632,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks and compute RMS/peak/duration executor-side — all exactly
     predictable by the oracle (constant signal: RMS == |amplitude|,
     bit-exact in IEEE because n*v^2 < 2^53)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     media = M.synth_wav_media(docs)
     return (
         M.extract_audio_features(media)
@@ -674,7 +674,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag every train doc sharing a 5-gram with the eval set (the fixture
     is small, so n=5 keeps collisions non-trivial; production default is
     the published 13)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     test = docs.filter(F.col("doc_id") % 17 == 0)
     _clean, flagged = D.decontaminate(docs, test, n=5)
     return flagged.orderBy("doc_id")
@@ -728,7 +728,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, the HAVING>=2 repeat set, and the interval-union sweep
     in SQL."""
     return D.duplicate_spans(
-        load_table(spark, "documents", sf_dir), n=13
+        load_table_spread(spark, "documents", sf_dir), n=13
     ).orderBy("doc_id")
 
 
@@ -839,7 +839,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE components, gram semi-join — in SQL."""
     from moloch_spark.operators.pipeline import curation_pipeline
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = load_table_spread(spark, "documents", sf_dir).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
     return curation_pipeline(corpus, eval_docs).orderBy("doc_id")
@@ -876,7 +876,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids the incoming shard; each new doc reports the smallest
     colliding archive id or comes back unique. The oracle replays the
     identical signatures, banding, and parity split in SQL."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     return D.dedup_incremental(new, D.lsh_band_table(hist)).orderBy("doc_id")
@@ -913,7 +913,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against hand-computed cases in tests/test_bpe.py."""
     from moloch_spark.operators.bpe import bpe_token_counts
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = load_table_spread(spark, "documents", sf_dir).select("doc_id")
     word = None
     for i, w in enumerate(_BPE_WORDS):
         word = (word.when if word is not None else F.when)(
@@ -969,7 +969,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first operator, and the oracle replays the identical
     construction with a row_number window — proving the aggregation
     formulation == the window formulation on real duplicates."""
-    docs = load_table(spark, "documents", sf_dir).select(
+    docs = load_table_spread(spark, "documents", sf_dir).select(
         "doc_id", "text", "source"
     )
     built = docs.select(
@@ -1045,7 +1045,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot drift the 4-decimal score."""
     from moloch_spark.operators.importance import dsir_select
 
-    docs = load_table(spark, "documents", sf_dir).select(
+    docs = load_table_spread(spark, "documents", sf_dir).select(
         "doc_id", "text", "lang"
     )
     return dsir_select(docs, docs.filter(F.col("lang") == "en")).orderBy(
@@ -1070,7 +1070,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.pii_scan(load_table(spark, "documents", sf_dir))
+    return TX.pii_scan(load_table_spread(spark, "documents", sf_dir))
 
 
 @register(
@@ -1109,7 +1109,7 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.repetition_signals(load_table(spark, "documents", sf_dir))
+    return TX.repetition_signals(load_table_spread(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1159,7 +1159,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical fixpoint with a recursive CTE."""
     from moloch_spark.operators.graph import connected_components
 
-    pairs = D.lsh_candidate_pairs(load_table(spark, "documents", sf_dir))
+    pairs = D.lsh_candidate_pairs(load_table_spread(spark, "documents", sf_dir))
     # numeric node ids: MIN-label must order numerically ("102" < "2"
     # lexicographically would elect wrong canonicals)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1225,7 +1225,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle but computed for real Spark-side — multi-line behavior
     pinned in tests/test_llm_ops.py). Published bounds; scan-side
     builtins only."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     return TX.gopher_quality(docs).orderBy("doc_id")
 
 
@@ -1246,7 +1246,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character entropy as a perplexity proxy, computed
     row-local inside Arrow batches (no shuffle — the unnest+groupBy the
     oracle uses would shuffle O(total_chars) rows at scale)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     return TX.char_entropy(docs).orderBy("doc_id")
 
 
@@ -1278,4 +1278,4 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 word trigrams by corpus document frequency — the
     boilerplate-phrase / vocabulary discovery pass. One (ngram,doc)
     hash shuffle + pre-combined rollup + TakeOrderedAndProject."""
-    return TX.corpus_ngram_stats(load_table(spark, "documents", sf_dir), n=3)
+    return TX.corpus_ngram_stats(load_table_spread(spark, "documents", sf_dir), n=3)

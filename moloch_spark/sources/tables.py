@@ -9,6 +9,7 @@ Catalyst gets predicate pushdown + column pruning for free.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,49 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def spread_small_scan(
+    df: DataFrame, spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """Repartition a scan ONLY when the on-disk layout yields fewer
+    input splits than cores. The local fixtures are one small parquet
+    file each (one row group = one unsplittable input partition), so a
+    gram-expansion / heavy-expression pipeline downstream would run on a
+    single core; on a real cluster the table is thousands of splits and
+    this returns the scan untouched — no shuffle is added at scale.
+    Split estimate is file-size arithmetic (never touches the plan:
+    df.rdd.getNumPartitions() under AQE would EXECUTE it)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            sizes = [
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            sizes = [os.path.getsize(path)]
+    except OSError:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.match(r"(\d+)\s*([kmg]?)b?$", raw.strip().lower())
+    max_split = (
+        int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30}[m.group(2)]
+        if m
+        else 128 * 2**20
+    )
+    splits = sum(max(1, -(-s // max_split)) for s in sizes)
+    par = spark.sparkContext.defaultParallelism
+    return df.repartition(par) if splits < par else df
+
+
+def load_table_spread(
+    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """load_table + spread_small_scan — for gates whose per-row work
+    (gram explosion, signature math, codecs) dominates the scan."""
+    return spread_small_scan(load_table(spark, name, sf_dir), spark, name, sf_dir)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,0 +1,127 @@
+"""BM25 full-text retrieval over the document corpus — the lexical
+top-k search a RAG / training-data pipeline runs next to the embedding
+ANN path (operators/similarity.py is the dense twin). Scoring is the
+Lucene/Robertson BM25 formulation:
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q,d)= sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale shape: the inverted index is the postings DataFrame — one
+map-combined (doc, term) shuffle over the corpus scan; document
+frequencies and lengths derive from postings with one more
+map-combined aggregation each; the query set is small by definition
+and BROADCAST onto the postings, so the corpus is never shuffled
+again and never self-joined. Top-k is a (query) partitioned window —
+per-query rows are bounded by matched postings, and a hot query is at
+worst one partition of candidate docs (AQE-splittable by pre-ranking
+partial top-k per partition if ever needed). At 100 TB the postings
+table is the thing you PERSIST (bucketed by term) and reuse across
+query batches, exactly like the session store.
+
+Cross-engine determinism: tf/df/dl are exact integers, idf and the
+tf-norm are IEEE-identical expressions, the per-(query,doc) sum is
+rounded to 4 decimals BEFORE ranking, and rank ties break on doc_id —
+so the oracle's ordering is bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from moloch_spark.operators.text import tokens
+
+
+def postings(
+    corpus: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (doc_id, term, tf): the inverted-index relation."""
+    return (
+        corpus.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "qterm",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, score): BM25 top-k per query.
+    `queries` is (query_id, qterm) — one row per distinct query term.
+    exclude_self drops doc_id == query_id hits (the more-like-this
+    convention when queries are sampled from the corpus itself)."""
+    post = postings(corpus, text_col=text_col, id_col=id_col)
+    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    nd = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_terms_col).alias("term"),
+    ).distinct()
+    cand = (
+        post.join(F.broadcast(qt), "term")
+        .join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("query_id"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        cand.select("query_id", F.col(id_col), (idf * norm).alias("part"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
+def corpus_queries(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modulus: int = 41,
+    max_terms: int = 8,
+) -> DataFrame:
+    """Sample every doc_id % modulus == 0 document as a query whose
+    terms are the distinct members of its first max_terms tokens (the
+    more-like-this prefix convention — keeps queries short)."""
+    toks = tokens(text_col)
+    return (
+        corpus.filter(F.col(id_col) % modulus == 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.array_distinct(F.slice(toks, 1, max_terms))).alias(
+                "qterm"
+            ),
+        )
+    )

@@ -1279,3 +1279,117 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-phrase / vocabulary discovery pass. One (ngram,doc)
     hash shuffle + pre-combined rollup + TakeOrderedAndProject."""
     return TX.corpus_ngram_stats(load_table_spread(spark, "documents", sf_dir), n=3)
+
+
+@register(
+    "ppl_filter_stupid_backoff",
+    f"""
+    WITH {_TOKS_CTE},
+    train AS (SELECT t FROM toks WHERE doc_id % 7 = 0),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(
+          range(1, greatest(len(t) - 1, 0) + 1),
+          i -> array_to_string(t[i:i+1], ' '))) AS g
+        FROM train
+      ) GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2,
+             array_to_string(t[i:i+1], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN b.cnt IS NOT NULL AND u1.cnt IS NOT NULL
+                  THEN log10(b.cnt * 1.0 / u1.cnt)
+                  ELSE log10(0.4) + log10(COALESCE(u2.cnt, 1) * 1.0
+                                          / (SELECT n FROM tot))
+             END AS lp
+      FROM pairs p
+      LEFT JOIN bi b USING (g)
+      LEFT JOIN uni u1 ON u1.w = p.w1
+      LEFT JOIN uni u2 ON u2.w = p.w2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob,
+           round(-avg(lp), 4) AS log_ppl,
+           (round(-avg(lp), 4) <= 4.0) AS keep
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality gate (Wenzek et al. 2020, with
+    Stupid Backoff smoothing per Brants et al. 2007): train a pruned
+    bigram LM on the doc_id % 7 == 0 reference slice, score EVERY
+    document's mean log10 bigram probability, keep the low-perplexity
+    ones. The oracle replays counts, pruning, backoff and the floor in
+    SQL; docs with < 2 tokens are unscored on both sides."""
+    from moloch_spark.operators import lm
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 7 == 0)
+    return lm.ppl_filter(docs, train).orderBy("doc_id")
+
+
+@register(
+    "bm25_topk_search",
+    f"""
+    WITH {_TOKS_CTE},
+    post AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, qterm FROM (
+        SELECT doc_id, unnest(list_distinct(t[1:8])) AS qterm
+        FROM toks WHERE doc_id % 41 = 0
+      )
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             round(SUM(
+               ln(1.0 + (nd.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / nd.avgdl))
+             ), 4) AS score
+      FROM post p
+      JOIN qt q ON q.qterm = p.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      JOIN dfreq f ON f.term = p.term
+      CROSS JOIN nd
+      WHERE p.doc_id <> q.query_id
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 search: every doc_id % 41 == 0 document
+    becomes a query (distinct members of its first 8 tokens), scored
+    against the whole corpus with the Lucene BM25 formulation, self
+    excluded, ties broken by doc_id. The lexical twin of the ANN
+    gates; the oracle replays the postings/df/dl/avgdl pipeline and
+    the exact idf and tf-norm expressions in SQL."""
+    from moloch_spark.operators import retrieval as R
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    return R.bm25_topk(docs, R.corpus_queries(docs)).orderBy(
+        "query_id", "rank"
+    )

@@ -79,6 +79,8 @@ _CHECK_PRIORITY = (
     "bpe_token_counts",                      # new: merge-rank BPE tokenizer
     "quic_capture_to_sni",                   # new: frame->decrypted SNI path
     "streaming_dedup_incremental",           # new: stream-vs-archive dedup
+    "ppl_filter_stupid_backoff",             # new: CCNet-style LM quality gate
+    "bm25_topk_search",                      # new: lexical top-k retrieval
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

@@ -455,3 +455,81 @@ def test_rowlocal_band_table_equals_grouped(docs):
     a = {tuple(r) for r in D.lsh_band_table(docs).collect()}
     b = {tuple(r) for r in D.lsh_band_table_rowlocal(docs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Tiny corpus with hand-computable Stupid Backoff probabilities."""
+    import math
+
+    from moloch_spark.operators import lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # unigrams: a=3, b=3, c=1, N=7; bigrams (min_count=2): "a b"=3
+    uni, bi = lm.train_bigram_lm(train, min_count=2)
+    assert {tuple(r) for r in bi.collect()} == {("a b", 3)}
+    u = {r.w: (r.cnt, r.total) for r in uni.collect()}
+    assert u == {"a": (3, 7), "b": (3, 7), "c": (1, 7)}
+
+    score = lm.perplexity(
+        spark.createDataFrame([(9, "a b z")], ["doc_id", "text"]), uni, bi
+    ).collect()[0]
+    # "a b": 3/3 -> log10(1)=0 ; "b z": backoff 0.4 * 1/7 (z unseen floor)
+    want = (0.0 + math.log10(0.4 / 7)) / 2
+    assert score.n_bigrams == 2
+    assert abs(score.avg_logprob - round(want, 4)) < 1e-9
+    assert abs(score.log_ppl + score.avg_logprob) < 1e-9
+
+
+def test_ppl_filter_prefers_in_domain(spark):
+    """Docs resembling the training slice must score lower log-ppl than
+    out-of-domain gibberish."""
+    from moloch_spark.operators import lm
+
+    rows = [(i, "the cat sat on the mat and the cat slept") for i in range(0, 8)]
+    rows.append((100, "zq xv qj kk pp zz rr ww yy uu"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.log_ppl
+        for r in lm.ppl_filter(docs, docs.filter(F.col("doc_id") < 8)).collect()
+    }
+    assert out[0] < out[100]
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from moloch_spark.operators import retrieval as R
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark query engine for large parquet scans"),
+            (2, "spark engine"),
+            (3, "cats and dogs and more cats"),
+            (4, "the spark of an idea"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(99, "spark"), (99, "engine")], ["query_id", "qterm"]
+    )
+    out = R.bm25_topk(corpus, queries, k=3).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 2 matches both rare-ish terms with the shortest length -> first;
+    # doc 3 matches nothing -> absent
+    assert ranked[0] == 2
+    assert 3 not in ranked
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_bm25_excludes_self_and_breaks_ties_by_id(spark):
+    from moloch_spark.operators import retrieval as R
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (5, "alpha beta"), (7, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    q = R.corpus_queries(corpus, modulus=41)  # doc 0 becomes the query
+    out = R.bm25_topk(corpus, q, k=10).collect()
+    assert all(r.doc_id != 0 for r in out)          # self excluded
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [5, 7]
+    assert out[0].score == out[1].score             # identical docs tie

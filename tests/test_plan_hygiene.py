@@ -25,6 +25,12 @@ INTENTIONAL_NESTED_LOOP = {
     # DSIR smoothing: the 1-row (t_total, r_total) aggregate broadcast
     # against the ≤4096-row bucket-weight dimension — both sides bounded
     "dsir_importance_select",
+    # Stupid-Backoff floor: the 1-row total-token-count aggregate
+    # broadcast against the scored bigram stream
+    "ppl_filter_stupid_backoff",
+    # BM25: the 1-row (n_docs, avgdl) aggregate broadcast against the
+    # query-matched postings
+    "bm25_topk_search",
 }
 
 # windows allowed to run unpartitioned: they operate on a frame that is

@@ -85,3 +85,124 @@ def bpe_token_counts(
         ).astype("int64")
 
     return df.select(F.col(id_col), count(F.col(text_col)).alias("bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING (Sennrich et al. 2016, learn_bpe) — distributed
+# ---------------------------------------------------------------------------
+#
+# Training operates on the WORD-FREQUENCY table, not the corpus: one
+# (word) map-combined shuffle reduces 100 TB of text to a vocab-bounded
+# DataFrame (min_freq-pruned), and every merge round is then one small
+# pair-count job over it — the driver receives exactly ONE row per
+# round (the argmax pair), the kmeans-style bounded transfer. The
+# winning merge is applied to the symbol arrays JVM-side (a lazy
+# left-to-right aggregate() scan — words are short, so the per-element
+# accumulator copy is bounded) and the table is checkpointed so lineage
+# stays flat across rounds.
+
+
+def _merge_pair_expr(sym, a: str, b: str):
+    """Left-to-right single-pair merge over a symbol array, as a JVM
+    higher-order aggregate. Tracks whether the last output symbol was
+    itself just merged so 'aaa' under (a,a) yields (aa, a) — standard
+    BPE left-to-right semantics."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("res"), F.lit(False).alias("lm")
+    )
+
+    def step(acc, x):
+        hit = (
+            (~acc.lm)
+            & (F.size(acc.res) > 0)
+            & (F.element_at(acc.res, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(
+                    F.slice(acc.res, 1, F.size(acc.res) - 1),
+                    F.array(F.lit(a + b)),
+                ).alias("res"),
+                F.lit(True).alias("lm"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc.res, F.array(x)).alias("res"),
+                F.lit(False).alias("lm"),
+            )
+        )
+
+    return F.aggregate(sym, init, step, lambda acc: acc.res)
+
+
+def word_freqs(
+    df: DataFrame, *, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """-> (word, freq): the corpus word-frequency table (the only pass
+    that touches the corpus; everything after is vocab-sized)."""
+    words = F.explode(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]+', 0)")
+    )
+    return (
+        df.select(words.alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_freq: int = 1,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn an ordered merge list from the corpus. Ties break on
+    (freq DESC, left ASC, right ASC) — pinned against the pure-Python
+    reference in tests/test_bpe.py. Stops early when no pair reaches
+    min_pair_freq."""
+    vocab = word_freqs(corpus, text_col=text_col, min_freq=min_freq).select(
+        F.split("word", "").alias("sym"), "freq"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_a = F.slice("sym", 1, F.size("sym") - 1)
+        pair_b = F.slice("sym", 2, F.size("sym") - 1)
+        top = (
+            vocab.filter(F.size("sym") > 1)
+            .select(F.explode(F.arrays_zip(pair_a.alias("a"), pair_b.alias("b"))).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("sym"), a, b).alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_apply(
+    corpus: DataFrame,
+    train_slice: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 24,
+    min_freq: int = 1,
+) -> DataFrame:
+    """End-to-end tokenizer pass: learn merges on the training slice,
+    apply them to the whole corpus -> (id, bpe_tokens)."""
+    merges = bpe_train(
+        train_slice, text_col=text_col, num_merges=num_merges, min_freq=min_freq
+    )
+    return bpe_token_counts(corpus, merges, text_col=text_col, id_col=id_col)

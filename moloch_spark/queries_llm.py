@@ -1393,3 +1393,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk(docs, R.corpus_queries(docs)).orderBy(
         "query_id", "rank"
     )
+
+
+@register("bpe_train_and_apply")
+def q_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer training + apply: learn 16 BPE merges from
+    the doc_id % 23 == 0 slice (distributed Sennrich learn_bpe — the
+    corpus collapses to a vocab-bounded word-freq table, each round
+    moves ONE argmax row to the driver), then count tokens for every
+    document under the learned merge table. Rows-only gate: the merge
+    argmax loop is iterative and not SQL-expressible; exactness vs an
+    independent pure-Python trainer is pinned in tests/test_bpe.py."""
+    from moloch_spark.operators.bpe import bpe_train_apply
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    return bpe_train_apply(
+        docs, docs.filter(F.col("doc_id") % 23 == 0), num_merges=16
+    ).orderBy("doc_id")

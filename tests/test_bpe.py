@@ -47,3 +47,87 @@ def test_text_split_and_cache():
     # spark(1) data(1) !(1) spark(1) ??(2 — no merge for '?','?') data(1)
     assert n == 7
     assert cache["spark"] == 1 and cache["??"] == 2
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def _ref_train(texts, num_merges, min_pair_freq=2):
+    """Independent pure-Python Sennrich learn_bpe with the pinned
+    tie-break (freq DESC, left ASC, right ASC)."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z0-9]+|[^a-z0-9\s]+", t.lower()))
+    vocab = {tuple(w): f for w, f in wf.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < min_pair_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        nv = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from moloch_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide wide widest",
+        "low and lower and newer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = bpe_train(df, num_merges=12)
+    want = _ref_train(texts, 12)
+    assert got == want and len(got) > 4
+
+
+def test_bpe_train_overlap_and_ties(spark):
+    """'aaaa' under merge (a,a) must become (aa, aa) — left-to-right,
+    no overlapping re-merge; and ties must break lexicographically."""
+    from moloch_spark.operators.bpe import bpe_train
+
+    texts = ["aaaa aaaa", "bc bc"]  # (a,a) freq 6 wins; then (aa,aa) 4, (b,c) 4 tie
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = bpe_train(df, num_merges=3)
+    assert got == _ref_train(texts, 3)
+    assert got[0] == ("a", "a")
+    assert ("aa", "aa") in got and ("b", "c") in got
+
+
+def test_bpe_train_apply_roundtrip(spark):
+    """Tokens under trained merges must equal the reference encoder's
+    count under the reference-trained merges."""
+    from moloch_spark.operators.bpe import bpe_train_apply, bpe_encode_text
+
+    texts = ["the cat sat", "the cat ran", "the rat sat on the cat"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = {r.doc_id: r.bpe_tokens for r in bpe_train_apply(df, df, num_merges=6).collect()}
+    ranks = {m: i for i, m in enumerate(_ref_train(texts, 6))}
+    want = {i: bpe_encode_text(t, ranks) for i, t in enumerate(texts)}
+    assert out == want

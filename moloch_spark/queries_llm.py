@@ -1410,3 +1410,24 @@ def q_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_apply(
         docs, docs.filter(F.col("doc_id") % 23 == 0), num_merges=16
     ).orderBy("doc_id")
+
+
+@register("quality_classifier_filter")
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality-classifier pass (Brown et al. 2020 App. A):
+    logistic regression over hashed uni+bigram features trained
+    IN-ENGINE (full-batch GD: weights broadcast each round, gradient =
+    two map-combined aggregations, driver transfer = n_buckets rows)
+    to tell reference documents from the rest, then score every
+    document. The reference slice is "documents mentioning dup" (~5%
+    of the fixture) — a target with REAL textual signal so the gate
+    exercises learning (an i.i.d. doc_id-modulus slice makes any
+    correct classifier collapse to the class prior: vacuous, and keep
+    splits on the better-than-chance rule). Rows-only gate: the GD
+    loop is iterative and not SQL-expressible; exact parity with the
+    plain-Python trainer is pinned in tests/test_llm_ops.py."""
+    from moloch_spark.operators.classifier import quality_filter
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    ref = docs.filter(F.col("text").contains("dup"))
+    return quality_filter(docs, ref, iterations=8).orderBy("doc_id")

@@ -533,3 +533,57 @@ def test_bm25_excludes_self_and_breaks_ties_by_id(spark):
     assert all(r.doc_id != 0 for r in out)          # self excluded
     assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [5, 7]
     assert out[0].score == out[1].score             # identical docs tie
+
+
+def test_quality_classifier_matches_reference_math(spark):
+    """Distributed full-batch LR must track the plain-Python reference
+    on the same features. Tolerances: iteration 1 is EXACT; later
+    iterations drift because Adagrad divides by sqrt(gsq) — a bucket
+    whose first gradient nearly cancels (~1e-10) amplifies distributed
+    FP-reordering noise (~1e-17) by 1e7 per round, so equality is
+    chaotic-sensitive while the trajectory stays the same."""
+    from moloch_spark.operators import classifier as C
+
+    pos = spark.createDataFrame(
+        [(i, "clean prose about science and history") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(10 + i, "buy now click here cheap pills") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    w1, b1 = C.train_quality_classifier(pos, neg, iterations=1, lr=0.5)
+    w, b = C.train_quality_classifier(pos, neg, iterations=4, lr=0.5)
+
+    # rebuild the identical sparse features driver-side
+    feats = C._doc_features(
+        pos.unionByName(neg), text_col="text", id_col="doc_id",
+        n_buckets=C.DEFAULT_BUCKETS, seed="qlr:v1",
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in feats:
+        by_doc.setdefault(r.doc_id, []).append((r.bucket, r.x))
+    ex = [(v, 1.0 if k < 10 else 0.0) for k, v in sorted(by_doc.items())]
+    rw1, rb1 = C.reference_train(ex, iterations=1, lr=0.5)
+    assert abs(b1 - rb1) < 1e-12 and set(w1) == set(rw1)
+    assert all(abs(w1[k] - rw1[k]) < 1e-12 for k in w1)
+    rw, rb = C.reference_train(ex, iterations=4, lr=0.5)
+    assert abs(b - rb) < 0.01
+    assert set(w) == set(rw)
+    assert all(abs(w[k] - rw[k]) < 0.01 for k in w)
+    # direction of every learned weight agrees
+    assert all(w[k] * rw[k] >= 0 for k in w if abs(rw[k]) > 1e-3)
+
+
+def test_quality_filter_separates_domains(spark):
+    from moloch_spark.operators import classifier as C
+
+    rows = [(i, "the study of planetary motion and careful measurement") for i in range(6)]
+    rows += [(100 + i, "winner winner free free casino jackpot now") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.quality, r.keep)
+        for r in C.quality_filter(docs, docs.filter(F.col("doc_id") < 6)).collect()
+    }
+    assert out[0][0] > out[100][0]
+    assert out[0][1] and not out[100][1]

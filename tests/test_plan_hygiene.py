@@ -90,5 +90,12 @@ def test_no_accidental_nested_loops(spark, name):
 def test_every_query_has_oracle_or_reason():
     qs, os_ = all_queries(), all_oracles()
     missing = set(qs) - set(os_)
-    # the only rows-only query is the stateful streaming one
-    assert missing == {"streaming_sessionize_closed"}, missing
+    # rows-only queries: the stateful streaming one plus the two
+    # iterative-training ops (argmax / GD loops aren't SQL-expressible;
+    # both are exactness-pinned against independent pure-Python
+    # implementations in tests instead)
+    assert missing == {
+        "streaming_sessionize_closed",
+        "bpe_train_and_apply",
+        "quality_classifier_filter",
+    }, missing

@@ -33,7 +33,7 @@ precedent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from moloch_spark.operators.text import tokens, word_ngrams
 
@@ -139,4 +139,51 @@ def ppl_filter(
         "avg_logprob",
         "log_ppl",
         (F.col("log_ppl") <= F.lit(keep_log_ppl)).alias("keep"),
+    )
+
+
+def ppl_lang_buckets(
+    corpus: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's actual selection rule: bucket documents into head /
+    middle / tail by PER-LANGUAGE perplexity percentile (Wenzek et al.
+    2020 §4.3 — thresholds are per-language because a fixed global
+    cutoff just selects the easiest language). Rank over a
+    lang-partitioned window; ties on rounded log_ppl break by doc id,
+    and the thirds cut uses INTEGER arithmetic (3*row_number vs count)
+    because a percent_rank float comparison flips at the exact-1/3
+    boundary between engines (their division intermediates differ).
+
+    Scale: the window partitions by language — a bounded key set, but
+    individual languages are huge, so rank-in-language at 100 TB would
+    reuse the two-phase bucket-offset rank in operators/curate.py; the
+    window form is the semantics the oracle can replay directly."""
+    scored = perplexity(
+        corpus, unigrams, bigrams, text_col=text_col, id_col=id_col
+    )
+    lang = corpus.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy(F.col("log_ppl").asc(), F.col(id_col).asc())
+    wl = Window.partitionBy("lang")
+    ranked = (
+        scored.join(lang, id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("nl", F.count(F.lit(1)).over(wl))
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("nl"), "head")
+        .when(F.col("rk") * 3 <= F.col("nl") * 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        id_col,
+        "lang",
+        "log_ppl",
+        F.col("rk").cast("long").alias("lang_rank"),
+        bucket.alias("ppl_bucket"),
     )

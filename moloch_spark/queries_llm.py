@@ -1281,9 +1281,7 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_ngram_stats(load_table_spread(spark, "documents", sf_dir), n=3)
 
 
-@register(
-    "ppl_filter_stupid_backoff",
-    f"""
+_PPL_CTES = f"""
     WITH {_TOKS_CTE},
     train AS (SELECT t FROM toks WHERE doc_id % 7 = 0),
     uni AS (
@@ -1315,13 +1313,24 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN bi b USING (g)
       LEFT JOIN uni u1 ON u1.w = p.w1
       LEFT JOIN uni u2 ON u2.w = p.w2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 4) AS avg_logprob,
+             round(-avg(lp), 4) AS log_ppl
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(avg(lp), 4) AS avg_logprob,
-           round(-avg(lp), 4) AS log_ppl,
-           (round(-avg(lp), 4) <= 4.0) AS keep
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "ppl_filter_stupid_backoff",
+    _PPL_CTES
+    + """
+    SELECT doc_id, n_bigrams, avg_logprob, log_ppl,
+           (log_ppl <= 4.0) AS keep
+    FROM agg ORDER BY doc_id
     """,
 )
 def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,3 +1440,35 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir)
     ref = docs.filter(F.col("text").contains("dup"))
     return quality_filter(docs, ref, iterations=8).orderBy("doc_id")
+
+
+@register(
+    "ppl_lang_buckets",
+    _PPL_CTES
+    + """
+    SELECT doc_id, lang, log_ppl,
+           CAST(rk AS BIGINT) AS lang_rank,
+           CASE WHEN rk * 3 <= nl THEN 'head'
+                WHEN rk * 3 <= nl * 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM (
+      SELECT a.doc_id, d.lang, a.log_ppl,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY a.log_ppl ASC, a.doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY d.lang) AS nl
+      FROM agg a JOIN documents d USING (doc_id)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_ppl_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-language head/middle/tail selection (Wenzek et al.
+    2020 §4.3): percentile-rank each document's LM perplexity WITHIN
+    its language and cut at thirds — per-language thresholds, because a
+    global cutoff just selects the easiest language. Rank ties break on
+    doc_id so buckets are cross-engine exact."""
+    from moloch_spark.operators import lm
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    uni, bi = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 0))
+    return lm.ppl_lang_buckets(docs, uni, bi).orderBy("doc_id")

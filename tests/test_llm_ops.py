@@ -587,3 +587,19 @@ def test_quality_filter_separates_domains(spark):
     }
     assert out[0][0] > out[100][0]
     assert out[0][1] and not out[100][1]
+
+
+def test_ppl_lang_buckets_thirds(spark):
+    """Per-language thirds must be computed within each language."""
+    from moloch_spark.operators import lm
+
+    rows = [(i, "a b " * (i + 2), "en") for i in range(6)]
+    rows += [(100 + i, "c d " * (i + 2), "de") for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    uni, bi = lm.train_bigram_lm(docs, min_count=1)
+    out = lm.ppl_lang_buckets(docs, uni, bi).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.ppl_bucket)
+    assert sorted(by_lang["en"]) == ["head", "head", "middle", "middle", "tail", "tail"]
+    assert sorted(by_lang["de"]) == ["head", "middle", "tail"]

@@ -28,6 +28,7 @@ INTENTIONAL_NESTED_LOOP = {
     # Stupid-Backoff floor: the 1-row total-token-count aggregate
     # broadcast against the scored bigram stream
     "ppl_filter_stupid_backoff",
+    "ppl_lang_buckets",
     # BM25: the 1-row (n_docs, avgdl) aggregate broadcast against the
     # query-matched postings
     "bm25_topk_search",

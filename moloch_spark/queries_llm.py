@@ -1472,3 +1472,28 @@ def q_ppl_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir)
     uni, bi = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 0))
     return lm.ppl_lang_buckets(docs, uni, bi).orderBy("doc_id")
+
+
+@register("embedding_pca_whiten")
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening of the embedding table (the dimensionality
+    pre-pass of SemDeDup / IVF-PQ pipelines): distributed Gram matrix
+    (per-partition numpy X^T X partials, dim^2-row driver transfer),
+    driver-side eigh with a fixed sign convention, scan-side projection
+    with the loadings broadcast. Emits the first four whitened
+    components as scalars. Rows-only gate: the eigendecomposition is
+    not SQL-expressible; exactness vs numpy (loadings, eigenvalues,
+    projections, unit whitened variance) is pinned in
+    tests/test_similarity.py."""
+    from moloch_spark.operators import pca as P
+
+    emb = load_table_spread(spark, "embeddings", sf_dir)
+    model = P.pca_fit(emb, k=4, whiten=True)
+    out = P.pca_project(emb, model)
+    return out.select(
+        "vec_id",
+        F.col("pc")[0].alias("pc1"),
+        F.col("pc")[1].alias("pc2"),
+        F.col("pc")[2].alias("pc3"),
+        F.col("pc")[3].alias("pc4"),
+    ).orderBy("vec_id")

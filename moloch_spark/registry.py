@@ -84,6 +84,7 @@ _CHECK_PRIORITY = (
     "bpe_train_and_apply",                   # new: distributed learn_bpe (rows-only)
     "quality_classifier_filter",             # new: GPT-3-style LR filter (rows-only)
     "ppl_lang_buckets",                      # new: CCNet head/middle/tail cut
+    "embedding_pca_whiten",                  # new: PCA/whitening (rows-only)
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

@@ -99,4 +99,5 @@ def test_every_query_has_oracle_or_reason():
         "streaming_sessionize_closed",
         "bpe_train_and_apply",
         "quality_classifier_filter",
+        "embedding_pca_whiten",
     }, missing

@@ -1497,3 +1497,53 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pc")[2].alias("pc3"),
         F.col("pc")[3].alias("pc4"),
     ).orderBy("vec_id")
+
+
+def _pq_encode_sql(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
+    from moloch_spark.operators import pq as Q
+
+    books = Q.pq_codebooks(dim, m, n_codes)
+    sub = dim // m
+    values = ", ".join(
+        f"({s}, {c}, ["
+        + ", ".join(f"{x!r}" for x in books[s][c])
+        + f"]::DOUBLE[], {sum(x * x for x in books[s][c])!r})"
+        for s in range(m)
+        for c in range(n_codes)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    cb(sub, code, c, c2) AS (VALUES {values}),
+    sub_rank AS (
+      SELECT vec_id, sub, code,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY ROUND(c2 - 2*list_dot_product(
+                          ed[sub*{sub}+1 : sub*{sub}+{sub}], c), 6),
+                        code
+             ) AS rn
+      FROM b CROSS JOIN cb
+    )
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+    FROM sub_rank WHERE rn = 1 ORDER BY vec_id, sub
+    """
+
+
+@register("pq_encode_codes", _pq_encode_sql())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011) of the
+    embedding table under the deterministic md5-seeded codebooks: each
+    64-dim vector becomes 8 sub-codes (the M-byte compressed index an
+    IVF-PQ system stores instead of floats). The oracle replays the
+    per-subspace |c|^2 - 2 v.c ranking with the codebooks inlined as a
+    VALUES table. ADC search + Lloyd's training over the same codes are
+    recall/exactness-gated in tests/test_similarity.py."""
+    from moloch_spark.operators import pq as Q
+
+    emb = load_table_spread(spark, "embeddings", sf_dir)
+    return (
+        Q.pq_encode(emb, Q.pq_codebooks(64, 8, 16))
+        .select("vec_id", F.posexplode("codes").alias("sub", "code"))
+        .select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
+        .orderBy("vec_id", "sub")
+    )

@@ -85,6 +85,7 @@ _CHECK_PRIORITY = (
     "quality_classifier_filter",             # new: GPT-3-style LR filter (rows-only)
     "ppl_lang_buckets",                      # new: CCNet head/middle/tail cut
     "embedding_pca_whiten",                  # new: PCA/whitening (rows-only)
+    "pq_encode_codes",                       # new: product-quantization index
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

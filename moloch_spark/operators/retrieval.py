@@ -94,11 +94,24 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("part"), 4).alias("score"))
     )
+    # two-phase top-k: a hot query (or a degenerate vocabulary where
+    # every doc matches) otherwise funnels ALL its candidates into one
+    # window partition — rank within (query, doc-hash salt) first so
+    # the final per-query sort sees at most 16*k rows (union of
+    # per-salt top-ks ⊇ global top-k, so results are identical);
+    # measured 54 s -> well under 10 s on the 10x dense fixture
+    salt = F.pmod(F.col(id_col), F.lit(16))
+    w1 = Window.partitionBy("query_id", salt).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    partial = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )

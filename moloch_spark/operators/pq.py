@@ -182,3 +182,101 @@ def ann_pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "did", "adc", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ann_ivf_pq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The composed billion-scale ANN architecture (IVF-PQ, Jegou et
+    al. 2011 §IV): corpus vectors live in their nearest coarse cell's
+    inverted list and are stored only as PQ CODES; a query probes its
+    nprobe nearest cells and ranks the candidates there by ADC — so
+    query cost is (nprobe / n_cells) of the corpus in M-lookup
+    arithmetic, and the index holds one `cell` int + M code bytes per
+    vector. Plan: scan-side cell assign + PQ encode (zero shuffle),
+    broadcast (query, probed-cell, LUT) rows, per-cell equi-join, ADC
+    in codegen, salted two-phase top-k window."""
+    from moloch_spark.operators.similarity import (
+        _argmin_cell,
+        _cell_scores_udf,
+        _probe_cells,
+        ivf_centroids,
+    )
+
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
+    scorer = _cell_scores_udf(cents)
+    vec = F.col(vec_col).cast("array<double>")
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    n_codes = B[0].shape[0]
+    sub = B[0].shape[1]
+    enc = _encode_udf(codebooks)
+    index = emb.select(
+        F.col(id_col),
+        _argmin_cell(scorer(vec)).alias("cell"),
+        enc(vec).alias("codes"),
+    )
+
+    spark = emb.sparkSession
+    # materialize the UDF scores as a COLUMN before _probe_cells: its
+    # array_sort comparator is a higher-order lambda, and Spark rejects
+    # a Python UDF referenced inside one (PLANS.md §21 trap class)
+    qrows = (
+        emb.filter(F.col(id_col) < query_max_id)
+        .withColumn("sc", scorer(vec))
+        .select(
+            F.col(id_col).alias("qid"),
+            vec.alias("qv"),
+            _probe_cells(F.col("sc"), len(cents), nprobe).alias("pcells"),
+        )
+        .collect()
+    )
+    rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        lut = np.empty(m * n_codes)
+        for s in range(m):
+            qs = qv[s * sub : (s + 1) * sub]
+            lut[s * n_codes : (s + 1) * n_codes] = np.round(
+                ((B[s] - qs[None, :]) ** 2).sum(axis=1), 6
+            )
+        for cell in r["pcells"]:
+            rows.append((r["qid"], int(cell), [float(x) for x in lut]))
+    qdf = spark.createDataFrame(rows, ["qid", "pcell", "lut"])
+
+    cand = index.join(
+        F.broadcast(qdf),
+        (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("qid")),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            "lut", (s * n_codes + F.element_at("codes", s + 1) + 1).cast("int")
+        ),
+    )
+    scored = cand.select(
+        "qid", F.col(id_col).alias("did"), F.round(adc, 6).alias("adc")
+    )
+    salt = F.pmod(F.col("did"), F.lit(16))
+    w1 = Window.partitionBy("qid", salt).orderBy(F.col("adc").asc(), F.col("did").asc())
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("did").asc())
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "did", "adc", F.col("rank").cast("long").alias("rank"))
+    )

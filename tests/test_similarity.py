@@ -156,3 +156,37 @@ def test_pq_adc_recall_and_exact_lut(spark):
         cluster = set(range((q // 30) * 30, (q // 30) * 30 + 30))
         hits += len(set(got) & cluster)
     assert hits / 30 >= 0.9
+
+
+def test_ivf_pq_composed_search(spark):
+    """IVF-PQ must (a) only return candidates from the query's probed
+    cells, (b) compute the same ADC values as flat PQ for those
+    candidates, (c) recover the query's cluster on clustered data."""
+    import numpy as np
+
+    from moloch_spark.operators import pq as Q
+    from moloch_spark.operators.similarity import kmeans_train
+
+    rng = np.random.RandomState(4)
+    centers = rng.randn(8, 16) * 4
+    x = np.vstack([c + rng.randn(25, 16) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    books = Q.pq_train(df, dim=16, m=4, n_codes=16, iters=2)
+    cents = kmeans_train(df, n_cells=8, iters=3, dim=16)
+    out = Q.ann_ivf_pq_topk(
+        df, books, query_max_id=2, k=10, n_cells=8, nprobe=2, dim=16,
+        centroids=cents,
+    ).collect()
+    flat = {
+        (r.qid, r.did): r.adc
+        for r in Q.ann_pq_adc_topk(df, books, query_max_id=2, k=200).collect()
+    }
+    hits = 0
+    for r in out:
+        assert abs(flat[(r.qid, r.did)] - r.adc) < 1e-9
+        if r.did // 25 == r.qid // 25:
+            hits += 1
+    assert len(out) == 20 and hits / len(out) >= 0.9

@@ -10,7 +10,7 @@ from moloch_spark.operators import enrich as E
 from moloch_spark.operators.endpoints import dsum
 from moloch_spark.operators.sessionize import sessionize_events
 from moloch_spark.registry import register
-from moloch_spark.sources.tables import load_table
+from moloch_spark.sources.tables import load_table, load_table_spread
 
 # ---------------------------------------------------------------------------
 # dimension rollup (geo/ASN-style broadcast enrichment)
@@ -316,7 +316,7 @@ def q_yara(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored by an independent SQL predicate in the oracle."""
     from moloch_spark.operators.yara import yara_scan
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     return (
         yara_scan(docs, _YARA_RULES, payload_col="text", out_col="yara")
         .select("doc_id", F.explode("yara").alias("rule"))

@@ -53,6 +53,10 @@ def _load_registrants() -> None:
 # unique_*, spigraph_*, connections_*, multies/wise/asof/drophash,
 # curate_split/pack/weighted, text_stats/lang_id/token_counts/
 # doc_fingerprint, tpch q1/q3/q5/q12-q15).
+# End-of-r3 state: the head below is exactly 50 unique entries (the 25
+# never-checked + 24 changed/new-in-r3 + one sentinel); the late-r3
+# additions (ppl_*, bm25, bpe_train, quality_classifier, pca, pq) sit
+# inside the 50, so everything new this round gets a driver row.
 _CHECK_PRIORITY = (
     # --- never driver-checked in r1/r2 (25) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",

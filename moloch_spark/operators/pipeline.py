@@ -90,3 +90,78 @@ def curation_pipeline(
         )
     )
     return fate
+
+
+def ccnet_pipeline(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    train_modulus: int = 7,
+) -> DataFrame:
+    """The published CCNet pipeline (Wenzek et al. 2020) end-to-end as
+    ONE declarative plan: (1) corpus-wide exact line dedup (drops
+    repeated boilerplate lines, keep-first), (2) language ID on the
+    CLEANED text, (3) a Stupid-Backoff LM trained on the cleaned
+    doc_id % train_modulus == 0 slice scores every cleaned document,
+    and (4) per-detected-language head/middle/tail perplexity thirds
+    (integer rank arithmetic). Documents whose cleaned text has < 2
+    tokens come back 'unscored' instead of vanishing — a curation run
+    needs the full audit trail.
+
+    -> (id, lines_total, lines_kept, lang_pred, log_ppl, lang_rank,
+        ppl_bucket). Stage costs are the already-gated operators'
+    (line_dedup / lang_id / ppl scoring shuffles); the composition adds
+    only the final per-language rank."""
+    from pyspark.sql import Window
+
+    from moloch_spark.operators import lm
+    from moloch_spark.operators.dedup import line_dedup
+    from moloch_spark.operators.text import lang_id
+
+    cleaned = line_dedup(docs, text_col=text_col, id_col=id_col)
+    cleaned = cleaned.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    ).localCheckpoint(eager=False)
+
+    lang = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
+        F.col(id_col), "lang_pred"
+    )
+    uni, bi = lm.train_bigram_lm(
+        cleaned.filter(F.col(id_col) % train_modulus == 0),
+        text_col="clean_text",
+    )
+    scored = lm.perplexity(cleaned, uni, bi, text_col="clean_text", id_col=id_col)
+
+    base = (
+        cleaned.select(id_col, "lines_total", "lines_kept")
+        .join(lang, id_col)
+        .join(scored.select(id_col, "log_ppl"), id_col, "left")
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("log_ppl").asc(), F.col(id_col).asc()
+    )
+    wl = Window.partitionBy("lang_pred")
+    ranked = (
+        base.filter(F.col("log_ppl").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("nl", F.count(F.lit(1)).over(wl))
+        .select(
+            id_col,
+            F.col("rk").cast("long").alias("lang_rank"),
+            F.when(F.col("rk") * 3 <= F.col("nl"), "head")
+            .when(F.col("rk") * 3 <= F.col("nl") * 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+    return base.join(ranked, id_col, "left").select(
+        id_col,
+        "lines_total",
+        "lines_kept",
+        "lang_pred",
+        "log_ppl",
+        "lang_rank",
+        F.coalesce("ppl_bucket", F.lit("unscored")).alias("ppl_bucket"),
+    )

@@ -1547,3 +1547,131 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
         .orderBy("vec_id", "sub")
     )
+
+
+def _lang_case_sql(tok_expr: str = "t") -> str:
+    def n(lang):
+        return f"len(list_filter({tok_expr}, x -> x IN ({_in_list(TX.STOPWORDS[lang])})))"
+
+    return f"""CASE
+             WHEN {n('en')} > 0 AND {n('en')} >= {n('de')}
+              AND {n('en')} >= {n('fr')} AND {n('en')} >= {n('es')} THEN 'en'
+             WHEN {n('de')} > 0 AND {n('de')} >= {n('fr')}
+              AND {n('de')} >= {n('es')} THEN 'de'
+             WHEN {n('fr')} > 0 AND {n('fr')} >= {n('es')} THEN 'fr'
+             WHEN {n('es')} > 0 THEN 'es'
+             ELSE 'und' END"""
+
+
+_CCNET_SQL = f"""
+    WITH built AS (
+      SELECT doc_id,
+             'src banner ' || source || chr(10) || substr(text, 1, 80)
+             || chr(10) || 'all rights reserved' AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ls[g.i] AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built),
+           UNNEST(range(1, len(ls) + 1)) AS g(i)
+    ),
+    rankedl AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines
+    ),
+    statsl AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS lines_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS ct
+      FROM rankedl WHERE rn = 1 GROUP BY doc_id
+    ),
+    ctoks AS (
+      SELECT b.doc_id,
+             CAST(len(string_split(b.t, chr(10))) AS BIGINT) AS lines_total,
+             COALESCE(s.lines_kept, 0) AS lines_kept,
+             list_filter(string_split_regex(lower(COALESCE(s.ct, '')),
+                         '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM built b LEFT JOIN statsl s USING (doc_id)
+    ),
+    langp AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM ctoks),
+    train AS (SELECT t FROM ctoks WHERE doc_id % 7 = 0),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(
+          range(1, greatest(len(t) - 1, 0) + 1),
+          i -> array_to_string(t[i:i+1], ' '))) AS g
+        FROM train
+      ) GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2,
+             array_to_string(t[i:i+1], ' ') AS g
+      FROM ctoks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+    ),
+    scoredlp AS (
+      SELECT p.doc_id,
+             CASE WHEN b.cnt IS NOT NULL AND u1.cnt IS NOT NULL
+                  THEN log10(b.cnt * 1.0 / u1.cnt)
+                  ELSE log10(0.4) + log10(COALESCE(u2.cnt, 1) * 1.0
+                                          / (SELECT n FROM tot))
+             END AS lp
+      FROM pairs p
+      LEFT JOIN bi b USING (g)
+      LEFT JOIN uni u1 ON u1.w = p.w1
+      LEFT JOIN uni u2 ON u2.w = p.w2
+    ),
+    agg AS (SELECT doc_id, round(-avg(lp), 4) AS log_ppl
+            FROM scoredlp GROUP BY doc_id),
+    base AS (
+      SELECT c.doc_id, c.lines_total, c.lines_kept, l.lang_pred, a.log_ppl
+      FROM ctoks c JOIN langp l USING (doc_id) LEFT JOIN agg a USING (doc_id)
+    ),
+    rankd AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang_pred
+                                ORDER BY log_ppl ASC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY lang_pred) AS nl
+      FROM base WHERE log_ppl IS NOT NULL
+    )
+    SELECT b.doc_id, b.lines_total, b.lines_kept, b.lang_pred, b.log_ppl,
+           CAST(r.rk AS BIGINT) AS lang_rank,
+           CASE WHEN r.rk IS NULL THEN 'unscored'
+                WHEN r.rk * 3 <= r.nl THEN 'head'
+                WHEN r.rk * 3 <= r.nl * 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM base b LEFT JOIN rankd r USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
+@register("ccnet_pipeline_e2e", _CCNET_SQL)
+def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full published CCNet pipeline (Wenzek et al. 2020) as one
+    plan: corpus-wide line dedup on a built multi-line corpus (shared
+    banner + unique body + global footer), language-ID on the CLEANED
+    text, a Stupid-Backoff LM trained on the cleaned %7 slice, and
+    per-detected-language head/middle/tail thirds. The oracle replays
+    every stage — window-formulated line dedup, stopword argmax, LM
+    counts/backoff, integer-thirds rank — in one SQL statement."""
+    from moloch_spark.operators.pipeline import ccnet_pipeline
+
+    docs = load_table_spread(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source", "lang"
+    )
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("src banner "), F.col("source")),
+            F.substring("text", 1, 80),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+        "lang",
+    )
+    return ccnet_pipeline(built).orderBy("doc_id")

@@ -54,8 +54,8 @@ def _load_registrants() -> None:
 # curate_split/pack/weighted, text_stats/lang_id/token_counts/
 # doc_fingerprint, tpch q1/q3/q5/q12-q15).
 # End-of-r3 state: the head below is exactly 50 unique entries (the 25
-# never-checked + 24 changed/new-in-r3 + one sentinel); the late-r3
-# additions (ppl_*, bm25, bpe_train, quality_classifier, pca, pq) sit
+# never-checked + 25 changed/new-in-r3); every late-r3 addition
+# (ppl_*, bm25, bpe_train, quality_classifier, pca, pq, ccnet) sits
 # inside the 50, so everything new this round gets a driver row.
 _CHECK_PRIORITY = (
     # --- never driver-checked in r1/r2 (25) ---
@@ -90,6 +90,7 @@ _CHECK_PRIORITY = (
     "ppl_lang_buckets",                      # new: CCNet head/middle/tail cut
     "embedding_pca_whiten",                  # new: PCA/whitening (rows-only)
     "pq_encode_codes",                       # new: product-quantization index
+    "ccnet_pipeline_e2e",                    # new: full CCNet composition
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

@@ -603,3 +603,25 @@ def test_ppl_lang_buckets_thirds(spark):
         by_lang.setdefault(r.lang, []).append(r.ppl_bucket)
     assert sorted(by_lang["en"]) == ["head", "head", "middle", "middle", "tail", "tail"]
     assert sorted(by_lang["de"]) == ["head", "middle", "tail"]
+
+
+def test_ccnet_pipeline_unscored_path(spark):
+    """A doc whose cleaned text drops below 2 tokens must come back
+    'unscored' with NULL rank, not vanish."""
+    from moloch_spark.operators.pipeline import ccnet_pipeline
+
+    rows = [
+        (0, "shared line\nthe cat sat on the mat", "en"),
+        (1, "shared line\nthe cat ran over the hill", "en"),
+        (2, "shared line\nonly", "en"),   # after dedup: 'only' -> 1 token
+        (7, "shared line\nder hund und die katze sind gut", "de"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in ccnet_pipeline(docs).collect()}
+    assert len(out) == 4
+    assert out[2].ppl_bucket == "unscored" and out[2].lang_rank is None
+    assert out[0].lines_kept == 2 and out[1].lines_kept == 1  # shared line kept once... see below
+    # doc 0 keeps 'shared line' (first occurrence) + its body; doc 1
+    # keeps only its body
+    assert out[0].lines_total == 2 and out[1].lines_total == 2
+    assert out[7].lang_pred == "de"

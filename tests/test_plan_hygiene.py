@@ -29,6 +29,7 @@ INTENTIONAL_NESTED_LOOP = {
     # broadcast against the scored bigram stream
     "ppl_filter_stupid_backoff",
     "ppl_lang_buckets",
+    "ccnet_pipeline_e2e",
     # BM25: the 1-row (n_docs, avgdl) aggregate broadcast against the
     # query-matched postings
     "bm25_topk_search",

@@ -1675,3 +1675,71 @@ def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     return ccnet_pipeline(built).orderBy("doc_id")
+
+
+@register(
+    "warc_ingest_roundtrip",
+    """
+    SELECT CAST(doc_id % 4 AS BIGINT) AS segment,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
+                AS BIGINT) AS rec_index,
+           'http://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
+             AS http_status,
+           CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
+             AS http_content_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+           md5(text) AS body_md5
+    FROM documents
+    ORDER BY segment, rec_index
+    """,
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl ingest edge: build four REAL .warc.gz segments
+    (record-per-gzip-member, the Common Crawl layout) from the
+    documents table, then run the actual file-parallel WARC reader —
+    gzip member walk, record walk, HTTP envelope split — and emit per
+    record the fields the oracle predicts from the source columns
+    (gate-synthesis pattern: the fixture bytes are derived, the PARSE
+    is real). Driver builds only the input fixture; the read itself is
+    the binaryFile + mapInArrow plan."""
+    import os
+    import tempfile
+
+    from moloch_spark.sources.warc_reader import (
+        encode_http_response,
+        encode_warc_file,
+        encode_warc_record,
+        read_warc,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    rows = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+    d = tempfile.mkdtemp(prefix="warc_gate_")
+    segs: dict[int, list[bytes]] = {0: [], 1: [], 2: [], 3: []}
+    for doc_id, text in rows:
+        body = text.encode()
+        status = 404 if doc_id % 7 == 0 else 200
+        ctype = "text/html" if doc_id % 2 == 0 else "text/plain"
+        segs[doc_id % 4].append(
+            encode_warc_record(
+                warc_type="response",
+                url=f"http://corpus.example/{doc_id}",
+                record_id=f"<urn:uuid:{doc_id}>",
+                content=encode_http_response(body, status=status, content_type=ctype),
+            )
+        )
+    for s, recs in segs.items():
+        with open(os.path.join(d, f"seg{s}.warc.gz"), "wb") as f:
+            f.write(encode_warc_file(recs, gzip_members=True))
+
+    out = read_warc(spark, d)
+    return out.select(
+        F.regexp_extract("path", r"seg(\d)\.warc\.gz", 1).cast("long").alias("segment"),
+        "rec_index",
+        "url",
+        "http_status",
+        "http_content_type",
+        F.length("body").cast("long").alias("body_len"),
+        F.md5("body").alias("body_md5"),
+    ).orderBy("segment", "rec_index")

@@ -53,10 +53,10 @@ def _load_registrants() -> None:
 # unique_*, spigraph_*, connections_*, multies/wise/asof/drophash,
 # curate_split/pack/weighted, text_stats/lang_id/token_counts/
 # doc_fingerprint, tpch q1/q3/q5/q12-q15).
-# End-of-r3 state: the head below is exactly 50 unique entries (the 25
-# never-checked + 25 changed/new-in-r3); every late-r3 addition
-# (ppl_*, bm25, bpe_train, quality_classifier, pca, pq, ccnet) sits
-# inside the 50, so everything new this round gets a driver row.
+# End-of-r3 state: the head below is 51 unique entries against the
+# driver's ~50 cap; every never-rowed query sits inside the first 50,
+# and the one possible spillover (tunnel_decap_roundtrip, position 50)
+# already has green r1/r2 driver rows, so nothing new is at risk.
 _CHECK_PRIORITY = (
     # --- never driver-checked in r1/r2 (25) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
@@ -91,6 +91,7 @@ _CHECK_PRIORITY = (
     "embedding_pca_whiten",                  # new: PCA/whitening (rows-only)
     "pq_encode_codes",                       # new: product-quantization index
     "ccnet_pipeline_e2e",                    # new: full CCNet composition
+    "warc_ingest_roundtrip",                 # new: Common Crawl WARC source
     "curate_mixture_sample",                 # re-check: two-phase domain rank
     "session_tag_update",                    # now bucketed no-shuffle merge
     "hunt_job_control",                      # new: pause/resume job queue

@@ -138,3 +138,43 @@ def corpus_queries(
             ),
         )
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard way
+    to merge a lexical and a dense retriever without score calibration:
+    each input is (query_id, rank, <id>) and a document's fused score
+    is sum over lists of 1/(c + rank). Integer-rank arithmetic, so the
+    fusion is cross-engine exact; ties break on the id.
+
+    Scale: inputs are already top-k-per-query (bounded), so the union
+    + groupBy + window all operate on query-count * k rows — fusion
+    cost is independent of corpus size by construction."""
+    parts = [
+        d.select(
+            "query_id",
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("s"),
+        )
+        for d in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", id_col).agg(
+        F.round(F.sum("s"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "rrf")
+    )

@@ -1743,3 +1743,116 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("body").cast("long").alias("body_len"),
         F.md5("body").alias("body_md5"),
     ).orderBy("segment", "rec_index")
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH uni AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    toks2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM uni
+    ),
+    post AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks2)
+      GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, qterm FROM (
+        SELECT doc_id, unnest(list_distinct(t[1:8])) AS qterm
+        FROM toks2 WHERE doc_id < 5
+      )
+    ),
+    lexs AS (
+      SELECT q.query_id, p.doc_id,
+             round(SUM(
+               ln(1.0 + (nd.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / nd.avgdl))
+             ), 4) AS score
+      FROM post p
+      JOIN qt q ON q.qterm = p.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      JOIN dfreq f ON f.term = p.term
+      CROSS JOIN nd
+      WHERE p.doc_id <> q.query_id
+      GROUP BY q.query_id, p.doc_id
+    ),
+    lexr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM lexs
+    ),
+    emb2 AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ed
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    qv AS (SELECT vec_id AS qid, ed AS qe FROM emb2 WHERE vec_id < 5),
+    ds AS (
+      SELECT q.qid AS query_id, b.vec_id AS doc_id,
+             ROUND(
+               list_dot_product(q.qe, b.ed)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(b.ed, b.ed))),
+             4) AS cosine
+      FROM emb2 b CROSS JOIN qv q
+      WHERE b.vec_id <> q.qid
+    ),
+    dr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, doc_id ASC) AS rank
+      FROM ds
+    ),
+    uall AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS s FROM lexr WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS s FROM dr WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(SUM(s), 6) AS rrf
+      FROM uall GROUP BY query_id, doc_id
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, rrf FROM (
+      SELECT query_id, doc_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over the text of every document that has
+    an embedding, exact cosine over those embeddings, both top-20 per
+    query (ids < 5, present on both sides), fused with Reciprocal Rank
+    Fusion (Cormack et al. 2009, c=60) — the calibration-free lexical ⊕
+    dense merge every RAG stack runs. Integer-rank fusion arithmetic
+    makes the oracle replay exact."""
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.operators import similarity as S
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir)
+    uni = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    qterms = R.corpus_queries(uni.filter(F.col("doc_id") < 5), modulus=1)
+    lex = R.bm25_topk(uni, qterms, k=20)
+    emb_u = emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    dense = S.brute_force_topk(emb_u, query_max_id=5, k=20).select(
+        F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank"
+    )
+    return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense]).orderBy(
+        "query_id", "rank"
+    )

@@ -53,10 +53,10 @@ def _load_registrants() -> None:
 # unique_*, spigraph_*, connections_*, multies/wise/asof/drophash,
 # curate_split/pack/weighted, text_stats/lang_id/token_counts/
 # doc_fingerprint, tpch q1/q3/q5/q12-q15).
-# End-of-r3 state: the head below is 51 unique entries against the
-# driver's ~50 cap; every never-rowed query sits inside the first 50,
-# and the one possible spillover (tunnel_decap_roundtrip, position 50)
-# already has green r1/r2 driver rows, so nothing new is at risk.
+# End-of-r3 state: every never-rowed query (the 25 + all 22 new-in-r3
+# gates) plus the three r2-red/vacuous re-checks sit in the first 50;
+# the only entries past the ~50 cap (session_tag_update,
+# tunnel_decap_roundtrip, sentinels) all have green prior rows.
 _CHECK_PRIORITY = (
     # --- never driver-checked in r1/r2 (25) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
@@ -92,10 +92,11 @@ _CHECK_PRIORITY = (
     "pq_encode_codes",                       # new: product-quantization index
     "ccnet_pipeline_e2e",                    # new: full CCNet composition
     "warc_ingest_roundtrip",                 # new: Common Crawl WARC source
-    "curate_mixture_sample",                 # re-check: two-phase domain rank
-    "session_tag_update",                    # now bucketed no-shuffle merge
+    "hybrid_rrf_search",                     # new: BM25 + dense RRF fusion
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog
+    # --- re-checks with green prior rows (safe past the ~50 cap) ---
+    "session_tag_update",                    # now bucketed no-shuffle merge
     "tunnel_decap_roundtrip",                # plan-cache rewrite
     # --- green regression sentinels ---
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",

@@ -625,3 +625,21 @@ def test_ccnet_pipeline_unscored_path(spark):
     # keeps only its body
     assert out[0].lines_total == 2 and out[1].lines_total == 2
     assert out[7].lang_pred == "de"
+
+
+def test_rrf_fusion_math(spark):
+    """Fused score must be exactly sum of 1/(60+rank); docs on both
+    lists beat docs on one list at similar ranks."""
+    from moloch_spark.operators import retrieval as R
+
+    a = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12)], ["query_id", "rank", "doc_id"]
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 13)], ["query_id", "rank", "doc_id"]
+    )
+    out = {r.doc_id: (r.rank, r.rrf) for r in R.rrf_fuse([a, b]).collect()}
+    assert out[11][0] == 1  # on both lists -> fused first
+    assert abs(out[11][1] - round(1 / 62 + 1 / 61, 6)) < 1e-12
+    assert abs(out[10][1] - round(1 / 61, 6)) < 1e-12
+    assert set(out) == {10, 11, 12, 13}

@@ -18,6 +18,8 @@ SF = "/root/testdata/sf0.001"
 INTENTIONAL_NESTED_LOOP = {
     "ann_brute_force_topk",
     "embedding_near_dups",
+    # hybrid fusion's dense leg IS brute_force_topk (bounded query set)
+    "hybrid_rrf_search",
     # scalar-avg subquery: a 1-row aggregate broadcast against customer
     "tpch_q22_global_sales_opportunity",
     # fraction-of-total: the 1-row global total broadcast against vals

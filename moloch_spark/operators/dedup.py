@@ -702,3 +702,60 @@ def decontaminate(
     # millions) — let AQE pick the anti-join strategy from actual stats
     clean = train.join(flagged, id_col, "left_anti")
     return clean, flagged
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022: rebuild each document with
+    every corpus-repeated n-token span cut out (duplicate_spans only
+    reports coverage). Token i survives iff no repeated-gram start p
+    covers it (p <= i < p+n).
+
+    Plan: the same gram/count/semi-join pipeline as duplicate_spans,
+    then ONE per-doc collect_list of hit starts (bounded by doc gram
+    count) joined back to the corpus scan, and a JVM-side
+    filter-with-exists over the token array — no range join, no second
+    shuffle of token rows; the rebuild rides the scan."""
+    toks = tokens(text_col)
+    gkey = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
+        )
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
+                gkey.alias("gk"))
+    )
+    repeated = (
+        grams.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("gk")
+    )
+    starts = (
+        grams.join(repeated, "gk", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_hits"))
+    )
+    joined = df.select(F.col(id_col), toks.alias("_t")).join(
+        starts, id_col, "left"
+    )
+    hits = F.coalesce("_hits", F.array().cast("array<long>"))
+    kept = F.filter(
+        F.col("_t"),
+        lambda tok, i: ~F.exists(
+            hits, lambda p: (p <= i.cast("long")) & (i.cast("long") < p + F.lit(n))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("tokens_before"),
+        F.size(kept).cast("long").alias("tokens_after"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -1856,3 +1856,57 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense]).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "remove_duplicate_spans",
+    """
+    WITH toksr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    gramsr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+12], ' ')), 1, 15))
+                  AS BIGINT) AS gk
+      FROM toksr, UNNEST(range(1, len(t) - 11)) AS g(i)
+    ),
+    dupg AS (SELECT gk FROM gramsr GROUP BY gk HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM gramsr JOIN dupg USING (gk)),
+    tokpos AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS i, t[i] AS tok
+      FROM toksr, UNNEST(range(1, len(t) + 1)) AS g(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hits h
+        WHERE h.doc_id = tp.doc_id AND tp.i >= h.pos AND tp.i < h.pos + 13
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS tokens_after,
+             string_agg(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS tokens_before,
+           COALESCE(r.tokens_after, 0) AS tokens_after,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM toksr tk LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY tk.doc_id
+    """,
+)
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of Lee et al. 2022 exact-substring dedup:
+    rebuild every document with its corpus-repeated 13-token spans cut
+    out. The oracle replays the hit set and rebuilds token-by-token
+    with a NOT EXISTS range predicate; the engine does it with one
+    bounded collect_list per doc + a JVM filter-with-exists over the
+    token array (no range join)."""
+    docs = load_table_spread(spark, "documents", sf_dir)
+    return D.remove_duplicate_spans(docs, n=13).orderBy("doc_id")

@@ -95,6 +95,10 @@ _CHECK_PRIORITY = (
     "hybrid_rrf_search",                     # new: BM25 + dense RRF fusion
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog
+    "remove_duplicate_spans",                # new: Lee-et-al span REMOVAL (51st:
+                                             # locally oracle-green at 2 SFs, so
+                                             # lowest-risk spillover if the cap
+                                             # is exactly 50)
     # --- re-checks with green prior rows (safe past the ~50 cap) ---
     "session_tag_update",                    # now bucketed no-shuffle merge
     "tunnel_decap_roundtrip",                # plan-cache rewrite

@@ -643,3 +643,25 @@ def test_rrf_fusion_math(spark):
     assert abs(out[11][1] - round(1 / 62 + 1 / 61, 6)) < 1e-12
     assert abs(out[10][1] - round(1 / 61, 6)) < 1e-12
     assert set(out) == {10, 11, 12, 13}
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """A span repeated across docs is cut from BOTH docs; coverage of
+    overlapping hits unions; unique text survives untouched."""
+    from moloch_spark.operators import dedup as DD
+
+    span = "one two three four five"
+    rows = [
+        (1, f"alpha {span} beta"),
+        (2, f"gamma {span} delta"),
+        (3, "totally unique words here without repeats"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in DD.remove_duplicate_spans(docs, n=5).collect()}
+    assert out[3].clean_text == "totally unique words here without repeats"
+    assert out[3].tokens_after == out[3].tokens_before == 6
+    # docs 1/2: every 5-gram containing the span tokens repeats?
+    # the shared 5-gram is exactly `span`; its coverage removes those
+    # 5 tokens from both docs, leaving the unique framing words
+    assert out[1].clean_text == "alpha beta"
+    assert out[2].clean_text == "gamma delta"

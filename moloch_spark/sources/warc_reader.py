@@ -24,7 +24,6 @@ contains garbage.
 from __future__ import annotations
 
 import gzip as _gzip
-import io as _io
 import zlib as _zlib
 from typing import Iterator
 

@@ -98,10 +98,40 @@ def train_quality_classifier(
     intercept = labeled.select(
         "k", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"), "y"
     ).distinct()
-    feats = labeled.unionByName(intercept).localCheckpoint(eager=True)
+    feats = _prepartition_feats(labeled.unionByName(intercept))
     n_examples = intercept.count()
     w, bias = _train_on_feats(feats, n_examples, iterations=iterations, lr=lr)
     return w, bias
+
+
+def _prepartition_feats(feats: DataFrame) -> DataFrame:
+    """Hash-partition AND sort the labeled feature table by the example
+    key BEFORE checkpointing it. localCheckpoint captures the physical
+    partitioning/ordering in the LogicalRDD, so every GD iteration's
+    per-example margin window (partitionBy k) is satisfied with ZERO
+    exchange and ZERO sort — the per-iteration cost drops to one
+    in-memory scan plus a 4096-row map-combined gradient agg. Without
+    this the iteration loop re-shuffles and re-sorts the full feature
+    table once per iteration.
+
+    AQE must be OFF while the checkpoint plan executes: under
+    AdaptiveSparkPlanExec the captured LogicalRDD reports Unknown
+    partitioning (verified on 4.1 — EnsureRequirements then re-inserts
+    the Exchange+Sort every iteration, exactly what this is removing);
+    with AQE disabled for just this plan the checkpoint carries
+    hashpartitioning(k)+sort and downstream windows/groupBys on k are
+    exchange-free."""
+    spark = feats.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return (
+            feats.repartition("k")
+            .sortWithinPartitions("k")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _train_on_feats(
@@ -213,7 +243,7 @@ def quality_filter(
     intercept = labeled.select(
         "k", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"), "y"
     ).distinct()
-    feats = labeled.unionByName(intercept).localCheckpoint(eager=True)
+    feats = _prepartition_feats(labeled.unionByName(intercept))
     counts = intercept.groupBy().agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_ref")
     ).collect()[0]

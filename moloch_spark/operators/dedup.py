@@ -759,3 +759,80 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("tokens_after"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sign_bits: int = 6,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column — cluster the space, find intra-cluster pairs with
+    cosine >= threshold, and keep ONE representative per near-duplicate
+    group (the minimum id, SemDeDup's "keep one random point" made
+    deterministic). Returns (id, cell, root_id, keep): root_id is the
+    group representative and keep marks the survivors a curation pass
+    would retain.
+
+    Cells here are coordinate-sign codes (bit i set iff v[i] > 0) — an
+    axis-aligned LSH that is exactly replayable in the DuckDB oracle.
+    Production at 100 TB swaps the cell assignment for learned kmeans
+    cells (similarity.kmeans_train + ivf_assign, already built) without
+    touching anything downstream: every stage after `cell` is agnostic
+    to how the cell id was produced. Sign bits past the vector's length
+    read as unset (try_element_at -> NULL -> otherwise(0); plain
+    element_at THROWS on out-of-range under ANSI), matching the
+    oracle's CASE on out-of-range list indexing.
+
+    Scale shape: cell codes and L2 norms are scan-side (zero shuffle);
+    candidate generation is a per-cell self-join, so pairwise work is
+    sum(cell_size^2) — never corpus^2; per-PAIR work is exactly one dot
+    product (norms ride the join as scalars, the embedding_near_dup_pairs
+    lesson); the near-dup groups come from connected_components over the
+    surviving edge list (edge-count-bounded, eagerly checkpointed)."""
+    from moloch_spark.operators.graph import connected_components
+
+    vec = F.col(vec_col).cast("array<double>")
+    cell = sum(
+        (
+            F.when(F.try_element_at(vec, F.lit(i + 1)) > 0,
+                   F.lit(1 << (n_sign_bits - 1 - i)))
+            .otherwise(F.lit(0))
+            for i in range(n_sign_bits)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(
+        F.col(id_col), vec.alias("_v"), norm.alias("_n"), cell.alias("cell")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("dst"),
+            F.round(dot / (F.col("a._n") * F.col("b._n")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    out = base.join(comp, base[id_col] == comp["node"], "left").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("root_id"),
+    )
+    return out.withColumn("keep", F.col("root_id") == F.col(id_col))

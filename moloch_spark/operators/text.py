@@ -376,3 +376,38 @@ def corpus_ngram_stats(
         )
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter a
+    pretraining / RAG-indexing pipeline runs between cleaning and
+    tokenization: one row per (doc, window) with starts at 0, stride,
+    2*stride, ... < n_tokens and up to `chunk_tokens` tokens per window
+    (stride < chunk_tokens gives the usual overlap; trailing windows may
+    be short). Empty documents emit no chunks.
+
+    Plan shape: tokenize once per doc in a projection, explode the
+    start offsets THROUGH the tokens column (Generate is a projection
+    barrier, so CollapseProject cannot inline the tokenizer into the
+    per-chunk slices — the word_ngrams lesson), then slice per exploded
+    row: O(n_tokens + n_chunks * chunk_tokens) per doc, row-local,
+    zero shuffles — chunking composes with any downstream partitioning."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+    e = toks.select(F.col(id_col), F.col("_t"), F.explode(starts).alias("_s"))
+    chunk = F.slice(F.col("_t"), F.col("_s") + 1, chunk_tokens)
+    return e.select(
+        F.col(id_col),
+        (F.col("_s") / stride).cast("long").alias("chunk_seq"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -131,6 +131,119 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_sliding",
+    f"""
+    WITH {_TOKS_CTE},
+    st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 32)) AS s
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 32 AS BIGINT) AS chunk_seq,
+           CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+    FROM st
+    ORDER BY doc_id, chunk_seq
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 32): the
+    splitter between cleaning and tokenization in pretraining / RAG
+    indexing pipelines. The oracle replays start offsets and slices in
+    SQL; overlap, short tails, and the empty-doc case all hash-compare."""
+    return TX.chunk_documents(
+        load_table_spread(spark, "documents", sf_dir),
+        chunk_tokens=64,
+        stride=32,
+    ).orderBy("doc_id", "chunk_seq")
+
+
+@register(
+    "cms_ngram_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                            i -> t[i + 1] || ' ' || t[i + 2])) AS gram
+      FROM toks
+    ),
+    rows_(r) AS (SELECT unnest(range(4))),
+    sketch AS (
+      SELECT r,
+             CAST(('0x' || substr(md5('cms:v1:' || r || ':' || gram), 1, 7))
+                  AS BIGINT) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    q AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0),
+    qp AS (
+      SELECT gram, r,
+             CAST(('0x' || substr(md5('cms:v1:' || r || ':' || gram), 1, 7))
+                  AS BIGINT) % 1024 AS bucket
+      FROM q CROSS JOIN rows_
+    ),
+    est AS (
+      SELECT gram, MIN(COALESCE(cnt, 0)) AS est_cnt
+      FROM qp LEFT JOIN sketch USING (r, bucket)
+      GROUP BY gram
+    ),
+    ex AS (
+      SELECT g.gram, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM grams g JOIN q USING (gram)
+      GROUP BY 1
+    )
+    SELECT gram, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount
+    FROM est JOIN ex USING (gram)
+    ORDER BY gram
+    """,
+)
+def q_cms_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch bigram counting (Cormode & Muthukrishnan 2005):
+    build a 4x1024 sketch over the corpus bigram stream — the shuffle
+    carries at most depth*width keys regardless of vocabulary size,
+    unlike exact counting whose keyspace grows with the corpus — then
+    estimate a bounded query set and exhibit the one-sided guarantee
+    (overcount = est - exact >= 0 always). The exact leg exists only so
+    the gate can hash-compare the guarantee; production at 100 TB runs
+    build + estimate alone, and sketches from different days/partitions
+    fold by cell-wise addition (sketch.cms_merge)."""
+    from moloch_spark.operators import sketch as SK
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    cms = SK.cms_build(docs, n=2, depth=4, width=1024)
+    qgrams = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(F.explode(TX.word_ngrams(TX.tokens("text"), 2)).alias("gram"))
+        .distinct()
+    )
+    est = SK.cms_estimate(cms, qgrams, depth=4, width=1024)
+    corpus_grams = docs.select(
+        F.explode(TX.word_ngrams(TX.tokens("text"), 2)).alias("gram")
+    )
+    exact = (
+        corpus_grams.join(F.broadcast(qgrams), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "gram")
+        .select(
+            "gram",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("gram")
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
     WITH {_TOKS_CTE},
@@ -426,6 +539,56 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query set IS the corpus. Oracle replays the identical hyperplane
     codes and bucket self-join in SQL."""
     return D.embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+_SEMDEDUP_SQL = """
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ed,
+             (CASE WHEN embedding[1] > 0 THEN 32 ELSE 0 END +
+              CASE WHEN embedding[2] > 0 THEN 16 ELSE 0 END +
+              CASE WHEN embedding[3] > 0 THEN 8 ELSE 0 END +
+              CASE WHEN embedding[4] > 0 THEN 4 ELSE 0 END +
+              CASE WHEN embedding[5] > 0 THEN 2 ELSE 0 END +
+              CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst
+      FROM b a JOIN b c ON a.cell = c.cell AND a.vec_id < c.vec_id
+      WHERE ROUND(list_dot_product(a.ed, c.ed)
+              / (sqrt(list_dot_product(a.ed, a.ed))
+                 * sqrt(list_dot_product(c.ed, c.ed))), 4) >= 0.3
+    ),
+    und AS (SELECT src AS a, dst AS b FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+    ),
+    comp AS (SELECT node, MIN(lab) AS root FROM reach GROUP BY node)
+    SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
+           COALESCE(comp.root, b.vec_id) AS root_id,
+           (COALESCE(comp.root, b.vec_id) = b.vec_id) AS keep
+    FROM b LEFT JOIN comp ON comp.node = b.vec_id
+    ORDER BY vec_id
+"""
+
+
+@register("semdedup_prune", _SEMDEDUP_SQL)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decision over the
+    embedding table: deterministic sign-bit cells (6 bits -> 64 cells;
+    intra-cell pair work falls ~50x vs 4 bits on this corpus), intra-cell cosine
+    pairs >= 0.3, connected components -> keep the min-id representative
+    of every near-duplicate group. Completes the embedding-dedup story
+    from "which pairs are near-dups" (embedding_near_dup_pairs_lsh) to
+    "which rows does the curation pass actually drop". Oracle replays
+    cells, pair generation, and the component fixpoint (recursive CTE)
+    in SQL."""
+    return D.semdedup_prune(load_table(spark, "embeddings", sf_dir)).orderBy(
+        "vec_id"
+    )
 
 
 def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:

@@ -95,6 +95,10 @@ _CHECK_PRIORITY = (
     "hybrid_rrf_search",                     # new: BM25 + dense RRF fusion
     "hunt_job_control",                      # new: pause/resume job queue
     "streaming_state_cap",                   # new: maxStreams analog
+    "semdedup_prune",                        # new: SemDeDup keep/drop (cells->
+                                             # cosine pairs->CC->min-id keep)
+    "chunk_documents_sliding",               # new: overlap-window splitter
+    "cms_ngram_counts",                      # new: count-min sketch counts
     "remove_duplicate_spans",                # new: Lee-et-al span REMOVAL (51st:
                                              # locally oracle-green at 2 SFs, so
                                              # lowest-risk spillover if the cap

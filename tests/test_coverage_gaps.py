@@ -138,6 +138,14 @@ def test_connected_components_shapes(spark):
     assert {out[x] for x in "de"} == {"d"}
     assert {out[x] for x in "fghi"} == {"f"}
     assert len(out) == 9
+    # driver_threshold=0 forces the distributed min-label loop — it must
+    # reach the identical fixpoint (the 100 TB path stays exercised even
+    # though small graphs now take the union-find fast path)
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == out
 
 
 def test_as_of_join_semantics(spark):

@@ -665,3 +665,62 @@ def test_remove_duplicate_spans_semantics(spark):
     # 5 tokens from both docs, leaving the unique framing words
     assert out[1].clean_text == "alpha beta"
     assert out[2].clean_text == "gamma delta"
+
+
+def test_semdedup_prune_groups_and_cells(emb):
+    # sign-bit cells (6 bits; bits past the 4-dim vectors read unset):
+    # vec 1 [0.999,0.01,..] and vec 4 [0.7,0.7,..] share cell 110000=48
+    # and cosine ~0.714 >= 0.3, so they form one group kept at min id 1;
+    # vec 0 lands in cell 32 (its second coord is exactly 0 -> bit
+    # unset), demonstrating the standard LSH miss: a near-dup split
+    # across cells is not merged.
+    out = {r.vec_id: r for r in D.semdedup_prune(emb).collect()}
+    assert out[1].cell == 48 and out[4].cell == 48
+    assert out[0].cell == 32
+    assert out[4].root_id == 1 and not out[4].keep
+    assert out[1].keep and out[0].keep and out[2].keep and out[3].keep
+    # raising the threshold above the (1,4) cosine keeps everything
+    strict = {r.vec_id: r.keep for r in D.semdedup_prune(emb, threshold=0.8).collect()}
+    assert all(strict.values())
+
+
+def test_chunk_documents_windows(spark):
+    rows = [(1, "aa bb cc dd ee"), (2, ""), (3, "xx")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        (r.doc_id, r.chunk_seq, r.n_tokens, r.chunk_text)
+        for r in TX.chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    )
+    assert out == [
+        (1, 0, 3, "aa bb cc"),
+        (1, 1, 3, "cc dd ee"),
+        (1, 2, 1, "ee"),
+        (3, 0, 1, "xx"),
+    ]  # overlap at stride<chunk, short tail, empty doc emits nothing
+
+
+def test_cms_sketch_guarantee_and_merge(spark):
+    from moloch_spark.operators import sketch as SK
+
+    rows = [(i, "alpha beta gamma delta " * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    grams = df.select(F.explode(TX.word_ngrams(TX.tokens("text"), 2)).alias("gram"))
+    exact = {r.gram: r.c for r in grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+    # one-sided guarantee at a tiny width (collisions certain)
+    sk = SK.cms_build(df, n=2, depth=3, width=8)
+    est = {r.gram: r.est_cnt for r in SK.cms_estimate(sk, grams.distinct(), depth=3, width=8).collect()}
+    assert set(est) == set(exact)
+    assert all(est[g] >= exact[g] for g in exact)
+
+    # wide sketch: no collisions -> estimates exact
+    skw = SK.cms_build(df, n=2, depth=3, width=4096)
+    estw = {r.gram: r.est_cnt for r in SK.cms_estimate(skw, grams.distinct(), depth=3, width=4096).collect()}
+    assert estw == exact
+
+    # linearity: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = SK.cms_build(df.filter(F.col("doc_id") < 3), n=2, depth=3, width=8)
+    h2 = SK.cms_build(df.filter(F.col("doc_id") >= 3), n=2, depth=3, width=8)
+    merged = {(r.row, r.bucket): r.cnt for r in SK.cms_merge(h1, h2).collect()}
+    whole = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    assert merged == whole

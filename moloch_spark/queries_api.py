@@ -85,40 +85,48 @@ def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, session_seq,
              CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
              COUNT(*) AS packets,
-             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs,
+             MAX(ts) AS last_packet
       FROM numbered GROUP BY 1, 2
     )
     SELECT session_id, packets,
-           CASE WHEN errs > 0
+           CASE WHEN errs > 0 AND CAST(last_packet AS DATE) < DATE '2024-01-08'
                 THEN 'flagged,has-error'
                 ELSE '' END AS tags
     FROM sessions
     """,
 )
 def q_tag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tag update routed THROUGH the bucketed session store
-    (update_tags_bucketed): sessions land hash-bucketed on session_id,
-    the matched-id set broadcast-merges over the bucketed scan with no
-    Exchange on the fact side, and the rewrite is staged + swapped —
-    the 100 TB-safe form of the reference's in-place ES update
+    """Tag update routed THROUGH the day-partitioned session store
+    (update_tags_partitioned): sessions land partitioned by
+    day(lastPacket) — the sessions3-YYMMDD rotation analog — the
+    matched set (error sessions from a one-week query, the shape every
+    real tag operation has) broadcast-merges over a PARTITION-PRUNED
+    scan, and only the touched day partitions are rewritten and
+    atomically swapped. Tagging a week of sessions in years of
+    retention rewrites a week, not the table — the 100 TB-safe form of
+    the reference's in-place ES update
     (viewer/apiSessions.js:1480-1529)."""
     import tempfile
-    import uuid
 
     ev = load_table(spark, "events", sf_dir)
     sess = sessionize_events(ev, idle_timeout_s=1800).withColumn(
         "tags", F.array().cast("array<string>")
     )
-    matched = sess.filter(F.array_contains("event_types", "error")).select("session_id")
-    tbl = f"tag_upd_{uuid.uuid4().hex[:8]}"
+    matched = sess.filter(
+        F.array_contains("event_types", "error")
+        & (F.date_format("last_packet", "yyyy-MM-dd") < "2024-01-08")
+    ).select("session_id", "last_packet")
     path = tempfile.mkdtemp(prefix="tag_upd_")
-    from moloch_spark.sources.session_store import write_sessions_bucketed
+    from moloch_spark.sources.session_store import write_sessions
 
-    write_sessions_bucketed(
-        sess.select("session_id", "packets", "tags"), tbl, path, buckets=16
+    write_sessions(
+        sess.select("session_id", "packets", "tags", "last_packet"),
+        path,
+        mode="overwrite",
     )
-    out = A.update_tags_bucketed(
-        spark, tbl, path, matched, add=["flagged", "has-error"], buckets=16
+    out = A.update_tags_partitioned(
+        spark, path, matched, add=["flagged", "has-error"]
     )
     # CSV-join for the driver canonicalizer (list cells are unhashable there)
     return out.select(

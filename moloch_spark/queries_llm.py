@@ -1602,7 +1602,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_spread(spark, "documents", sf_dir)
     ref = docs.filter(F.col("text").contains("dup"))
-    return quality_filter(docs, ref, iterations=8).orderBy("doc_id")
+    # 5 Adagrad iterations separate the domains (the pinned pytest
+    # shows margins move by iter ~4); no orderBy — the driver
+    # canonicalizer sorts, and a global sort adds a range-sample pass
+    return quality_filter(docs, ref, iterations=5)
 
 
 @register(
@@ -1690,6 +1693,149 @@ def _pq_encode_sql(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
     SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
     FROM sub_rank WHERE rn = 1 ORDER BY vec_id, sub
     """
+
+
+def _pq_cb_values(dim: int, m: int, n_codes: int) -> str:
+    from moloch_spark.operators import pq as Q
+
+    books = Q.pq_codebooks(dim, m, n_codes)
+    return ", ".join(
+        f"({s}, {c}, ["
+        + ", ".join(f"{x!r}" for x in books[s][c])
+        + f"]::DOUBLE[], {sum(x * x for x in books[s][c])!r})"
+        for s in range(m)
+        for c in range(n_codes)
+    )
+
+
+def _pq_adc_sql(
+    dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 10, nq: int = 5
+) -> str:
+    sub = dim // m
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    cb(sub, code, c, c2) AS (VALUES {_pq_cb_values(dim, m, n_codes)}),
+    sub_rank AS (
+      SELECT vec_id, sub, code,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY ROUND(c2 - 2*list_dot_product(
+                          ed[sub*{sub}+1 : sub*{sub}+{sub}], c), 6),
+                        code
+             ) AS rn
+      FROM b CROSS JOIN cb
+    ),
+    codes AS (SELECT vec_id, sub, code FROM sub_rank WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS qid, cb.sub, cb.code,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   j -> (cb.c[j] - q.ed[cb.sub*{sub} + j]) ^ 2)), 6) AS d
+      FROM b q CROSS JOIN cb WHERE q.vec_id < {nq}
+    ),
+    adc AS (
+      SELECT l.qid, c.vec_id AS did, ROUND(SUM(l.d), 6) AS adc
+      FROM codes c
+      JOIN lut l ON l.sub = c.sub AND l.code = c.code AND c.vec_id <> l.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid, did, adc, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, did, adc,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc ASC, did ASC) AS rank
+          FROM adc)
+    WHERE rank <= {k}
+    """
+
+
+@register("ann_pq_adc_topk", _pq_adc_sql())
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ codes (Jegou et al. 2011 §III): each
+    query becomes an M x n_codes L2 lookup table (broadcast,
+    model-sized) and every corpus vector is ranked from its CODES
+    alone — M JVM-side element_at lookups summed, the original floats
+    never read at query time. The oracle replays encode, per-query
+    LUT build and the lookup-sum ranking entirely in SQL. Recall vs
+    exact brute-force is separately bounded in tests."""
+    from moloch_spark.operators import pq as Q
+
+    emb = load_table_spread(spark, "embeddings", sf_dir)
+    return Q.ann_pq_adc_topk(emb, Q.pq_codebooks(64, 8, 16)).orderBy("qid", "rank")
+
+
+def _ivf_pq_sql(
+    dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 10, nq: int = 5,
+    n_cells: int = 16, nprobe: int = 4,
+) -> str:
+    sub = dim // m
+    cents = S.ivf_centroids(dim, n_cells)
+    cvalues = ", ".join(
+        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
+    c2_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
+    ) + " END"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    cells(cell, c) AS (VALUES {cvalues}),
+    cell_rank AS (
+      SELECT vec_id, ed, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
+             ) AS rn
+      FROM b CROSS JOIN cells
+    ),
+    assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cell
+               FROM cell_rank WHERE vec_id < {nq} AND rn <= {nprobe}),
+    cb(sub, code, cc, c2) AS (VALUES {_pq_cb_values(dim, m, n_codes)}),
+    sub_rank AS (
+      SELECT vec_id, sub, code,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY ROUND(c2 - 2*list_dot_product(
+                          ed[sub*{sub}+1 : sub*{sub}+{sub}], cc), 6),
+                        code
+             ) AS rn
+      FROM b CROSS JOIN cb
+    ),
+    codes AS (SELECT vec_id, sub, code FROM sub_rank WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS qid, cb.sub, cb.code,
+             ROUND(list_sum(list_transform(range(1, {sub + 1}),
+                   j -> (cb.cc[j] - q.ed[cb.sub*{sub} + j]) ^ 2)), 6) AS d
+      FROM b q CROSS JOIN cb WHERE q.vec_id < {nq}
+    ),
+    adc AS (
+      SELECT p.qid, a.vec_id AS did, ROUND(SUM(l.d), 6) AS adc
+      FROM assign a
+      JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+      GROUP BY 1, 2
+    )
+    SELECT qid, did, adc, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, did, adc,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc ASC, did ASC) AS rank
+          FROM adc)
+    WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_pq_topk", _ivf_pq_sql())
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN architecture (Jegou et
+    al. 2011 §IV): coarse cells bound which inverted lists a query
+    reads (nprobe/n_cells of the corpus), PQ codes bound what each
+    candidate costs (M lookups, no floats). The oracle replays cell
+    assignment, probing, encoding and the LUT-sum ranking in SQL."""
+    from moloch_spark.operators import pq as Q
+
+    emb = load_table_spread(spark, "embeddings", sf_dir)
+    return Q.ann_ivf_pq_topk(emb, Q.pq_codebooks(64, 8, 16)).orderBy("qid", "rank")
 
 
 @register("pq_encode_codes", _pq_encode_sql())

@@ -233,7 +233,44 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-@register("streaming_sessionize_closed")  # no oracle: custom stateful streaming
+@register(
+    "streaming_sessionize_closed",
+    # The availableNow run is deterministic, so the stateful stream HAS a
+    # SQL oracle: emitted sessions = every in-batch idle close (all but
+    # each key's final session) PLUS final sessions whose event-time
+    # timer (last_packet + idle timeout) lies strictly before the final
+    # watermark (global max ts - the 1-minute delay) — those fire in the
+    # no-data timeout batch before the query self-terminates.
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS root_seq
+      FROM seq
+    ), sess AS (
+      SELECT user_id, root_seq,
+             MIN(ts) AS first_packet, MAX(ts) AS last_packet,
+             COUNT(*) AS packets,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+             CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt
+      FROM numbered GROUP BY 1, 2
+    ), wm AS (SELECT MAX(epoch_ms(ts)) - 60000 AS wm_ms FROM events)
+    SELECT user_id, root_seq, first_packet, last_packet, packets,
+           event_types, event_types_cnt,
+           CAST(user_id AS VARCHAR) || '#' ||
+             CAST(epoch_us(first_packet) AS VARCHAR) AS session_id
+    FROM sess
+    WHERE root_seq < (SELECT MAX(root_seq) FROM sess s2
+                      WHERE s2.user_id = sess.user_id)
+       OR epoch_ms(last_packet) + 1800000 < (SELECT wm_ms FROM wm)
+    """,
+)
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir)
     name = f"sess_{uuid.uuid4().hex[:8]}"
@@ -248,8 +285,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     # driver canonicalizer can't sort array columns -> CSV-join, same as
     # the other array-emitting gates (queries_stream.py:72, queries_api.py)
-    return spark.table(name).withColumn(
-        "event_types", F.array_join(F.array_sort("event_types"), ",")
+    return spark.table(name).select(
+        "user_id", "root_seq", "first_packet", "last_packet", "packets",
+        F.array_join(F.array_sort("event_types"), ",").alias("event_types"),
+        "event_types_cnt", "session_id",
     )
 
 

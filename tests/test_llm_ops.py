@@ -575,6 +575,26 @@ def test_quality_classifier_matches_reference_math(spark):
     assert all(w[k] * rw[k] >= 0 for k in w if abs(rw[k]) > 1e-3)
 
 
+def test_quality_filter_bounded_negatives(spark):
+    """max_negatives below the pool size must (a) still score EVERY
+    corpus document, (b) train on a deterministic hash slice — two runs
+    produce identical scores — and (c) still separate the domains."""
+    from moloch_spark.operators import classifier as C
+
+    rows = [(i, "the study of planetary motion and careful measurement") for i in range(4)]
+    rows += [(100 + i, "winner winner free free casino jackpot now") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = docs.filter(F.col("doc_id") < 4)
+    a = {r.doc_id: (r.quality, r.keep)
+         for r in C.quality_filter(docs, ref, max_negatives=8).collect()}
+    b = {r.doc_id: (r.quality, r.keep)
+         for r in C.quality_filter(docs, ref, max_negatives=8).collect()}
+    assert a == b                                   # deterministic sample
+    assert set(a) == {r[0] for r in rows}           # whole corpus scored
+    assert a[0][0] > a[100][0]
+    assert a[0][1] and not a[100][1]
+
+
 def test_quality_filter_separates_domains(spark):
     from moloch_spark.operators import classifier as C
 

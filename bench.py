@@ -45,29 +45,36 @@ def main() -> None:
     # of aborting the whole bench (round-1 postmortem: a single analysis
     # exception produced NO numbers at all)
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for i, (name, fn) in enumerate(sorted(registry.items())):
         # Drop the previous queries' broadcast/shuffle garbage BETWEEN
         # timings: ContextCleaner frees executor state only after a driver
         # GC, and without this the 80th+ query pays multi-second pauses
         # for the first 79 queries' accumulated broadcasts (measured: q18
-        # 10s in-sequence vs 1.5s clean). On a real cluster each query is
-        # its own job and the cleaner keeps up; this reproduces that
-        # hygiene inside one long-lived session.
+        # 10s in-sequence vs 1.5s clean). clearCache drops any cached
+        # relations a query left behind so later scans re-read parquet
+        # like the driver's fresh sessions do. On a real cluster each
+        # query is its own job and the cleaner keeps up; this reproduces
+        # that hygiene inside one long-lived session.
         if i % 10 == 0:
+            spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         try:
             # best-of-2: this box shows hypervisor-level noisy-neighbor
             # stalls that randomly inflate a single run 5-10x (measured:
             # same query 1.2s and 15s minutes apart at idle load).  The
-            # min of two back-to-back runs is the reproducible number.
-            best = None
+            # min of two back-to-back runs is the reproducible number;
+            # BOTH reps are recorded so cross-round comparisons can tell
+            # ambient noise (reps far apart) from a real regression
+            # (reps agree and both moved).
+            reps = []
             for _rep in range(2):
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 4)
+                reps.append(round(time.perf_counter() - t0, 4))
+            rep_times[name] = reps
+            timings[name] = min(reps)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -80,6 +87,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": 2,
+        "rep_times": rep_times,
+        "loadavg": open("/proc/loadavg").read().split()[0]
+        if os.path.exists("/proc/loadavg")
+        else None,
     }
     if errors:
         out["errors"] = errors

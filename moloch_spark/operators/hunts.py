@@ -223,6 +223,102 @@ class HuntJobQueue:
         self._save(st)
         return matched
 
+    def run_tick_per_node(
+        self,
+        df: DataFrame,
+        *,
+        payload_cols: list[str],
+        id_col: str,
+        ts_col: str,
+        node_col: str,
+        binary_cols: set[str] = frozenset(),
+        slice_s: int = 86400,
+        bounds: dict | None = None,
+    ) -> DataFrame | None:
+        """Per-node hunt fan-out (viewer/apiHunts.js:370-460: each
+        session is hunted on the capture NODE that holds its packets,
+        via a remote request when the node isn't local). The Spark
+        analog partitions the hunt by the node column with an
+        INDEPENDENT lastPacketTime checkpoint per node — nodes ingest
+        at different rates, so each advances to its own safe watermark
+        — and a merged completion state: the job finishes only when
+        every node's window is exhausted.
+
+        One tick advances EVERY unfinished node one slice in a SINGLE
+        scan (the per-node windows become one disjunctive predicate —
+        no per-node jobs, no driver loop over data). `bounds` maps
+        node -> (min_ts, max_ts); when omitted it is computed with one
+        O(nodes)-row aggregation. Returns the tick's matches with the
+        node column retained (the write-back routes by node), or None
+        when no job is runnable."""
+        from datetime import datetime, timedelta
+
+        st = self._load()
+        runnable = [
+            (hid, j) for hid, j in st["jobs"].items()
+            if j["status"] in ("queued", "running")
+        ]
+        if not runnable:
+            return None
+        hid, job = min(runnable, key=lambda kv: kv[1]["order"])
+
+        if bounds is None:
+            bounds = {
+                r["n"]: (r["lo"], r["hi"])
+                for r in df.groupBy(F.col(node_col).alias("n"))
+                .agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+                .collect()
+            }
+        nodes = job.setdefault("nodes", {})
+        slices: list[tuple] = []
+        for node in sorted(bounds, key=str):
+            lo, hi = bounds[node]
+            nst = nodes.get(str(node), {"checkpoint": None, "done": False})
+            if nst["done"]:
+                continue
+            ckpt = (
+                datetime.fromisoformat(nst["checkpoint"])
+                if nst["checkpoint"]
+                else lo - timedelta(microseconds=1)
+            )
+            hi_dt = min(ckpt + timedelta(seconds=slice_s), hi)
+            slices.append((node, ckpt, hi_dt))
+            nodes[str(node)] = {
+                "checkpoint": hi_dt.isoformat(sep=" "),
+                "done": hi_dt >= hi,
+            }
+        if not slices:
+            job["status"] = "finished"
+            self._save(st)
+            return None
+
+        spec = HuntSpec(hid, job["match_type"], job["pattern"])
+        window = None
+        for node, ckpt, hi_dt in slices:
+            p = (
+                (F.col(node_col) == F.lit(node))
+                & (F.col(ts_col) > F.lit(ckpt.isoformat(sep=" ")).cast("timestamp"))
+                & (F.col(ts_col) <= F.lit(hi_dt.isoformat(sep=" ")).cast("timestamp"))
+            )
+            window = p if window is None else (window | p)
+        pred = None
+        for c in payload_cols:
+            p = F.coalesce(
+                _payload_pred(F.col(c), spec, is_binary=c in binary_cols),
+                F.lit(False),
+            )
+            pred = p if pred is None else (pred | p)
+        matched = df.filter(window & pred).select(
+            F.col(id_col), F.col(node_col), F.lit(hid).alias("hunt_id")
+        )
+        job["status"] = (
+            "finished"
+            if all(n["done"] for n in nodes.values()) and len(nodes) == len(bounds)
+            else "running"
+        )
+        self._save(st)
+        return matched
+
 
 def write_back_hunt_matches(
     spark,

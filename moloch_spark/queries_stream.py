@@ -113,6 +113,48 @@ def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("tags", F.array_join("tags", ",")).orderBy("event_id")
 
 
+@register(
+    "cron_forward_exactly_once",
+    """
+    SELECT event_id, user_id, ts, 'fwd' AS cron_name
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-02-05 00:00:00' - INTERVAL 90 SECOND
+      AND event_type = 'click'
+    ORDER BY event_id
+    """,
+)
+def q_cron_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cron forward:<cluster> action (viewer.js:2334-2336 + the
+    sendSessionsListQL shipment at :2259-2265): three ticks of a
+    standing query append their matches to the per-cluster forward
+    outbox, each tick committed exactly once by a window-keyed atomic
+    rename. The gate returns the OUTBOX contents after all ticks — it
+    hash-matches the one-shot oracle filter only if the half-open
+    watermark chain produced no duplicate and no gap, which is the
+    exactly-once contract. (Crash-between-write-and-state-save is
+    pinned in tests/test_streaming.py.)"""
+    import os
+
+    ev = load_table(spark, "events", sf_dir)
+    state = tempfile.mktemp(suffix=".json")
+    outbox = tempfile.mkdtemp(prefix="cron_fwd_")
+    runner = CronRunner(state, events_catalog())
+    cq = CronQuery("fwd", "event.type == click", tags=[], action="forward:west")
+    for now in (
+        dt.datetime(2024, 1, 10, 0, 0, 0),
+        dt.datetime(2024, 1, 20, 0, 0, 0),
+        dt.datetime(2024, 2, 5, 0, 0, 0),
+    ):
+        runner.run_once(
+            ev, cq, now=now, id_cols=["event_id", "user_id", "ts"], outbox=outbox
+        )
+    return (
+        spark.read.parquet(os.path.join(outbox, "cluster=west"))
+        .drop("tick")
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # long-session chunking (mid-save rootId semantics, capture/session.c:312)
 # ---------------------------------------------------------------------------

@@ -33,6 +33,11 @@ class CronQuery:
     expression: str  # moloch expression over the fact table
     tags: list[str]  # action: tags to attach
     lag_s: int = 90  # ingest-latency grace (internals.cronTimeout)
+    # 'tag' or 'forward:<cluster>' (viewer.js:2334-2336,2259-2265): a
+    # forward query re-ships each tick's matched sessions (+ their
+    # packetPos refs, so the remote side can fetch packets) to another
+    # cluster instead of tagging them
+    action: str = "tag"
 
 
 class CronRunner:
@@ -61,8 +66,12 @@ class CronRunner:
         *,
         now: datetime | None = None,
         id_cols: list[str] | None = None,
+        outbox: str | None = None,
     ) -> DataFrame:
-        """One tick: returns the matched rows tagged; advances lpValue."""
+        """One tick: returns the matched rows tagged (action 'tag'),
+        or — for 'forward:<cluster>' — appends them EXACTLY ONCE to the
+        per-cluster forward outbox under `outbox` and returns the
+        committed tick. Advances lpValue either way."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         hi = now - timedelta(seconds=query.lag_s)
         st = self._load()
@@ -77,12 +86,54 @@ class CronRunner:
         matched = df.filter(window & pred)
         if id_cols:
             matched = matched.select(*id_cols)
-        out = matched.withColumn(
-            "tags", F.array(*[F.lit(t) for t in query.tags])
-        ).withColumn("cron_name", F.lit(query.name))
+        if query.action.startswith("forward:"):
+            if outbox is None:
+                raise ValueError("forward action needs an outbox path")
+            out = self._forward(matched, query, lo, hi, outbox)
+        else:
+            out = matched.withColumn(
+                "tags", F.array(*[F.lit(t) for t in query.tags])
+            ).withColumn("cron_name", F.lit(query.name))
         st[query.name] = hi.isoformat(sep=" ")
         self._save(st)
         return out
+
+    def _forward(
+        self, matched: DataFrame, query: CronQuery, lo, hi, outbox: str
+    ) -> DataFrame:
+        """Exactly-once forward (sendSessionsListQL analog,
+        viewer.js:2259-2265): each tick's matches land in a tick-keyed
+        directory under the target cluster, committed by an atomic
+        rename. The tick id derives from the (lo, hi] WINDOW, so a
+        crash after the write but before the lpValue save makes the
+        re-run hit the same committed directory and skip the write —
+        no duplicates; the half-open window chain guarantees no gaps.
+        The rows keep whatever projection the caller chose (session
+        ids, node, packetPos refs) so the receiving cluster can fetch
+        the packets, like the reference's forward payload (id + node)."""
+        cluster = query.action.split(":", 1)[1]
+        tick = f"{lo or 'epoch'}__{hi.isoformat(sep=' ')}".replace(":", "-").replace(
+            " ", "_"
+        )
+        dest = os.path.join(outbox, f"cluster={cluster}", f"tick={tick}")
+        if not os.path.exists(dest):
+            tmp = dest + ".inflight"
+            (
+                matched.withColumn("cron_name", F.lit(query.name))
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                # a concurrent runner committed this tick first — its
+                # contents are identical by construction (same window,
+                # same deterministic filter); keep the committed copy
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return matched.sparkSession.read.parquet(dest)
 
 
 @dataclass

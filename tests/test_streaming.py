@@ -266,6 +266,47 @@ def test_cron_runner_incremental(spark, tmp_path):
     assert out3.select(F.min("ts")).collect()[0][0] > t1 - dt.timedelta(seconds=90)
 
 
+def test_cron_forward_exactly_once_across_restart(spark, tmp_path):
+    """forward:<cluster> must append each matched row to the outbox
+    exactly once even when the runner dies AFTER the forward write but
+    BEFORE the lpValue save — the re-run hits the committed tick dir
+    and skips the write. Union over ticks == the one-shot filter."""
+    ev = load_table(spark, "events", SF)
+    state = str(tmp_path / "cron.json")
+    outbox = str(tmp_path / "outbox")
+    cq = CronQuery(
+        "fwd", "event.type == error", tags=[], action="forward:west"
+    )
+    t1 = dt.datetime(2024, 1, 15, 0, 1, 30)
+    t2 = dt.datetime(2024, 2, 15, 0, 1, 30)
+
+    runner = CronRunner(state, events_catalog())
+    runner.run_once(ev, cq, now=t1, id_cols=["event_id", "ts"], outbox=outbox)
+
+    # crash simulation: tick 1 committed its forward dir, but the state
+    # never advanced (roll the state file back to pre-tick)
+    import os
+
+    os.remove(state)
+    crashed = CronRunner(state, events_catalog())
+    redo = crashed.run_once(
+        ev, cq, now=t1, id_cols=["event_id", "ts"], outbox=outbox
+    )
+    # the re-run returns the SAME committed tick, not a second copy
+    assert redo.count() == spark.read.parquet(
+        os.path.join(outbox, "cluster=west")
+    ).count()
+
+    crashed.run_once(ev, cq, now=t2, id_cols=["event_id", "ts"], outbox=outbox)
+    fwd = spark.read.parquet(os.path.join(outbox, "cluster=west"))
+    want = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") <= F.lit((t2 - dt.timedelta(seconds=90)).isoformat(sep=" ")).cast("timestamp"))
+    )
+    assert fwd.count() == want.count()                       # no dupes, no gaps
+    assert fwd.select("event_id").distinct().count() == want.count()
+
+
 def test_hunt_over_reassembled_payload(spark):
     """Hunts run on REASSEMBLED session payload (apiHunts.js reads
     reassembled packets) — compose reassemble_tcp -> hunt."""
@@ -633,6 +674,58 @@ def test_hunt_job_queue_pause_resume_identical(spark, tmp_path):
         for r in hunt(ev, spec, payload_cols=["props"], id_col="event_id").collect()
     )
     assert len(got) == len(set(got)), "a slice repeated rows"
+    assert got == want
+
+
+def test_hunt_per_node_fanout_pause_resume(spark, tmp_path):
+    """Per-node hunt fan-out (viewer/apiHunts.js:370-460: sessions are
+    hunted on the node holding their packets): each node advances its
+    OWN lastPacketTime checkpoint, a pause/resume cycle loses nothing,
+    the job only finishes when every node is exhausted, and the union
+    of all ticks equals the one-shot hunt."""
+    from moloch_spark.operators.hunts import HuntJobQueue, HuntSpec
+
+    # synthesize a capture-node column; give node n2 a shorter time
+    # range so nodes finish at different ticks (per-node progress)
+    ev = load_table(spark, "events", SF).withColumn(
+        "node",
+        F.when(F.col("user_id") % 3 == 0, "n0")
+        .when(F.col("user_id") % 3 == 1, "n1")
+        .otherwise("n2"),
+    ).filter(
+        (F.col("node") != "n2") | (F.col("ts") < "2024-01-10")
+    )
+    queue = HuntJobQueue(str(tmp_path / "hunts.json"))
+    queue.submit(HuntSpec("h-n", "asciicase", '"k": 6'))
+    kw = dict(payload_cols=["props"], id_col="event_id", ts_col="ts",
+              node_col="node", slice_s=6 * 86400)
+
+    parts = [queue.run_tick_per_node(ev, **kw).collect()]
+    st1 = queue._load()["jobs"]["h-n"]["nodes"]
+    assert set(st1) == {"n0", "n1", "n2"}
+    # nodes advanced independently: n2's window is shorter, so its
+    # first slice already covers a larger fraction (or all) of it
+    assert st1["n0"]["checkpoint"] != st1["n2"]["checkpoint"] or st1["n2"]["done"]
+
+    queue.pause("h-n")
+    assert queue.run_tick_per_node(ev, **kw) is None
+    queue.resume("h-n")
+
+    while queue.jobs()["h-n"]["status"] != "finished":
+        out = queue.run_tick_per_node(ev, **kw)
+        if out is not None:
+            parts.append(out.collect())
+    stf = queue._load()["jobs"]["h-n"]["nodes"]
+    assert all(n["done"] for n in stf.values())   # merged completion
+
+    got = sorted((r.node, r.event_id) for rows in parts for r in rows)
+    want = sorted(
+        (r.node, r.event_id)
+        for r in ev.filter(F.col("props").contains('"k": 6'))
+        .select("node", "event_id")
+        .collect()
+    )
+    assert len(got) == len(set(got)), "a node slice repeated rows"
     assert got == want
 
 

@@ -228,13 +228,21 @@ def score_quality(
     keep_threshold: float = 0.5,
 ) -> DataFrame:
     """-> (id, quality, keep): sigmoid score under the trained model —
-    one corpus scan with the weight table broadcast."""
+    one corpus scan with the weight table broadcast. EVERY corpus doc
+    gets a row: a doc whose text yields zero grams has no feature rows,
+    so a per-doc intercept row (bucket -1, weight-less, contributes 0
+    to the margin) is unioned in and it scores sigmoid(bias) — the
+    model's prior. ADVICE r4."""
     spark = corpus.sparkSession
     wdf = spark.createDataFrame(
         list(weights.items()) or [(0, 0.0)], ["bucket", "wv"]
     )
     feats = _doc_features(
         corpus, text_col=text_col, id_col=id_col, n_buckets=n_buckets, seed=seed
+    ).unionByName(
+        corpus.select(
+            F.col(id_col), F.lit(-1).alias("bucket"), F.lit(0.0).alias("x")
+        )
     )
     scored = (
         feats.join(F.broadcast(wdf), "bucket", "left")
@@ -376,8 +384,11 @@ def quality_filter(
 
     spark = corpus.sparkSession
     wdf = spark.createDataFrame(list(w.items()) or [(0, 0.0)], ["bucket", "wv"])
+    # keep the intercept rows: they contribute 0 to the margin (their
+    # bucket is absent from wdf -> coalesce 0) but guarantee every pool
+    # doc — including gram-less ones — appears in the output. ADVICE r4.
     scored = (
-        feats.filter(F.col("bucket") != -1)
+        feats
         .join(F.broadcast(wdf), "bucket", "left")
         .groupBy("k")
         .agg(F.sum(F.col("x") * F.coalesce("wv", F.lit(0.0))).alias("m"))

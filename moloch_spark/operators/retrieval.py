@@ -58,8 +58,17 @@ def bm25_topk(
     """-> (query_id, rank, doc_id, score): BM25 top-k per query.
     `queries` is (query_id, qterm) — one row per distinct query term.
     exclude_self drops doc_id == query_id hits (the more-like-this
-    convention when queries are sampled from the corpus itself)."""
-    post = postings(corpus, text_col=text_col, id_col=id_col)
+    convention when queries are sampled from the corpus itself).
+
+    The postings relation is materialized ONCE (eager localCheckpoint)
+    before dl / dfreq / the candidate join branch off it: without that,
+    the three lineages each re-tokenize and re-shuffle the whole corpus
+    (measured 3x the gate cost at sf0.1). On a real cluster the
+    durable form of the same move is writing postings to a term-bucketed
+    table and reusing it across query batches — see PLANS.md §27."""
+    post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     nd = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -131,6 +131,7 @@ def update_tags_partitioned(
     add: list[str] | None = None,
     remove: list[str] | None = None,
     tags_col: str = "tags",
+    force_manifest: bool = False,
 ) -> DataFrame:
     """Partition-pruned tag write-back on the day-partitioned session
     store (session_store.write_sessions layout — the sessions3-YYMMDD
@@ -140,27 +141,31 @@ def update_tags_partitioned(
     sessions in a 100 TB table may not rewrite 100 TB.
 
       matched ids (+ their lastPacket) -> distinct day partitions
-      -> scan ONLY those partitions (PartitionFilters on `day`)
-      -> broadcast-merge the id set -> write rewritten days to a
-         staging dir -> per-partition atomic swap.
+      -> scan ONLY those partitions (resolved dirs, read nothing else)
+      -> broadcast-merge the id set -> write rewritten days to the
+         committer's staging location -> atomic per-store commit.
 
     Cost is proportional to the days TOUCHED by the matched set —
     tag updates come from time-bounded queries, so that's typically a
     handful of partitions out of years of retention. Untouched
-    partitions are never read, never written, never renamed. The
-    per-day dir rename keeps readers consistent the same way
-    compact_partitions does (never overwrite a path being read).
+    partitions are never read, never written, never swapped. The
+    commit goes through sources/commit.PartitionCommitter: hardened
+    atomic renames on a local filesystem, the manifest protocol on an
+    object store (pass force_manifest=True to use it anywhere) — see
+    PLANS.md §28. Matched days with no store partition (ids from a
+    wider query than the store's retention) are skipped, per ADVICE r4.
     Returns the post-update table DataFrame."""
-    import os
-    import shutil
-    import uuid as _uuid
-
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        read_store,
+        resolve_partitions,
+    )
     from moloch_spark.sources.session_store import PARTITION_COL
 
     # the matched set carries each session's lastPacket (every
     # sessions-query projection includes it), so the touched-partition
     # list comes from the SMALL side — never from a full-table scan
-    days = sorted(
+    matched_days = sorted(
         r["d"]
         for r in matched.select(
             F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("d")
@@ -168,10 +173,45 @@ def update_tags_partitioned(
         .distinct()
         .collect()
     )
-    full = spark.read.parquet(path)
+    import os
+
+    present = resolve_partitions(path)
+    days = [
+        d for d in matched_days if f"{PARTITION_COL}={d}" in present
+    ]
     if not days:
-        return full
-    touched = full.filter(F.col(PARTITION_COL).isin(days))
+        return read_store(spark, path, PARTITION_COL)
+    # plain day dirs: ONE multi-path read with basePath, so Spark plans a
+    # single pruned relation (not N unioned scans) and keeps the `day`
+    # partition column. Manifest-resolved generations live under _gen/
+    # (outside the partition tree), so those read per-dir with the
+    # partition value re-attached.
+    plain = [
+        present[f"{PARTITION_COL}={d}"]
+        for d in days
+        if present[f"{PARTITION_COL}={d}"]
+        == os.path.join(path, f"{PARTITION_COL}={d}")
+    ]
+    touched_parts = []
+    if plain:
+        touched_parts.append(
+            spark.read.option("basePath", path)
+            .parquet(*plain)
+            # partition-type inference may type `day` as DATE; the store
+            # convention (and the manifest branch) is string
+            .withColumn(
+                PARTITION_COL, F.col(PARTITION_COL).cast("string")
+            )
+        )
+    for d in days:
+        pdir = present[f"{PARTITION_COL}={d}"]
+        if pdir not in plain:
+            touched_parts.append(
+                spark.read.parquet(pdir).withColumn(PARTITION_COL, F.lit(d))
+            )
+    touched = touched_parts[0]
+    for p in touched_parts[1:]:
+        touched = touched.unionByName(p, allowMissingColumns=False)
     updated = update_tags(
         touched,
         matched.select(id_col),
@@ -180,22 +220,15 @@ def update_tags_partitioned(
         remove=remove,
         tags_col=tags_col,
     )
-    staging = f"{path.rstrip('/')}__tagstage_{_uuid.uuid4().hex[:8]}"
+    committer = PartitionCommitter(path, force_manifest=force_manifest)
     (
         updated.repartition(F.col(PARTITION_COL))
         .write.mode("overwrite")
         .partitionBy(PARTITION_COL)
-        .parquet(staging)
+        .parquet(committer.staging_dir())
     )
-    for day in days:
-        src = os.path.join(staging, f"{PARTITION_COL}={day}")
-        dst = os.path.join(path, f"{PARTITION_COL}={day}")
-        old = dst + ".old"
-        os.rename(dst, old)
-        os.rename(src, dst)
-        shutil.rmtree(old)
-    shutil.rmtree(staging, ignore_errors=True)
-    return spark.read.parquet(path)
+    committer.commit([f"{PARTITION_COL}={d}" for d in days])
+    return read_store(spark, path, PARTITION_COL)
 
 
 def export_csv(df: DataFrame, path: str, *, header: bool = True) -> None:

@@ -203,6 +203,53 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
 
 
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020 §2.2, the
+    published rule set): keep only lines that end in a terminal
+    punctuation mark, contain >= min_words words, and don't mention
+    'javascript'; flag pages containing 'lorem ipsum' or '{', and keep
+    a page only if >= min_kept_lines lines survive and neither flag is
+    set. Returns per-doc counts, the flags, the combined keep, and the
+    cleaned text (surviving lines re-joined). All array/string
+    builtins — scan-side, zero shuffle, whole-stage codegen."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+
+    def line_ok(ln):
+        t = F.rtrim(ln)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        return (
+            F.substring(t, -1, 1).isin(list(C4_TERMINALS))
+            & (F.size(words) >= min_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1237,6 +1237,91 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4_line_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    syn AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, CAST(ceil(len(toks) / 5.0) AS BIGINT) + 1),
+               i -> array_to_string(toks[((i-1)*5+1):least(i*5, len(toks))], ' ')
+                    || CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript' ELSE '' END
+                    || ['.', '!', '?', ''][CAST((doc_id + i) % 4 AS BIGINT) + 1]
+             )
+             || CASE WHEN doc_id % 23 = 0
+                     THEN ['lorem ipsum dolor sit amet.']
+                     ELSE []::VARCHAR[] END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ['see config { x } here.']
+                     ELSE []::VARCHAR[] END AS lines
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               right(rtrim(ln), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split_regex(rtrim(ln), '\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM syn
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum') AS has_lorem,
+           contains(array_to_string(lines, chr(10)), '{') AS has_brace,
+           (len(kept) >= 3
+            AND NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+            AND NOT contains(array_to_string(lines, chr(10)), '{')) AS keep,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+    FROM k ORDER BY doc_id
+    """,
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2) over the corpus.
+    The fixture corpus has no line structure or punctuation, so the
+    gate SYNTHESIZES it deterministically from row columns on both
+    sides (the wire-format gate pattern): 5-word lines, terminal
+    punctuation cycling through ./!/?/none by (doc_id + line) % 4, a
+    'javascript' injection every 11th (doc_id + line), and page-level
+    'lorem ipsum' / '{' contamination on doc_id % 23 / % 17 — so every
+    rule fires somewhere and the oracle predicts the outcome
+    analytically. The operator itself is pure scan-side codegen."""
+    did = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("long")
+    sfx = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""))
+
+    def mkline(i):
+        body = F.concat_ws(" ", F.slice(toks, (i - 1) * 5 + 1, 5))
+        js = F.when((did + i) % 11 == 0, F.lit(" javascript")).otherwise(
+            F.lit("")
+        )
+        return F.concat(body, js, F.element_at(sfx, ((did + i) % 4 + 1).cast("int")))
+
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.transform(F.sequence(F.lit(1).cast("long"), nl), mkline),
+        F.when(
+            did % 23 == 0, F.array(F.lit("lorem ipsum dolor sit amet."))
+        ).otherwise(empty),
+        F.when(
+            did % 17 == 0, F.array(F.lit("see config { x } here."))
+        ).otherwise(empty),
+    )
+    docs = load_table_spread(spark, "documents", sf_dir).select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = TX.c4_filters(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "keep",
+        F.md5(F.col("cleaned")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "repetition_signals",
     rf"""
     WITH l AS (

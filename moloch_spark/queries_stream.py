@@ -82,6 +82,58 @@ def q_hunt_job_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hunt_id", "event_id")
 
 
+@register(
+    "hunt_node_fanout",
+    """
+    SELECT event_id, CAST(user_id % 3 AS BIGINT) AS node,
+           'h-node' AS hunt_id
+    FROM events
+    WHERE contains(props, '"k": 2')
+    ORDER BY node, event_id
+    """,
+)
+def q_hunt_node_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node hunt fan-out (viewer/apiHunts.js:370-460: each session
+    is hunted on the capture node that holds its packets;
+    apiHunts.js:553-561 keeps the restart checkpoint). One job fans out
+    across a 3-node fixture; every tick advances ALL unfinished nodes
+    one slice in a single scan (the per-node half-open windows are one
+    disjunctive predicate — no per-node driver loop over data), each
+    node owns an independent lastPacketTime checkpoint, and the job is
+    paused and resumed mid-run. The union of every tick's matches must
+    hash-match the one-shot oracle filter — the checkpointed per-node
+    slicing loses and repeats nothing across job-control transitions.
+    (Checkpoint-independence per node is additionally pinned in
+    tests/test_streaming.py.)"""
+    from moloch_spark.operators.hunts import HuntJobQueue, HuntSpec
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "node", F.pmod(F.col("user_id"), F.lit(3))
+    )
+    queue = HuntJobQueue(tempfile.mktemp(suffix=".json"))
+    queue.submit(HuntSpec("h-node", "asciicase", '"k": 2'))
+    bounds = {
+        r["n"]: (r["lo"], r["hi"])
+        for r in ev.groupBy(F.col("node").alias("n"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    }
+    kw = dict(payload_cols=["props"], id_col="event_id", ts_col="ts",
+              node_col="node", slice_s=7 * 86400, bounds=bounds)
+    parts = [queue.run_tick_per_node(ev, **kw)]      # slice 1, all nodes
+    queue.pause("h-node")
+    assert queue.run_tick_per_node(ev, **kw) is None  # paused: no work
+    queue.resume("h-node")                            # checkpoints retained
+    while queue.jobs()["h-node"]["status"] != "finished":
+        t = queue.run_tick_per_node(ev, **kw)
+        if t is not None:
+            parts.append(t)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("node", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # cron standing query: one tick with a pinned clock (the incremental
 # checkpoint mechanics are exercised in tests/test_streaming.py)
@@ -148,11 +200,9 @@ def q_cron_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         runner.run_once(
             ev, cq, now=now, id_cols=["event_id", "user_id", "ts"], outbox=outbox
         )
-    return (
-        spark.read.parquet(os.path.join(outbox, "cluster=west"))
-        .drop("tick")
-        .orderBy("event_id")
-    )
+    from moloch_spark.streaming.cron import read_outbox
+
+    return read_outbox(spark, outbox, "west").orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -41,82 +41,69 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# Round-3 rotation: the 25 queries never driver-checked in r1/r2 go
-# first (all pytest-oracle-green, so risk is low), then the rows
-# changed this round (the fixed streaming gate, the de-vacuated dedup
-# gates, the new r3 operators), then green regression sentinels. With
-# this head checked, every registered query has had a driver
-# CORRECTNESS row across rounds 1-3.
-# ROUND-4 NOTE: rotate next round's head to (a) anything red in
-# CORRECTNESS_r03, (b) any NEW operators, (c) the queries whose last
-# driver row is oldest (r1 block: expr_*, sessions_*, timeline_*,
-# unique_*, spigraph_*, connections_*, multies/wise/asof/drophash,
-# curate_split/pack/weighted, text_stats/lang_id/token_counts/
-# doc_fingerprint, tpch q1/q3/q5/q12-q15).
-# End-of-r3 state: every never-rowed query (the 25 + all 22 new-in-r3
-# gates) plus the three r2-red/vacuous re-checks sit in the first 50;
-# the only entries past the ~50 cap (session_tag_update,
-# tunnel_decap_roundtrip, sentinels) all have green prior rows.
+# ROUND-5 rotation (the r4 verdict's ask #2, executed this time):
+#   (a) the 7 gates that have NEVER had a driver row (incl. all three
+#       new-in-r4 gates),
+#   (b) session_tag_update — its semantics changed in r4, so its r2 row
+#       certifies the wrong code,
+#   (b') any gates NEW in r5 (driver-row them the round they land),
+#   (c) the 42-query block whose only driver row is r1,
+#   (d) past the ~50 cap: the 47-query r2 block oldest-signal-first —
+#       all green in r2 and pytest-oracle-green locally, so lowest risk.
+# ROUND-6 NOTE: next head = any r5 reds, any new r6 gates, then the r2
+# block (ann_*, cron_query_tick, dns/http/tls/x509/ssh/smtp/smb/misc
+# parsers, expr_sessions_store_search, pcap_*, sessionize_*, tpch
+# q2/q4/q7/q8/q10-q18, tunnel_decap_roundtrip, ...). After r6 no
+# query's latest row should be older than r5.
 _CHECK_PRIORITY = (
-    # --- never driver-checked in r1/r2 (25) ---
-    "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
-    "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
-    "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
-    "bgp_parse_fields", "http2_parse_fields", "quic_parse_fields",
-    "pcap_over_ip_reframe",
-    "multimodal_resize", "multimodal_frame_sample", "multimodal_audio",
-    "pii_scan", "repetition_signals",
-    "gopher_quality_flags", "quality_char_entropy",
-    "curate_mixture_sample",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_part_supply_nation",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    # --- changed this round: need a fresh row ---
-    "streaming_sessionize_closed",           # r2 red (gate output) -> fixed
-    "dedup_ngram_jaccard", "embedding_near_dups",  # de-vacuated thresholds
-    "embedding_near_dup_pairs_lsh",          # new: corpus-wide, no broadcast
-    "duplicate_spans_13gram",                # new: Lee-et-al span dedup
-    "quic_v1_initial_fields",                # new: v1 Initial decrypt+parse
-    "line_dedup_corpus",                     # new: ccnet line-level dedup
-    "dsir_importance_select",                # new: DSIR importance resampling
-    "dedup_incremental_lsh",                 # new: crawl-vs-archive dedup
-    "curation_pipeline_e2e",                 # new: composed curation pass
-    "bpe_token_counts",                      # new: merge-rank BPE tokenizer
-    "quic_capture_to_sni",                   # new: frame->decrypted SNI path
-    "streaming_dedup_incremental",           # new: stream-vs-archive dedup
-    "ppl_filter_stupid_backoff",             # new: CCNet-style LM quality gate
-    "bm25_topk_search",                      # new: lexical top-k retrieval
-    "bpe_train_and_apply",                   # new: distributed learn_bpe (rows-only)
-    "quality_classifier_filter",             # new: GPT-3-style LR filter (rows-only)
-    "ppl_lang_buckets",                      # new: CCNet head/middle/tail cut
-    "embedding_pca_whiten",                  # new: PCA/whitening (rows-only)
-    "pq_encode_codes",                       # new: product-quantization index
-    "ccnet_pipeline_e2e",                    # new: full CCNet composition
-    "warc_ingest_roundtrip",                 # new: Common Crawl WARC source
-    "hybrid_rrf_search",                     # new: BM25 + dense RRF fusion
-    "hunt_job_control",                      # new: pause/resume job queue
-    "streaming_state_cap",                   # new: maxStreams analog
-    "semdedup_prune",                        # new: SemDeDup keep/drop (cells->
-                                             # cosine pairs->CC->min-id keep)
-    "chunk_documents_sliding",               # new: overlap-window splitter
-    "cms_ngram_counts",                      # new: count-min sketch counts
-    "remove_duplicate_spans",                # new: Lee-et-al span REMOVAL (51st:
-                                             # locally oracle-green at 2 SFs, so
-                                             # lowest-risk spillover if the cap
-                                             # is exactly 50)
-    # --- re-checks with green prior rows (safe past the ~50 cap) ---
-    "session_tag_update",                    # now bucketed no-shuffle merge
-    "tunnel_decap_roundtrip",                # plan-cache rewrite
-    # --- green regression sentinels ---
-    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit", "tpch_q18_large_orders",
-    "sessionize_events_30m", "sessions_search_events",
-    "timeline_events_hourly", "unique_event_type",
-    "spigraph_event_type_daily", "connections_nation_graph",
-    "dedup_exact", "dedup_semantic_clusters", "decontaminate_ngrams",
-    "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_ivf_topk",
-    "curate_global_shuffle", "wise_feed_enrich", "yara_scan_documents",
-    "expr_sessions_store_search", "multimodal_features",
-    "corpus_ngram_stats",
+    # --- (a) never driver-rowed (7) ---
+    "ann_pq_adc_topk", "ann_ivf_pq_topk", "cron_forward_exactly_once",
+    "semdedup_prune", "chunk_documents_sliding", "cms_ngram_counts",
+    "remove_duplicate_spans",
+    # --- (b) semantics changed in r4; r2 row is stale ---
+    "session_tag_update",
+    # --- (b') new in r5 ---
+    "hunt_node_fanout",                      # per-node checkpointed fan-out
+    "session_tag_update_prebuilt",           # update phase isolated from store build
+    "c4_line_filter",                        # C4 line/page cleaning (Raffel et al.)
+    # --- (c) latest driver row is r1 (42) ---
+    "asof_feed_enrich", "cardinality_fields", "connections_baseline_events",
+    "connections_components", "connections_nation_graph",
+    "curate_global_shuffle", "curate_pack_sequences", "curate_split_assign",
+    "curate_weighted_sample", "dedup_exact", "dedup_lsh_candidates",
+    "dedup_minhash_signatures", "dedup_simhash", "doc_fingerprint",
+    "drophash_filter", "dstats_derived_rates", "enrich_region_rollup",
+    "expr_bool_and_list", "expr_ne_null_semantics", "expr_shortcut_semijoin",
+    "expr_textfield_phrase", "expr_wildcard_date_range", "lang_id",
+    "multies_scatter_gather", "multiunique_user_event",
+    "sessions_page_offset", "sessions_search_events",
+    "spigraph_event_type_daily", "spigraph_hierarchy_orders",
+    "spigraph_sum_metric_rank", "spiview_events", "text_stats",
+    "timeline_events_dense", "timeline_events_hourly", "token_counts",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "unique_autocomplete",
+    "unique_event_type", "unique_pair_user_type", "wise_feed_enrich",
+    # --- (d) past the ~50 cap: r2 block, all green prior rows ---
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_bucketed_topk",
+    "corpus_ngram_stats", "cron_query_tick", "decontaminate_ngrams",
+    "dedup_semantic_clusters", "dns_parse_fields",
+    "expr_sessions_store_search", "frame_decode_roundtrip",
+    "http_parse_fields", "hunt_ascii_and_regex", "misc_parse_fields",
+    "multimodal_features", "pcap_export_sessions", "pcap_packet_positions",
+    "rules_tagging", "session_segments_merge", "session_store_bounded_either",
+    "sessionize_chunked_rootid", "sessionize_events_30m",
+    "sessionize_per_proto_timeouts", "smb_parse_fields", "smtp_parse_fields",
+    "ssh_hassh_fields", "suricata_interval_join", "tls_ja3_fields",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority", "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tunnel_decap_roundtrip",
+    "unique_multivalue_session_types", "x509_cert_fields",
+    "yara_scan_documents",
 )
 
 

@@ -71,7 +71,12 @@ def write_sessions_stream(
 
 
 def read_sessions(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Manifest-aware store read: a plain partitioned parquet read when
+    no partition has been manifest-committed (the normal local case),
+    the commit-protocol resolver otherwise (object-store updates)."""
+    from moloch_spark.sources.commit import read_store
+
+    return read_store(spark, path, PARTITION_COL)
 
 
 def time_bounded(
@@ -128,18 +133,32 @@ def expire_partitions(
 ) -> list[str]:
     """Retention: drop partitions older than keep_days (db.pl expire).
     Returns the dropped partition names."""
+    from moloch_spark.sources.commit import (
+        load_manifest,
+        resolve_partitions,
+        vacuum_store,
+    )
+
     now = now or dt.date.today()
     cutoff = (now - dt.timedelta(days=keep_days)).isoformat()
     dropped = []
     if not os.path.isdir(path):
         return dropped
-    for name in sorted(os.listdir(path)):
-        if not name.startswith(f"{PARTITION_COL}="):
-            continue
+    manifest = load_manifest(path)
+    for name, pdir in resolve_partitions(path).items():
         day = name.split("=", 1)[1]
         if day < cutoff:
-            shutil.rmtree(os.path.join(path, name))
+            shutil.rmtree(pdir, ignore_errors=True)
+            plain = os.path.join(path, name)
+            if os.path.isdir(plain):
+                shutil.rmtree(plain, ignore_errors=True)
+            manifest.pop(name, None)
             dropped.append(name)
+    if load_manifest(path) != manifest:
+        from moloch_spark.sources.commit import _write_manifest
+
+        _write_manifest(path, manifest)
+        vacuum_store(path)
     return dropped
 
 
@@ -180,44 +199,58 @@ def compact_partitions(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     days: list[str] | None = None,
+    force_manifest: bool = False,
 ) -> dict[str, int]:
     """Small-files maintenance — the `db.pl optimize` analog. Streaming
     appends and per-day writes accumulate small files; scans then pay
     per-file open/footer costs (the metastore killer at 100 TB). Each
-    day partition is rewritten into ceil(bytes/target) files via a
-    temp-dir + atomic rename (never overwrite a path being read). On a
-    real deployment the same job runs against the object store per
-    closed day (only CLOSED days: compaction of the live day races the
-    writer). Returns {day: files_after}."""
+    day partition is rewritten into ceil(bytes/target) files and
+    committed through sources/commit.PartitionCommitter — hardened
+    atomic renames locally, the manifest protocol on an object store
+    (force_manifest=True anywhere; see PLANS.md §28) — so readers
+    never observe a partially-rewritten partition. On a real
+    deployment the same job runs per closed day (only CLOSED days:
+    compaction of the live day races the writer). Returns
+    {day: files_after}."""
     import glob as _glob
     import math
     import os
-    import shutil
 
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        resolve_partitions,
+    )
+
+    parts = resolve_partitions(path)
     if days is None:
-        days = sorted(
-            d.rsplit("=", 1)[1]
-            for d in _glob.glob(os.path.join(path, f"{PARTITION_COL}=*"))
-        )
+        days = sorted(name.rsplit("=", 1)[1] for name in parts)
     out: dict[str, int] = {}
+    committer = PartitionCommitter(path, force_manifest=force_manifest)
+    compacted: list[str] = []
     for day in days:
-        pdir = os.path.join(path, f"{PARTITION_COL}={day}")
+        pdir = parts.get(f"{PARTITION_COL}={day}")
+        if pdir is None:
+            continue
         files = _glob.glob(os.path.join(pdir, "*.parquet"))
         size = sum(os.path.getsize(f) for f in files)
         n = max(1, math.ceil(size / target_file_bytes))
         if len(files) <= n:
             out[day] = len(files)
             continue
-        tmp = pdir + ".compacting"
-        (
-            spark.read.parquet(pdir)
-            .repartition(n)
-            .write.mode("overwrite")
-            .parquet(tmp)
+        dst = os.path.join(committer.staging_dir(), f"{PARTITION_COL}={day}")
+        spark.read.parquet(pdir).repartition(n).write.mode("overwrite").parquet(
+            dst
         )
-        old = pdir + ".old"
-        os.rename(pdir, old)
-        os.rename(tmp, pdir)
-        shutil.rmtree(old)
-        out[day] = len(_glob.glob(os.path.join(pdir, "*.parquet")))
+        compacted.append(day)
+    if compacted:
+        committer.commit([f"{PARTITION_COL}={d}" for d in compacted])
+        parts = resolve_partitions(path)
+        for day in compacted:
+            out[day] = len(
+                _glob.glob(
+                    os.path.join(parts[f"{PARTITION_COL}={day}"], "*.parquet")
+                )
+            )
+    else:
+        committer.abort()
     return out

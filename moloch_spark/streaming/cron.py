@@ -89,51 +89,71 @@ class CronRunner:
         if query.action.startswith("forward:"):
             if outbox is None:
                 raise ValueError("forward action needs an outbox path")
-            out = self._forward(matched, query, lo, hi, outbox)
+            out, committed_hi = self._forward(matched, query, lo, hi, outbox)
+            # advance to the COMMITTED tick's hi, not the recomputed
+            # one: a replay after a crash (same lo, later wall-clock
+            # now -> larger hi) must adopt the committed window so the
+            # NEXT tick starts exactly where the committed one ended —
+            # otherwise the larger-hi rewrite would be a superset of
+            # the committed rows (duplicates). ADVICE r4 (medium).
+            st[query.name] = committed_hi
         else:
             out = matched.withColumn(
                 "tags", F.array(*[F.lit(t) for t in query.tags])
             ).withColumn("cron_name", F.lit(query.name))
-        st[query.name] = hi.isoformat(sep=" ")
+            st[query.name] = hi.isoformat(sep=" ")
         self._save(st)
         return out
 
     def _forward(
         self, matched: DataFrame, query: CronQuery, lo, hi, outbox: str
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, str]:
         """Exactly-once forward (sendSessionsListQL analog,
-        viewer.js:2259-2265): each tick's matches land in a tick-keyed
-        directory under the target cluster, committed by an atomic
-        rename. The tick id derives from the (lo, hi] WINDOW, so a
-        crash after the write but before the lpValue save makes the
-        re-run hit the same committed directory and skip the write —
-        no duplicates; the half-open window chain guarantees no gaps.
-        The rows keep whatever projection the caller chose (session
-        ids, node, packetPos refs) so the receiving cluster can fetch
-        the packets, like the reference's forward payload (id + node)."""
-        cluster = query.action.split(":", 1)[1]
-        tick = f"{lo or 'epoch'}__{hi.isoformat(sep=' ')}".replace(":", "-").replace(
-            " ", "_"
-        )
-        dest = os.path.join(outbox, f"cluster={cluster}", f"tick={tick}")
-        if not os.path.exists(dest):
-            tmp = dest + ".inflight"
-            (
-                matched.withColumn("cron_name", F.lit(query.name))
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            try:
-                os.rename(tmp, dest)
-            except OSError:
-                # a concurrent runner committed this tick first — its
-                # contents are identical by construction (same window,
-                # same deterministic filter); keep the committed copy
-                import shutil
+        viewer.js:2259-2265): each tick's matches land in a tick
+        directory under the target cluster keyed by `lo` ALONE — the
+        deterministic anchor of the half-open watermark chain. The
+        commit is the marker protocol in sources/commit.py (unique
+        per-writer data dir + atomic marker PUT recording the tick's
+        `hi`), so it is safe on object stores, against racing runners,
+        and against a crash between the data write and the lpValue
+        save: the re-run (even with a later wall-clock now and thus a
+        larger candidate hi) finds the committed tick, returns ITS
+        rows, and advances lpValue to ITS recorded hi — no duplicates,
+        and the uncovered (committed_hi, new_hi] range arrives with the
+        next tick — no gaps. The rows keep whatever projection the
+        caller chose (session ids, node, packetPos refs) so the
+        receiving cluster can fetch the packets, like the reference's
+        forward payload (id + node). Returns (committed rows, hi)."""
+        from moloch_spark.sources.commit import publish_once, resolve_commit
 
-                shutil.rmtree(tmp, ignore_errors=True)
-        return matched.sparkSession.read.parquet(dest)
+        cluster = query.action.split(":", 1)[1]
+        tick = f"{lo or 'epoch'}".replace(":", "-").replace(" ", "_")
+        dest = os.path.join(outbox, f"cluster={cluster}", f"ticklo={tick}")
+        meta = publish_once(
+            matched.withColumn("cron_name", F.lit(query.name)),
+            dest,
+            {"hi": hi.isoformat(sep=" "), "cron_name": query.name},
+        )
+        data_dir, _ = resolve_commit(dest)
+        return matched.sparkSession.read.parquet(data_dir), meta["hi"]
+
+
+def read_outbox(spark: SparkSession, outbox: str, cluster: str) -> DataFrame:
+    """The receiving side: union of all COMMITTED ticks for a cluster.
+    Uncommitted (crashed / in-flight / losing-racer) data dirs are
+    invisible because readers resolve through the markers."""
+    from moloch_spark.sources.commit import resolve_commit
+
+    root = os.path.join(outbox, f"cluster={cluster}")
+    dirs = [
+        c[0]
+        for name in sorted(os.listdir(root))
+        if name.startswith("ticklo=")
+        and (c := resolve_commit(os.path.join(root, name))) is not None
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed ticks under {root}")
+    return spark.read.parquet(*dirs)
 
 
 @dataclass

@@ -1,0 +1,239 @@
+"""Commit-protocol crash safety (VERDICT r4 ask #6 + ADVICE r4).
+
+Readers must never observe a partial commit: a writer that crashes
+between the data write and the commit point (manifest swap / marker
+PUT / second rename) leaves every reader on the previous generation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.sources.commit import (
+    PartitionCommitter,
+    load_manifest,
+    publish_once,
+    read_store,
+    resolve_commit,
+    resolve_partitions,
+    swap_dir,
+    vacuum_store,
+)
+
+
+def _mk_store(spark, path, ndays=3):
+    from moloch_spark.sources.session_store import write_sessions
+
+    rows = [
+        (f"s{d}-{i}", dt.datetime(2024, 3, 1 + d, 12, i), ["old"])
+        for d in range(ndays)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, last_packet timestamp, tags array<string>"
+    )
+    write_sessions(df, path, mode="overwrite")
+    return df
+
+
+def _store_rows(spark, path):
+    return {
+        r.session_id: sorted(r.tags)
+        for r in read_store(spark, path, "day").collect()
+    }
+
+
+def test_manifest_crash_between_write_and_commit(spark, tmp_path):
+    """Staged generation written, writer dies before the manifest swap:
+    readers keep seeing the old data; vacuum removes the orphan."""
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    before = _store_rows(spark, path)
+
+    c = PartitionCommitter(path, force_manifest=True)
+    src = read_store(spark, path, "day").filter(F.col("day") == "2024-03-02")
+    (
+        src.withColumn("tags", F.array(F.lit("CRASHED")))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c.staging_dir())
+    )
+    # <crash here: commit() never runs>
+    assert _store_rows(spark, path) == before          # no partial visible
+    assert load_manifest(path) == {}
+    assert vacuum_store(path) == [os.path.join("_gen", c.token)]
+    assert _store_rows(spark, path) == before
+
+
+def test_manifest_commit_supersedes_and_vacuums(spark, tmp_path):
+    """Two successive manifest commits of the same partition: readers
+    always see exactly one generation; the superseded one is removed."""
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+
+    def tag_day2(tag):
+        c = PartitionCommitter(path, force_manifest=True)
+        src = read_store(spark, path, "day").filter(
+            F.col("day") == "2024-03-02"
+        )
+        (
+            src.withColumn("tags", F.array(F.lit(tag)))
+            .repartition(F.col("day"))
+            .write.partitionBy("day")
+            .parquet(c.staging_dir())
+        )
+        c.commit(["day=2024-03-02"])
+        return c.token
+
+    t1 = tag_day2("gen1")
+    assert _store_rows(spark, path)["s1-0"] == ["gen1"]
+    t2 = tag_day2("gen2")
+    got = _store_rows(spark, path)
+    assert got["s1-0"] == ["gen2"]
+    assert got["s0-0"] == ["old"]                      # other days untouched
+    assert not os.path.isdir(os.path.join(path, "_gen", t1))  # vacuumed
+    assert os.path.isdir(os.path.join(path, "_gen", t2))
+    # the plain (stale) dir is invisible to the manifest-aware reader
+    assert len(got) == 9
+
+
+def test_update_tags_partitioned_manifest_mode(spark, tmp_path):
+    """The real operator through the portable protocol end-to-end,
+    including ADVICE r4: matched days absent from the store are skipped
+    instead of raising."""
+    from moloch_spark.operators.sessions_api import update_tags_partitioned
+
+    path = str(tmp_path / "store")
+    sess = _mk_store(spark, path)
+    matched = sess.filter("session_id = 's1-0'").unionByName(
+        spark.createDataFrame(
+            [("ghost", dt.datetime(2030, 1, 1), [])],
+            sess.schema,
+        )
+    )
+    out = update_tags_partitioned(
+        spark, path, matched, add=["flagged"], remove=["old"],
+        force_manifest=True,
+    )
+    got = {r.session_id: sorted(r.tags) for r in out.collect()}
+    assert len(got) == 9                               # ghost day skipped
+    assert got["s1-0"] == ["flagged"]
+    assert got["s1-1"] == ["old"]
+    assert got["s0-0"] == ["old"]
+
+
+def test_update_tags_partitioned_skips_absent_day_rename_mode(spark, tmp_path):
+    from moloch_spark.operators.sessions_api import update_tags_partitioned
+
+    path = str(tmp_path / "store")
+    sess = _mk_store(spark, path)
+    ghost_only = spark.createDataFrame(
+        [("ghost", dt.datetime(2030, 1, 1), [])], sess.schema
+    )
+    out = update_tags_partitioned(spark, path, ghost_only, add=["x"])
+    assert out.count() == 9                            # store unchanged
+
+
+def test_compact_partitions_manifest_mode(spark, tmp_path):
+    from moloch_spark.sources.session_store import (
+        compact_partitions,
+        write_sessions,
+    )
+
+    path = str(tmp_path / "store")
+    for lo in range(0, 1000, 250):
+        df = spark.range(lo, lo + 250).select(
+            F.col("id"),
+            F.to_timestamp(F.lit("2024-03-05 12:00:00")).alias("last_packet"),
+        )
+        write_sessions(df, path, mode="append")
+    res = compact_partitions(
+        spark, path, target_file_bytes=1 << 40, force_manifest=True
+    )
+    assert res == {"2024-03-05": 1}
+    assert read_store(spark, path, "day").count() == 1000
+    # idempotent second run sees the manifest-resolved (compacted) dir
+    assert compact_partitions(
+        spark, path, target_file_bytes=1 << 40, force_manifest=True
+    ) == {"2024-03-05": 1}
+
+
+def test_swap_dir_recovers_prior_crash(tmp_path):
+    """ADVICE r4: a stale <dst>.old from a crash mid-swap must roll
+    back on entry; a stale .old from a crash after the swap completed
+    must be cleared, not break the next swap."""
+    # case 1: crash between rename(dst, old) and rename(src, dst):
+    # dst missing, .old holds the original
+    dst = tmp_path / "day=2024-01-01"
+    old = tmp_path / "day=2024-01-01.old"
+    old.mkdir()
+    (old / "orig.parquet").write_text("orig")
+    src = tmp_path / "incoming1"
+    src.mkdir()
+    (src / "new.parquet").write_text("new")
+    swap_dir(str(src), str(dst))
+    assert (dst / "new.parquet").exists() and not old.exists()
+
+    # case 2: crash after swap completed but before rmtree(.old)
+    old.mkdir()
+    (old / "stale.parquet").write_text("stale")
+    src2 = tmp_path / "incoming2"
+    src2.mkdir()
+    (src2 / "newer.parquet").write_text("newer")
+    swap_dir(str(src2), str(dst))
+    assert (dst / "newer.parquet").exists() and not old.exists()
+
+    # case 3: first write — no dst at all
+    dst3 = tmp_path / "day=2024-01-02"
+    src3 = tmp_path / "incoming3"
+    src3.mkdir()
+    (src3 / "a.parquet").write_text("a")
+    swap_dir(str(src3), str(dst3))
+    assert (dst3 / "a.parquet").exists()
+
+
+def test_publish_once_crash_before_marker_is_invisible(spark, tmp_path):
+    dest = str(tmp_path / "tick")
+    os.makedirs(os.path.join(dest, "data-deadbeef"))
+    with open(os.path.join(dest, "data-deadbeef", "part-0.parquet"), "w") as f:
+        f.write("partial")
+    assert resolve_commit(dest) is None                # no marker -> invisible
+
+    df = spark.range(5).select(F.col("id"))
+    meta = publish_once(df, dest, {"hi": "2024-01-01 00:00:00"})
+    assert meta["hi"] == "2024-01-01 00:00:00"
+    data, got = resolve_commit(dest)
+    assert got == meta
+    assert spark.read.parquet(data).count() == 5
+
+    # replay (possibly with different recomputed rows) must NOT rewrite:
+    meta2 = publish_once(
+        spark.range(99).select(F.col("id")), dest, {"hi": "2030-01-01"}
+    )
+    assert meta2 == meta                               # recorded state wins
+    assert spark.read.parquet(resolve_commit(dest)[0]).count() == 5
+
+
+def test_publish_once_racing_writers_deterministic_winner(spark, tmp_path):
+    """Two complete commits (a race that both finished): every reader
+    picks the same winner — the minimum writer token."""
+    dest = str(tmp_path / "tick")
+    df = spark.range(3).select(F.col("id"))
+    publish_once(df, dest, {"hi": "t1"})
+    [marker] = [n for n in os.listdir(dest) if n.startswith("_committed-")]
+    # forge a racing commit that lost (larger token sorts after)
+    loser = "f" * 12
+    spark.range(7).select(F.col("id")).write.parquet(
+        os.path.join(dest, f"data-{loser}")
+    )
+    with open(os.path.join(dest, f"_committed-{loser}"), "w") as f:
+        json.dump({"hi": "t1-loser"}, f)
+    winner_tok = marker.split("-", 1)[1]
+    data, meta = resolve_commit(dest)
+    assert data.endswith(f"data-{min(winner_tok, loser)}")
+    assert meta["hi"] == ("t1" if winner_tok < loser else "t1-loser")

@@ -276,6 +276,35 @@ def test_pii_scan(spark):
     assert (out[3].n_emails, out[3].n_ipv4, out[3].n_long_digits) == (0, 0, 0)
 
 
+def test_c4_filters(spark):
+    """Every published C4 rule (Raffel et al. 2020 §2.2) on a handcrafted
+    doc set: terminal punctuation, >=5 words, javascript lines, lorem
+    ipsum pages, brace pages, >=3 surviving lines."""
+    good = "this line has five words."
+    rows = [
+        (1, f"{good}\n{good}\n{good}"),                      # clean page
+        (2, f"{good}\nno terminal punctuation here\n{good}\n{good}"),
+        (3, f"{good}\nfour words only here.\n{good}\n{good}"),
+        (4, f"{good}\nenable JavaScript to continue viewing.\n{good}\n{good}"),
+        (5, f"{good}\n{good}"),                              # only 2 kept
+        (6, f"{good}\n{good}\n{good}\nsome lorem ipsum filler text."),
+        (7, f"{good}\n{good}\n{good}\nvar x = {{ a: 1 }};"),
+        (8, 'he said "stop right there now."\nshe answered with five words?\n'
+            "they left after five words!"),                  # ?, !, " terminals
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in TX.c4_filters(df).collect()}
+    assert out[1].keep and out[1].n_kept == 3 and out[1].cleaned.count("\n") == 2
+    assert out[2].n_kept == 3 and out[2].keep          # bad line dropped
+    assert "no terminal" not in out[2].cleaned
+    assert out[3].n_kept == 3 and "four words" not in out[3].cleaned
+    assert out[4].n_kept == 3 and "JavaScript" not in out[4].cleaned
+    assert out[5].n_kept == 2 and not out[5].keep      # < 3 kept lines
+    assert out[6].has_lorem and not out[6].keep        # page-level kill
+    assert out[7].has_brace and not out[7].keep
+    assert out[8].keep and out[8].n_kept == 3          # all terminal variants
+
+
 def test_repetition_signals(spark):
     rows = [
         (1, "line one\nline one\nline two"),        # 1/3 duplicate lines
@@ -607,6 +636,39 @@ def test_quality_filter_separates_domains(spark):
     }
     assert out[0][0] > out[100][0]
     assert out[0][1] and not out[100][1]
+
+
+def test_quality_filter_scores_gramless_docs(spark):
+    """ADVICE r4: a doc whose text yields zero grams must still appear
+    in the output — on BOTH the sampled and non-sampled paths — scored
+    at the model's prior, sigmoid(bias)."""
+    import math
+
+    from moloch_spark.operators import classifier as C
+
+    rows = [(i, "the study of planetary motion and careful measurement")
+            for i in range(4)]
+    rows += [(100 + i, "winner winner free free casino jackpot now")
+             for i in range(12)]
+    rows += [(900, ""), (901, "   ")]               # gram-less
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = docs.filter(F.col("doc_id") < 4)
+    for kwargs in ({"max_negatives": 8}, {"max_negatives": None}):
+        out = {r.doc_id: r.quality
+               for r in C.quality_filter(docs, ref, **kwargs).collect()}
+        assert set(out) == {r[0] for r in rows}, kwargs
+        # both gram-less docs score exactly the prior
+        assert out[900] == out[901]
+        # the prior is sigmoid(bias): between the two domain extremes
+        assert min(out.values()) <= out[900] <= max(out.values())
+
+    # and score_quality directly (the sampled path's scorer)
+    w, b = C.train_quality_classifier(
+        ref, docs.filter(F.col("doc_id") >= 100).filter(F.col("doc_id") < 200)
+    )
+    sq = {r.doc_id: r.quality for r in C.score_quality(docs, w, b).collect()}
+    assert set(sq) == {r[0] for r in rows}
+    assert sq[900] == round(1.0 / (1.0 + math.exp(-b)), 4)
 
 
 def test_ppl_lang_buckets_thirds(spark):

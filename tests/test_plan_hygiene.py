@@ -35,6 +35,9 @@ INTENTIONAL_NESTED_LOOP = {
     # BM25: the 1-row (n_docs, avgdl) aggregate broadcast against the
     # query-matched postings
     "bm25_topk_search",
+    # PQ ADC: codes.crossJoin(broadcast(qdf)) where qdf is the bounded
+    # (≤5-row, query_max_id) LUT side — same class as ann_brute_force_topk
+    "ann_pq_adc_topk",
 }
 
 # windows allowed to run unpartitioned: they operate on a frame that is
@@ -94,12 +97,11 @@ def test_no_accidental_nested_loops(spark, name):
 def test_every_query_has_oracle_or_reason():
     qs, os_ = all_queries(), all_oracles()
     missing = set(qs) - set(os_)
-    # rows-only queries: the stateful streaming one plus the two
-    # iterative-training ops (argmax / GD loops aren't SQL-expressible;
-    # both are exactness-pinned against independent pure-Python
-    # implementations in tests instead)
+    # rows-only queries: the iterative-training ops (argmax / GD loops
+    # aren't SQL-expressible; all are exactness-pinned against
+    # independent pure-Python implementations in tests instead).
+    # streaming_sessionize_closed regained its DuckDB oracle in r4.
     assert missing == {
-        "streaming_sessionize_closed",
         "bpe_train_and_apply",
         "quality_classifier_filter",
         "embedding_pca_whiten",

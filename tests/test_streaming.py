@@ -285,20 +285,29 @@ def test_cron_forward_exactly_once_across_restart(spark, tmp_path):
 
     # crash simulation: tick 1 committed its forward dir, but the state
     # never advanced (roll the state file back to pre-tick)
+    import json
     import os
+
+    from moloch_spark.streaming.cron import read_outbox
 
     os.remove(state)
     crashed = CronRunner(state, events_catalog())
+    # the replay runs at a LATER wall-clock now (ADVICE r4 medium): the
+    # committed tick must still win — same rows, and lpValue must adopt
+    # the COMMITTED hi, not the larger replay hi, so the skipped range
+    # arrives with the next tick instead of being lost
+    t1_replay = t1 + dt.timedelta(hours=6)
     redo = crashed.run_once(
-        ev, cq, now=t1, id_cols=["event_id", "ts"], outbox=outbox
+        ev, cq, now=t1_replay, id_cols=["event_id", "ts"], outbox=outbox
     )
-    # the re-run returns the SAME committed tick, not a second copy
-    assert redo.count() == spark.read.parquet(
-        os.path.join(outbox, "cluster=west")
-    ).count()
+    assert redo.count() == read_outbox(spark, outbox, "west").count()
+    with open(state) as f:
+        assert json.load(f)["fwd"] == (
+            t1 - dt.timedelta(seconds=90)
+        ).isoformat(sep=" ")
 
     crashed.run_once(ev, cq, now=t2, id_cols=["event_id", "ts"], outbox=outbox)
-    fwd = spark.read.parquet(os.path.join(outbox, "cluster=west"))
+    fwd = read_outbox(spark, outbox, "west")
     want = ev.filter(
         (F.col("event_type") == "error")
         & (F.col("ts") <= F.lit((t2 - dt.timedelta(seconds=90)).isoformat(sep=" ")).cast("timestamp"))

@@ -87,6 +87,22 @@ def bm25_topk(
         .join(dfreq, "term")
         .crossJoin(F.broadcast(nd))
     )
+    return _score_and_rank(
+        cand, id_col=id_col, k=k, k1=k1, b=b, exclude_self=exclude_self
+    )
+
+
+def _score_and_rank(
+    cand: DataFrame,
+    *,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared BM25 scoring + ranking over a candidate relation carrying
+    (query_id, <id>, tf, dl, df, n_docs, avgdl)."""
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col("query_id"))
     idf = F.log(
@@ -123,6 +139,113 @@ def bm25_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
+    )
+
+
+def build_bm25_index(
+    spark,
+    corpus: DataFrame,
+    table_prefix: str,
+    path_prefix: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+) -> None:
+    """Write the DURABLE inverted index (PLANS.md §27's 100 TB form):
+
+      <prefix>_postings  (doc, term, tf)  bucketed+sorted by term
+      <prefix>_dfreq     (term, df)       bucketed+sorted by term
+      <prefix>_dl        (doc, dl)        bucketed+sorted by doc
+      <prefix>_stats     (n_docs, avgdl)  one row
+
+    One tokenize+shuffle of the corpus total (the checkpointed postings
+    feeds all four). Bucketing postings/dfreq by term means a query
+    batch's `term IN (...)` predicate BUCKET-PRUNES the scan — the
+    engine opens only the buckets holding the query's terms, never the
+    whole index; sorting within buckets adds min/max row-group pruning
+    on top. dl is bucketed by doc so the candidate join shuffles only
+    the (bounded) candidate side. `buckets` is a layout contract, like
+    the session store's (pick ~2-4x executor count on a real cluster)."""
+    post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+    def save(df, name, key):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", f"{path_prefix}_{name}")
+            .saveAsTable(f"{table_prefix}_{name}")
+        )
+
+    save(post, "postings", "term")
+    save(
+        post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
+        "dfreq",
+        "term",
+    )
+    save(dl, "dl", id_col)
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_stats")
+    (
+        dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", f"{path_prefix}_stats")
+        .saveAsTable(f"{table_prefix}_stats")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "qterm",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """BM25 top-k served FROM the prebuilt index — the corpus is never
+    touched. The query batch's distinct terms (bounded by definition —
+    this is the model-sized driver transfer every search engine makes)
+    become an IN-list on the term-bucketed postings/dfreq tables, so
+    the scan is bucket-pruned to the buckets containing those terms;
+    corpus stats arrive as two literals (no 1-row crossJoin in the
+    plan); dfreq for the matched terms is broadcast; only the matched
+    candidates shuffle into dl's doc bucketing. Per-query-batch cost is
+    O(matched postings), independent of corpus size."""
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_terms_col).alias("term"),
+    ).distinct()
+    terms = sorted(r["term"] for r in qt.select("term").distinct().collect())
+    stats = spark.table(f"{table_prefix}_stats").collect()[0]
+    post = spark.table(f"{table_prefix}_postings").filter(
+        F.col("term").isin(terms)
+    )
+    dfreq = spark.table(f"{table_prefix}_dfreq").filter(
+        F.col("term").isin(terms)
+    )
+    cand = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(spark.table(f"{table_prefix}_dl"), id_col)
+        .withColumn("n_docs", F.lit(stats["n_docs"]))
+        .withColumn("avgdl", F.lit(stats["avgdl"]))
+    )
+    return _score_and_rank(
+        cand, id_col=id_col, k=k, k1=k1, b=b, exclude_self=exclude_self
     )
 
 

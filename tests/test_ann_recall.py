@@ -32,6 +32,30 @@ def test_ann_recall_vs_brute_force(spark):
     assert recall_ivf >= 0.9, f"IVF recall@10 collapsed: {recall_ivf:.2f}"
 
 
+def test_int8_quant_recall_vs_brute_force(spark):
+    """Scalar int8 quantization is near-lossless for cosine ranking:
+    recall@10 against exact cosine must stay >= 0.9 (8 bits per dim on
+    a uniform fixture loses at most borderline ties), and the codes
+    must actually be int8-bounded."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    bf = _pairs(S.brute_force_topk(emb))
+    q8 = _pairs(S.ann_int8_topk(emb))
+    recall = len(bf & q8) / len(bf)
+    assert recall >= 0.9, f"int8 recall@10 collapsed: {recall:.2f}"
+
+    sc = S.int8_quant_model(emb)
+    codes = S.int8_codes(emb, sc)
+    bounds = codes.select(
+        F.min(F.array_min("code")).alias("lo"),
+        F.max(F.array_max("code")).alias("hi"),
+    ).first()
+    assert -127 <= bounds["lo"] and bounds["hi"] <= 127
+    # the extreme of the range is actually hit (model isn't degenerate)
+    assert bounds["lo"] == -127 or bounds["hi"] == 127
+
+
 def test_lsh_single_table_is_why_we_multi_table(spark):
     """Regression guard for the design rationale: one table alone loses
     almost everything on this fixture, the L-table union must recover a

@@ -564,6 +564,42 @@ def test_bm25_excludes_self_and_breaks_ties_by_id(spark):
     assert out[0].score == out[1].score             # identical docs tie
 
 
+def test_bm25_indexed_matches_direct_and_bucket_prunes(spark, tmp_path):
+    """The durable term-bucketed index must return EXACTLY what the
+    direct corpus-scan path returns, and the query plan must
+    bucket-prune the postings scan to the query terms' buckets."""
+    from moloch_spark.operators import retrieval as R
+
+    rows = [(i, f"term{i % 40} filler{i} alpha beta common words here")
+            for i in range(200)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(900, "term7"), (900, "alpha"), (901, "term13")],
+        ["query_id", "qterm"],
+    )
+    prefix = "bm25idx_test_prune"
+    try:
+        R.build_bm25_index(
+            spark, corpus, prefix, str(tmp_path / "idx"), buckets=16
+        )
+        direct = R.bm25_topk(corpus, queries, exclude_self=False)
+        indexed = R.bm25_topk_indexed(
+            spark, prefix, queries, exclude_self=False
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, indexed.collect())
+        )
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "postings scan is not bucket-pruned"
+        assert int(m.group(1)) < int(m.group(2))
+    finally:
+        for t in ("postings", "dfreq", "dl", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_quality_classifier_matches_reference_math(spark):
     """Distributed full-batch LR must track the plain-Python reference
     on the same features. Tolerances: iteration 1 is EXACT; later

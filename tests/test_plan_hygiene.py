@@ -38,6 +38,9 @@ INTENTIONAL_NESTED_LOOP = {
     # PQ ADC: codes.crossJoin(broadcast(qdf)) where qdf is the bounded
     # (≤5-row, query_max_id) LUT side — same class as ann_brute_force_topk
     "ann_pq_adc_topk",
+    # int8 scan: broadcast of the bounded query-code set (≤5 rows)
+    # against the corpus codes — same class as ann_brute_force_topk
+    "ann_int8_topk",
 }
 
 # windows allowed to run unpartitioned: they operate on a frame that is

@@ -155,18 +155,22 @@ def build_bm25_index(
     """Write the DURABLE inverted index (PLANS.md §27's 100 TB form):
 
       <prefix>_postings  (doc, term, tf)  bucketed+sorted by term
-      <prefix>_dfreq     (term, df)       bucketed+sorted by term
       <prefix>_dl        (doc, dl)        bucketed+sorted by doc
       <prefix>_stats     (n_docs, avgdl)  one row
 
     One tokenize+shuffle of the corpus total (the checkpointed postings
-    feeds all four). Bucketing postings/dfreq by term means a query
-    batch's `term IN (...)` predicate BUCKET-PRUNES the scan — the
-    engine opens only the buckets holding the query's terms, never the
-    whole index; sorting within buckets adds min/max row-group pruning
-    on top. dl is bucketed by doc so the candidate join shuffles only
-    the (bounded) candidate side. `buckets` is a layout contract, like
-    the session store's (pick ~2-4x executor count on a real cluster)."""
+    feeds all three). Bucketing postings by term means a query batch's
+    `term IN (...)` predicate BUCKET-PRUNES the scan — the engine opens
+    only the buckets holding the query's terms, never the whole index;
+    sorting within buckets adds min/max row-group pruning on top.
+    Document frequencies are deliberately NOT a stored table: df for
+    the query's terms is one aggregation over the already-pruned
+    postings scan, always exact, never stale — which is what makes
+    append_bm25_index an append, not a rebuild. dl is bucketed by doc
+    so the candidate join shuffles only the (bounded) candidate side.
+    `buckets` is a layout contract, like the session store's (pick
+    ~2-4x executor count on a real cluster; appends must pass the same
+    value)."""
     post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
         eager=True
     )
@@ -184,12 +188,8 @@ def build_bm25_index(
         )
 
     save(post, "postings", "term")
-    save(
-        post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
-        "dfreq",
-        "term",
-    )
     save(dl, "dl", id_col)
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_dfreq")  # pre-r5.2 layout
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_stats")
     (
         dl.agg(
@@ -201,6 +201,62 @@ def build_bm25_index(
         .option("path", f"{path_prefix}_stats")
         .saveAsTable(f"{table_prefix}_stats")
     )
+
+
+def append_bm25_index(
+    spark,
+    new_docs: DataFrame,
+    table_prefix: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+) -> None:
+    """Fold a new crawl batch into the index WITHOUT rebuilding it —
+    the maintenance path a continuously-ingesting 100 TB corpus needs:
+
+      * postings / dl: bucketed APPEND (new files land in the matching
+        buckets; pruning and the bucket layout are unchanged) — cost is
+        one tokenize+shuffle of the NEW batch only;
+      * stats: recomputed by one cheap aggregation over the dl table
+        (doc-count rows, not postings) and overwritten;
+      * document frequencies: nothing to do — they are derived from the
+        postings scan at query time, so they are exact the moment the
+        append commits (a stored dfreq table would go stale here and
+        need a vocab-wide merge per batch).
+
+    Contract: new_docs carry doc ids not already in the index (append-
+    only corpus — re-crawled docs go through a rebuild or a dedup
+    pass), and `buckets` matches the build."""
+    post = postings(new_docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    (
+        post.write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    (
+        dl.write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(f"{table_prefix}_dl")
+    )
+    stats = (
+        spark.table(f"{table_prefix}_dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
+    ).write.insertInto(f"{table_prefix}_stats", overwrite=True)
 
 
 def bm25_topk_indexed(
@@ -219,12 +275,14 @@ def bm25_topk_indexed(
     """BM25 top-k served FROM the prebuilt index — the corpus is never
     touched. The query batch's distinct terms (bounded by definition —
     this is the model-sized driver transfer every search engine makes)
-    become an IN-list on the term-bucketed postings/dfreq tables, so
-    the scan is bucket-pruned to the buckets containing those terms;
-    corpus stats arrive as two literals (no 1-row crossJoin in the
-    plan); dfreq for the matched terms is broadcast; only the matched
-    candidates shuffle into dl's doc bucketing. Per-query-batch cost is
-    O(matched postings), independent of corpus size."""
+    become an IN-list on the term-bucketed postings table, so the scan
+    is bucket-pruned to the buckets containing those terms; document
+    frequencies are ONE aggregation over that same pruned relation
+    (exact even right after an append — see append_bm25_index),
+    broadcast back onto it; corpus stats arrive as two literals (no
+    1-row crossJoin in the plan); only the matched candidates shuffle
+    into dl's doc bucketing. Per-query-batch cost is O(matched
+    postings), independent of corpus size."""
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
@@ -234,8 +292,8 @@ def bm25_topk_indexed(
     post = spark.table(f"{table_prefix}_postings").filter(
         F.col("term").isin(terms)
     )
-    dfreq = spark.table(f"{table_prefix}_dfreq").filter(
-        F.col("term").isin(terms)
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     cand = (
         post.join(F.broadcast(qt), "term")

@@ -1743,6 +1743,52 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_APPEND_CACHE: dict[str, str] = {}
+
+
+def _bm25_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index fixture built INCREMENTALLY: even doc_ids at build, odd
+    doc_ids folded in by append_bm25_index — memoized per process."""
+    import re
+    import tempfile
+
+    prefix = _BM25_APPEND_CACHE.get(sf_dir)
+    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
+        return prefix
+    from moloch_spark.operators import retrieval as R
+
+    prefix = "bm25ap_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    docs = load_table_spread(spark, "documents", sf_dir)
+    R.build_bm25_index(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        prefix,
+        tempfile.mkdtemp(prefix="bm25ap_") + "/t",
+    )
+    R.append_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 1), prefix)
+    _BM25_APPEND_CACHE[sf_dir] = prefix
+    return prefix
+
+
+@register("bm25_index_append_search", _BM25_TOPK_SQL)
+def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, end-to-end: the index is built on
+    HALF the corpus and the other half arrives through
+    append_bm25_index (bucketed appends for postings/dl, one cheap
+    stats rewrite, document frequencies derived at query time so they
+    are exact the moment the append lands — never stale, never
+    merge-rebuilt). Serving from the appended index must hash-match the
+    one-shot full-corpus oracle — the proof that a continuously-
+    ingesting corpus never needs an index rebuild."""
+    from moloch_spark.operators import retrieval as R
+
+    prefix = _bm25_appended_index(spark, sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
+    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs)).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register("bpe_train_and_apply")
 def q_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer training + apply: learn 16 BPE merges from

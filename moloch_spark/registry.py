@@ -50,9 +50,13 @@ def _load_registrants() -> None:
 #   (c) the 42-query block whose only driver row is r1,
 #   (d) past the ~50 cap: the 47-query r2 block oldest-signal-first —
 #       all green in r2 and pytest-oracle-green locally, so lowest risk.
-# ROUND-6 NOTE: next head = any r5 reds, any new r6 gates, then the r2
-# block (ann_*, cron_query_tick, dns/http/tls/x509/ssh/smtp/smb/misc
-# parsers, expr_sessions_store_search, pcap_*, sessionize_*, tpch
+# ROUND-6 NOTE: next head = any r5 reds, any new r6 gates, then the 6
+# r1-block gates the r5 window cut off at position 50
+# (tpch_q3_shipping_priority, tpch_q5_local_supplier_volume,
+# unique_autocomplete, unique_event_type, unique_pair_user_type,
+# wise_feed_enrich), then the r2 block (ann_*, cron_query_tick,
+# dns/http/tls/x509/ssh/smtp/smb/misc parsers,
+# expr_sessions_store_search, pcap_*, sessionize_*, tpch
 # q2/q4/q7/q8/q10-q18, tunnel_decap_roundtrip, ...). After r6 no
 # query's latest row should be older than r5.
 _CHECK_PRIORITY = (
@@ -68,6 +72,7 @@ _CHECK_PRIORITY = (
     "c4_line_filter",                        # C4 line/page cleaning (Raffel et al.)
     "bm25_topk_indexed_search",              # durable term-bucketed BM25 index
     "ann_int8_topk",                         # int8 scalar-quantized ANN scan
+    "bm25_index_append_search",              # incremental index maintenance
     # --- (c) latest driver row is r1 (42) ---
     "asof_feed_enrich", "cardinality_fields", "connections_baseline_events",
     "connections_components", "connections_nation_graph",

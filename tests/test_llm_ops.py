@@ -596,8 +596,52 @@ def test_bm25_indexed_matches_direct_and_bucket_prunes(spark, tmp_path):
         assert m, "postings scan is not bucket-pruned"
         assert int(m.group(1)) < int(m.group(2))
     finally:
-        for t in ("postings", "dfreq", "dl", "stats"):
+        for t in ("postings", "dl", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """build(half) + append(half) must serve the same results as
+    build(all): postings/dl appended in-place (bucket layout intact),
+    stats rewritten, document frequencies derived at query time."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators import retrieval as R
+
+    rows = [(i, f"alpha term{i % 20} beta gamma shared words body {i}")
+            for i in range(120)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(500, "alpha"), (500, "term3"), (501, "term11"), (501, "beta")],
+        ["query_id", "qterm"],
+    )
+    pa, pb = "bm25idx_test_app_a", "bm25idx_test_app_b"
+    try:
+        R.build_bm25_index(spark, corpus, pa, str(tmp_path / "a"), buckets=8)
+        R.build_bm25_index(
+            spark,
+            corpus.filter(F.col("doc_id") < 60),
+            pb,
+            str(tmp_path / "b"),
+            buckets=8,
+        )
+        R.append_bm25_index(
+            spark, corpus.filter(F.col("doc_id") >= 60), pb, buckets=8
+        )
+        full = R.bm25_topk_indexed(spark, pa, queries, exclude_self=False)
+        appended = R.bm25_topk_indexed(spark, pb, queries, exclude_self=False)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, appended.collect())
+        )
+        # stats reflect the whole corpus after the append
+        sa = spark.table(f"{pa}_stats").first()
+        sb = spark.table(f"{pb}_stats").first()
+        assert sa["n_docs"] == sb["n_docs"] == 120
+        assert abs(sa["avgdl"] - sb["avgdl"]) < 1e-12
+    finally:
+        for p in (pa, pb):
+            for t in ("postings", "dl", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
 
 
 def test_quality_classifier_matches_reference_math(spark):

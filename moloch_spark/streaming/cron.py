@@ -128,7 +128,16 @@ class CronRunner:
 
         cluster = query.action.split(":", 1)[1]
         tick = f"{lo or 'epoch'}".replace(":", "-").replace(" ", "_")
-        dest = os.path.join(outbox, f"cluster={cluster}", f"ticklo={tick}")
+        # the tick dir is keyed by (query, lo), not lo alone: two
+        # standing queries forwarding to the same cluster both start
+        # from lo='epoch', and a shared dir would make the second query
+        # adopt the first one's committed rows and hi
+        qtoken = "".join(
+            c if c.isalnum() or c in "-_" else "_" for c in query.name
+        )
+        dest = os.path.join(
+            outbox, f"cluster={cluster}", f"query={qtoken}", f"ticklo={tick}"
+        )
         meta = publish_once(
             matched.withColumn("cron_name", F.lit(query.name)),
             dest,
@@ -139,18 +148,24 @@ class CronRunner:
 
 
 def read_outbox(spark: SparkSession, outbox: str, cluster: str) -> DataFrame:
-    """The receiving side: union of all COMMITTED ticks for a cluster.
-    Uncommitted (crashed / in-flight / losing-racer) data dirs are
-    invisible because readers resolve through the markers."""
+    """The receiving side: union of all COMMITTED ticks for a cluster,
+    across every standing query forwarding to it. Uncommitted (crashed
+    / in-flight / losing-racer) data dirs are invisible because
+    readers resolve through the markers."""
     from moloch_spark.sources.commit import resolve_commit
 
     root = os.path.join(outbox, f"cluster={cluster}")
-    dirs = [
-        c[0]
-        for name in sorted(os.listdir(root))
-        if name.startswith("ticklo=")
-        and (c := resolve_commit(os.path.join(root, name))) is not None
-    ]
+    dirs = []
+    for qdir in sorted(os.listdir(root)):
+        if not qdir.startswith("query="):
+            continue
+        qroot = os.path.join(root, qdir)
+        for name in sorted(os.listdir(qroot)):
+            if not name.startswith("ticklo="):
+                continue
+            c = resolve_commit(os.path.join(qroot, name))
+            if c is not None:
+                dirs.append(c[0])
     if not dirs:
         raise FileNotFoundError(f"no committed ticks under {root}")
     return spark.read.parquet(*dirs)

@@ -316,6 +316,38 @@ def test_cron_forward_exactly_once_across_restart(spark, tmp_path):
     assert fwd.select("event_id").distinct().count() == want.count()
 
 
+def test_cron_forward_two_queries_same_cluster_no_collision(spark, tmp_path):
+    """Two standing queries forwarding to the SAME cluster both start
+    from lo='epoch'. Their ticks must not share a commit dir — the
+    second query must ship ITS rows, not adopt the first one's."""
+    ev = load_table(spark, "events", SF)
+    state = str(tmp_path / "cron.json")
+    outbox = str(tmp_path / "outbox")
+    runner = CronRunner(state, events_catalog())
+    t = dt.datetime(2024, 2, 15, 0, 1, 30)
+    a = runner.run_once(
+        ev, CronQuery("fwd-err", "event.type == error", tags=[],
+                      action="forward:west"),
+        now=t, id_cols=["event_id", "ts"], outbox=outbox,
+    )
+    b = runner.run_once(
+        ev, CronQuery("fwd-clk", "event.type == click", tags=[],
+                      action="forward:west"),
+        now=t, id_cols=["event_id", "ts"], outbox=outbox,
+    )
+    n_err = ev.filter("event_type = 'error'").count()
+    n_clk = ev.filter("event_type = 'click'").count()
+    assert a.count() < n_err + 1 and a.count() > 0
+    assert b.count() != a.count()                     # not query A's rows
+    assert {r.cron_name for r in a.collect()} == {"fwd-err"}
+    assert {r.cron_name for r in b.collect()} == {"fwd-clk"}
+    from moloch_spark.streaming.cron import read_outbox
+
+    fwd = read_outbox(spark, outbox, "west")
+    assert fwd.count() == a.count() + b.count()
+    assert n_clk >= b.count()
+
+
 def test_hunt_over_reassembled_payload(spark):
     """Hunts run on REASSEMBLED session payload (apiHunts.js reads
     reassembled packets) — compose reassemble_tcp -> hunt."""

@@ -197,6 +197,36 @@ def test_swap_dir_recovers_prior_crash(tmp_path):
     assert (dst3 / "a.parquet").exists()
 
 
+def test_swap_dir_restores_dst_when_second_rename_fails(tmp_path, monkeypatch):
+    """If the second rename of the two-rename swap fails, the original
+    directory must be put back and the error re-raised — readers see
+    the old data, not a missing partition."""
+    import os as _os
+
+    dst = tmp_path / "day=2024-02-02"
+    dst.mkdir()
+    (dst / "orig.parquet").write_text("orig")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "new.parquet").write_text("new")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_second(a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the src -> dst rename
+            raise OSError("injected")
+        real_rename(a, b)
+
+    monkeypatch.setattr("moloch_spark.sources.commit.os.rename", failing_second)
+    with pytest.raises(OSError, match="injected"):
+        swap_dir(str(src), str(dst))
+    assert (dst / "orig.parquet").exists()             # original restored
+    assert not (tmp_path / "day=2024-02-02.old").exists()
+    assert (src / "new.parquet").exists()              # staged data intact
+
+
 def test_publish_once_crash_before_marker_is_invisible(spark, tmp_path):
     dest = str(tmp_path / "tick")
     os.makedirs(os.path.join(dest, "data-deadbeef"))

@@ -23,6 +23,20 @@ Portable protocol (manifest mode):
     — on the previous generation; the orphaned `_gen` dir is a vacuum
     target, exactly like any MVCC table format.
 
+MVCC retention: a commit makes the superseded generation UNREACHABLE
+but does not delete it — a concurrent reader that resolved the old
+manifest moments earlier finishes its scan on intact files. Reclaim is
+the explicit `vacuum_store(retain_s=...)` maintenance call (Delta's
+`VACUUM RETAIN` analog); pick a retention longer than the longest
+query you run.
+
+All I/O goes through sources/fs.get_fs: plain os/open for local paths,
+the JVM Hadoop FileSystem for non-file schemes — so the manifest and
+markers land on the SAME s3a://gs://hdfs:// store, through the same
+connector, as the parquet data Spark writes there. Paths with a
+non-file scheme and no active SparkSession raise instead of silently
+operating on a stripped local path (ADVICE r5).
+
 Concurrency: each writer owns a unique `_gen/<token>` prefix, so
 racing writers never interleave files. The manifest read-modify-write
 itself is last-writer-wins; two writers racing on DIFFERENT partitions
@@ -34,89 +48,160 @@ The local fast path keeps the two-rename swap but hardened (ADVICE
 r4): stale `.old` dirs from a prior crash are recovered on entry, a
 failure between the two renames restores the original directory, and
 first-write partitions (no existing dst) commit with a single rename.
+Once ANY partition of a store has been manifest-committed, later
+default-mode committers auto-upgrade to manifest mode — a rename-mode
+swap under a live manifest entry would be invisible to readers (lost
+update, ADVICE r5).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 import shutil
+import time
 import uuid
 
+from moloch_spark.sources.fs import get_fs, is_posix_path, strip_scheme
 
-def is_posix_path(path: str) -> bool:
-    """Local filesystem paths get the atomic-rename fast path; anything
-    with a non-file scheme (s3a://, gs://, ...) must use manifest mode."""
-    if "://" not in path:
-        return True
-    return path.split("://", 1)[0] == "file"
-
-
-def _strip_scheme(path: str) -> str:
-    return path.split("://", 1)[1] if "://" in path else path
-
+_strip_scheme = strip_scheme  # back-compat alias
 
 MANIFEST = "_manifest.json"
+_VPREFIX = "_manifest.v"
 
 
-def load_manifest(store: str) -> dict[str, str]:
+def load_manifest(
+    store: str, spark=None, *, version: int | None = None
+) -> dict[str, str]:
     """partition name -> store-relative data dir for manifest-committed
-    partitions; empty when the store has no manifest."""
-    p = os.path.join(_strip_scheme(store), MANIFEST)
-    if not os.path.exists(p):
+    partitions; empty when the store has no manifest. `version` reads a
+    retained historical snapshot instead of the current manifest (time
+    travel — see manifest_versions / vacuum_store retention)."""
+    fs, root = get_fs(store, spark)
+    name = MANIFEST if version is None else f"{_VPREFIX}{version:08d}.json"
+    p = posixpath.join(root, name)
+    if not fs.exists(p):
+        if version is not None:
+            raise FileNotFoundError(
+                f"manifest version {version} not found under {store!r} "
+                "(never written, or reclaimed by vacuum_store retention)"
+            )
         return {}
-    with open(p) as f:
-        return json.load(f).get("partitions", {})
+    return json.loads(fs.read_text(p)).get("partitions", {})
 
 
-def _write_manifest(store: str, partitions: dict[str, str]) -> None:
-    """Atomic single-object swap: write-to-temp + rename locally; on an
-    object store this is one PUT of the manifest key (PUTs are atomic
-    per object on S3/GCS)."""
-    root = _strip_scheme(store)
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"partitions": partitions}, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(root, MANIFEST))
+def manifest_versions(store: str, spark=None) -> list[int]:
+    """Retained manifest snapshot versions, ascending. Each commit
+    appends one; vacuum_store prunes those older than its retention."""
+    fs, root = get_fs(store, spark)
+    if not fs.isdir(root):
+        return []
+    out = []
+    for n in fs.listdir(root):
+        if n.startswith(_VPREFIX) and n.endswith(".json"):
+            out.append(int(n[len(_VPREFIX) : -len(".json")]))
+    return sorted(out)
 
 
-def resolve_partitions(store: str) -> dict[str, str]:
+def _write_manifest(store: str, partitions: dict[str, str], spark=None) -> None:
+    """Atomic single-object swap: temp-file + rename locally; one PUT of
+    the manifest key on an object store (PUTs are atomic per object).
+    A versioned snapshot (`_manifest.vNNNNNNNN.json`) is written FIRST:
+    the commit point is still the single `_manifest.json` swap — a
+    crash in between leaves an orphan snapshot that vacuum reclaims —
+    and the snapshot gives readers time travel back to any commit
+    still inside the vacuum retention window."""
+    fs, root = get_fs(store, spark)
+    fs.mkdirs(root)
+    body = json.dumps({"partitions": partitions}, sort_keys=True)
+    versions = manifest_versions(store, spark)
+    v = (versions[-1] + 1) if versions else 1
+    fs.put_text_atomic(
+        posixpath.join(root, f"{_VPREFIX}{v:08d}.json"), body
+    )
+    fs.put_text_atomic(posixpath.join(root, MANIFEST), body)
+
+
+def resolve_partitions(
+    store: str, spark=None, *, version: int | None = None
+) -> dict[str, str]:
     """Every live partition of the store: name -> ABSOLUTE data dir.
-    Manifest entries override the plain directory of the same name."""
-    root = _strip_scheme(store)
+    Manifest entries override the plain directory of the same name.
+    `version` resolves through a retained manifest snapshot instead of
+    the current one (plain, never-manifest-committed partitions read
+    at their current state either way — snapshots version the
+    COMMITTED updates, which after the first manifest commit is every
+    update thanks to the committer's auto-upgrade)."""
+    fs, root = get_fs(store, spark)
     out: dict[str, str] = {}
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
+    if fs.isdir(root):
+        for name in fs.listdir(root):
             if name.startswith(("_", ".")) or "=" not in name:
                 continue
-            if os.path.isdir(os.path.join(root, name)):
-                out[name] = os.path.join(root, name)
-    for name, rel in load_manifest(store).items():
-        out[name] = os.path.join(root, rel)
+            if fs.isdir(posixpath.join(root, name)):
+                out[name] = posixpath.join(root, name)
+    for name, rel in load_manifest(store, spark, version=version).items():
+        out[name] = posixpath.join(root, rel)
     return out
 
 
-def read_store(spark, store: str, partition_col: str | None = None):
+def read_store(
+    spark,
+    store: str,
+    partition_col: str | None = None,
+    *,
+    version: int | None = None,
+):
     """Manifest-aware store read. Without a manifest this is a plain
-    partitioned parquet read (zero overhead). With one, each resolved
-    partition dir is read explicitly and the partition column re-added
-    from the dir name — the moral equivalent of a Delta file index: the
-    reader never lists, never trusts, the plain directory tree."""
-    manifest = load_manifest(store)
+    partitioned parquet read (zero overhead). With one, resolved
+    partition dirs are grouped by the base they hang off — the plain
+    partition tree plus one group per manifest generation token — and
+    each group reads as ONE multi-path `basePath` relation, so the plan
+    holds a handful of FileScans however many day-partitions the store
+    has accumulated (a per-partition union would be a 1000-branch plan
+    after three years of retention — VERDICT r5 #3). Spark re-derives
+    the partition column from the dir names; it is cast back to string,
+    the store's writer convention. `version` time-travels to a retained
+    manifest snapshot — reproducible reads for a long job spanning
+    maintenance commits, as long as vacuum retention covers it."""
+    manifest = load_manifest(store, spark, version=version)
     if not manifest:
+        if version is not None:
+            raise FileNotFoundError(
+                f"manifest version {version} of {store!r} is empty"
+            )
         return spark.read.parquet(store)
     from pyspark.sql import functions as F
 
-    parts = resolve_partitions(store)
-    dfs = []
+    parts = resolve_partitions(store, spark, version=version)
+    if partition_col is not None:
+        parts = {
+            n: d
+            for n, d in parts.items()
+            if n.split("=", 1)[0] == partition_col
+        }
+    if not parts:
+        raise FileNotFoundError(
+            f"store {store!r} has a manifest but no partition resolves"
+            + (
+                f" for partition column {partition_col!r}"
+                if partition_col
+                else ""
+            )
+        )
+    groups: dict[str, list[str]] = {}
     for name, d in sorted(parts.items()):
-        col, val = name.split("=", 1)
-        if partition_col is not None and col != partition_col:
-            continue
-        dfs.append(spark.read.parquet(d).withColumn(col, F.lit(val)))
+        base = d[: -(len(name) + 1)]  # strip "/<name>"
+        groups.setdefault(base, []).append(d)
+    dfs = []
+    for base, dirs in sorted(groups.items()):
+        col = posixpath.basename(dirs[0]).split("=", 1)[0]
+        dfs.append(
+            spark.read.option("basePath", base)
+            .parquet(*dirs)
+            .withColumn(col, F.col(col).cast("string"))
+        )
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -135,14 +220,21 @@ class PartitionCommitter:
     path under `<store>/_gen/<token>` and commits all partitions with
     one manifest swap (all-or-nothing across the set, which the rename
     mode cannot give — one more reason it is the portable default for
-    multi-partition updates on object stores)."""
+    multi-partition updates on object stores). A store that already has
+    a non-empty manifest forces manifest mode regardless of the flag:
+    mixing a rename-mode swap under a live manifest entry would leave
+    readers on the stale generation (ADVICE r5)."""
 
     def __init__(self, store: str, *, force_manifest: bool = False):
-        self.store = _strip_scheme(store.rstrip("/"))
+        self._fs, self.store = get_fs(store.rstrip("/"))
         self.token = uuid.uuid4().hex[:12]
-        self.manifest_mode = force_manifest or not is_posix_path(store)
+        self.manifest_mode = (
+            force_manifest
+            or not is_posix_path(store)
+            or bool(load_manifest(store))
+        )
         self._staging = (
-            os.path.join(self.store, "_gen", self.token)
+            posixpath.join(self.store, "_gen", self.token)
             if self.manifest_mode
             else f"{self.store}__stage_{self.token}"
         )
@@ -154,7 +246,7 @@ class PartitionCommitter:
         missing = [
             p
             for p in partitions
-            if not os.path.isdir(os.path.join(self._staging, p))
+            if not self._fs.isdir(posixpath.join(self._staging, p))
         ]
         if missing:
             raise FileNotFoundError(
@@ -163,41 +255,31 @@ class PartitionCommitter:
             )
         if self.manifest_mode:
             manifest = load_manifest(self.store)
-            before = {p: manifest.get(p) for p in partitions}
             for p in partitions:
-                manifest[p] = os.path.join("_gen", self.token, p)
+                manifest[p] = posixpath.join("_gen", self.token, p)
             _write_manifest(self.store, manifest)
-            # superseded generations are now unreachable -> vacuum
-            # (drop the partition dir, then its token parent if empty)
-            for old in set(before.values()):
-                if old is None:
-                    continue
-                shutil.rmtree(
-                    os.path.join(self.store, old), ignore_errors=True
-                )
-                parent = os.path.dirname(os.path.join(self.store, old))
-                # only bookkeeping files (_SUCCESS) left -> whole token
-                # dir is garbage
-                if os.path.isdir(parent) and all(
-                    n.startswith(("_", ".")) for n in os.listdir(parent)
-                ):
-                    shutil.rmtree(parent, ignore_errors=True)
+            # superseded generations are now unreachable; they stay on
+            # disk for concurrent readers mid-scan on the old manifest
+            # and are reclaimed by the explicit vacuum_store call
+            # (age-gated MVCC retention — ADVICE r5)
         else:
             for p in partitions:
                 swap_dir(
-                    os.path.join(self._staging, p), os.path.join(self.store, p)
+                    posixpath.join(self._staging, p),
+                    posixpath.join(self.store, p),
                 )
-            shutil.rmtree(self._staging, ignore_errors=True)
+            self._fs.delete(self._staging)
 
     def abort(self) -> None:
-        shutil.rmtree(self._staging, ignore_errors=True)
+        self._fs.delete(self._staging)
 
 
 def swap_dir(src: str, dst: str) -> None:
     """Hardened POSIX directory swap (ADVICE r4): recover a stale
     `<dst>.old` left by a prior crash, commit a first write (missing
     dst) with a single rename, and restore dst if the second rename of
-    the two-rename swap fails."""
+    the two-rename swap fails. Local-only by construction — non-file
+    schemes always take manifest mode."""
     old = dst + ".old"
     if os.path.isdir(old):
         if os.path.isdir(dst):
@@ -216,19 +298,57 @@ def swap_dir(src: str, dst: str) -> None:
     shutil.rmtree(old)
 
 
-def vacuum_store(store: str) -> list[str]:
-    """Remove `_gen` generations not referenced by the manifest (failed
-    or superseded writers). Returns removed relative dirs."""
-    root = _strip_scheme(store)
-    gen_root = os.path.join(root, "_gen")
-    if not os.path.isdir(gen_root):
-        return []
-    live = {rel.split(os.sep)[1] for rel in load_manifest(store).values()}
+def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
+    """Reclaim `_gen` generations unreachable from the CURRENT manifest
+    and every RETAINED snapshot. Two-step, age-gated like Delta's
+    `VACUUM ... RETAIN` (ADVICE r5):
+
+      1. manifest snapshots older than `retain_s` (except the one the
+         current manifest equals) are pruned — they define the time-
+         travel horizon;
+      2. generations younger than `retain_s` or referenced by any
+         surviving snapshot are kept, so both a long-running reader
+         that resolved the previous manifest mid-scan and a
+         `read_store(version=...)` inside the horizon complete on
+         intact files.
+
+    Run with a retention longer than your longest query. Returns
+    removed relative paths (snapshots + generation dirs)."""
+    fs, root = get_fs(store, spark)
+    now = time.time()
     removed = []
-    for token in sorted(os.listdir(gen_root)):
-        if token not in live:
-            shutil.rmtree(os.path.join(gen_root, token), ignore_errors=True)
-            removed.append(os.path.join("_gen", token))
+    versions = manifest_versions(store, spark)
+    current = json.dumps(
+        {"partitions": load_manifest(store, spark)}, sort_keys=True
+    )
+    for v in versions[:-1] if versions else []:
+        name = f"{_VPREFIX}{v:08d}.json"
+        p = posixpath.join(root, name)
+        if retain_s > 0 and now - fs.mtime(p) < retain_s:
+            continue
+        if fs.read_text(p) == current:
+            continue  # still the live state
+        fs.delete(p)
+        removed.append(name)
+    gen_root = posixpath.join(root, "_gen")
+    if not fs.isdir(gen_root):
+        return removed
+    live = {
+        rel.split("/")[1] for rel in load_manifest(store, spark).values()
+    }
+    for v in manifest_versions(store, spark):
+        live |= {
+            rel.split("/")[1]
+            for rel in load_manifest(store, spark, version=v).values()
+        }
+    for token in fs.listdir(gen_root):
+        if token in live:
+            continue
+        tdir = posixpath.join(gen_root, token)
+        if retain_s > 0 and now - fs.mtime(tdir) < retain_s:
+            continue
+        fs.delete(tdir)
+        removed.append(posixpath.join("_gen", token))
     return removed
 
 
@@ -253,35 +373,32 @@ def publish_once(df, dest: str, meta: dict | None = None) -> dict:
 
     Crash between data write and marker -> no marker -> invisible;
     the orphan data dir is a vacuum target."""
-    existing = resolve_commit(dest)
+    spark = df.sparkSession
+    existing = resolve_commit(dest, spark)
     if existing is not None:
         return existing[1]
-    root = _strip_scheme(dest)
+    fs, root = get_fs(dest, spark)
     wtoken = uuid.uuid4().hex[:12]
-    df.write.mode("overwrite").parquet(os.path.join(root, f"data-{wtoken}"))
-    tmp = os.path.join(root, f".marker.{wtoken}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta or {}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(root, f"_committed-{wtoken}"))
-    committed = resolve_commit(dest)
+    df.write.mode("overwrite").parquet(posixpath.join(root, f"data-{wtoken}"))
+    fs.put_text_atomic(
+        posixpath.join(root, f"_committed-{wtoken}"), json.dumps(meta or {})
+    )
+    committed = resolve_commit(dest, spark)
     assert committed is not None
     return committed[1]
 
 
-def resolve_commit(dest: str) -> tuple[str, dict] | None:
+def resolve_commit(dest: str, spark=None) -> tuple[str, dict] | None:
     """(data dir, meta) of the winning commit under dest, or None."""
-    root = _strip_scheme(dest)
-    if not os.path.isdir(root):
+    fs, root = get_fs(dest, spark)
+    if not fs.isdir(root):
         return None
     markers = sorted(
-        n for n in os.listdir(root) if n.startswith("_committed-")
+        n for n in fs.listdir(root) if n.startswith("_committed-")
     )
     for m in markers:  # min wtoken whose data dir exists
         wtoken = m.split("-", 1)[1]
-        data = os.path.join(root, f"data-{wtoken}")
-        if os.path.isdir(data):
-            with open(os.path.join(root, m)) as f:
-                return data, json.load(f)
+        data = posixpath.join(root, f"data-{wtoken}")
+        if fs.isdir(data):
+            return data, json.loads(fs.read_text(posixpath.join(root, m)))
     return None

@@ -1,0 +1,168 @@
+"""Filesystem adapter for the commit protocols in sources/commit.py.
+
+The commit/manifest/marker protocols need only a tiny FS surface:
+existence/listing, recursive delete, rename, and — the commit point
+itself — an ATOMIC single-object publish. The local implementation is
+plain os/open; everything with a non-file scheme (s3a://, gs://, the
+hdfs:// family, ...) routes through the JVM Hadoop FileSystem that
+Spark itself uses for the same path, so the data files Spark writes and
+the manifest/marker objects this module writes land on the SAME store
+through the SAME connector configuration (ADVICE r5: previously a
+non-file scheme was silently stripped and everything went to a local
+relative path — the one case manifest mode exists for).
+
+Atomicity contract of `put_text_atomic`:
+  * LocalFS — write to a same-directory temp file, fsync, rename()
+    (atomic on POSIX);
+  * HadoopFS — one create(overwrite=True) stream; on object stores a
+    PUT becomes visible atomically at close, which is exactly the
+    single-object commit unit the manifest protocol is designed around
+    (commit.py module docstring). On hdfs:// create+close is likewise
+    atomic at the namenode.
+
+Scheme-less paths and file:// are local; anything else requires an
+active SparkSession (the JVM gateway) and raises a clear error instead
+of silently writing to the wrong place.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+def is_posix_path(path: str) -> bool:
+    """Local filesystem paths get the atomic-rename fast path; anything
+    with a non-file scheme (s3a://, gs://, ...) must use manifest mode."""
+    if "://" not in path:
+        return True
+    return path.split("://", 1)[0] == "file"
+
+
+def strip_scheme(path: str) -> str:
+    return path.split("://", 1)[1] if "://" in path else path
+
+
+class LocalFS:
+    """os/open-backed implementation for scheme-less and file:// paths."""
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return sorted(os.listdir(p))
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def put_text_atomic(self, p: str, text: str) -> None:
+        d, name = os.path.split(p)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def delete(self, p: str) -> None:
+        """Recursive delete; files and missing paths are fine (matches
+        Hadoop FileSystem.delete(path, recursive=true) semantics)."""
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+
+    def mtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
+
+class HadoopFS:
+    """JVM org.apache.hadoop.fs.FileSystem-backed implementation —
+    resolved per-path from the SparkSession's Hadoop configuration, so
+    it honors whatever connector/credentials Spark's own parquet I/O on
+    that path uses (s3a committers, gs connector, hdfs, ...)."""
+
+    def __init__(self, spark, path: str):
+        self._jvm = spark._jvm
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        self._fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._p(p)))
+
+    def isdir(self, p: str) -> bool:
+        jp = self._p(p)
+        return bool(self._fs.exists(jp)) and bool(
+            self._fs.getFileStatus(jp).isDirectory()
+        )
+
+    def listdir(self, p: str) -> list[str]:
+        return sorted(
+            st.getPath().getName() for st in self._fs.listStatus(self._p(p))
+        )
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._p(p))
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._p(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def put_text_atomic(self, p: str, text: str) -> None:
+        out = self._fs.create(self._p(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"hadoop fs rename failed: {src} -> {dst}")
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._p(p), True)
+
+    def mtime(self, p: str) -> float:
+        return self._fs.getFileStatus(self._p(p)).getModificationTime() / 1000.0
+
+
+def get_fs(path: str, spark=None) -> tuple[object, str]:
+    """-> (fs implementation, normalized path). Local paths come back
+    scheme-stripped for os-level use; Hadoop paths keep their full URI
+    (the Hadoop Path API needs it, and Spark reads the same URI)."""
+    if is_posix_path(path):
+        return LocalFS(), strip_scheme(path)
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise NotImplementedError(
+            f"path {path!r} has a non-file scheme; commit-protocol I/O on "
+            "it needs an active SparkSession (Hadoop FileSystem gateway) — "
+            "refusing to fall back to local relative paths"
+        )
+    return HadoopFS(spark, path), path

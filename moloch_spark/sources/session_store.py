@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,19 +138,22 @@ def expire_partitions(
         vacuum_store,
     )
 
+    from moloch_spark.sources.fs import get_fs
+
+    fs, root = get_fs(path, spark)
     now = now or dt.date.today()
     cutoff = (now - dt.timedelta(days=keep_days)).isoformat()
     dropped = []
-    if not os.path.isdir(path):
+    if not fs.isdir(root):
         return dropped
     manifest = load_manifest(path)
     for name, pdir in resolve_partitions(path).items():
         day = name.split("=", 1)[1]
         if day < cutoff:
-            shutil.rmtree(pdir, ignore_errors=True)
-            plain = os.path.join(path, name)
-            if os.path.isdir(plain):
-                shutil.rmtree(plain, ignore_errors=True)
+            fs.delete(pdir)
+            plain = os.path.join(root, name)
+            if fs.isdir(plain):
+                fs.delete(plain)
             manifest.pop(name, None)
             dropped.append(name)
     if load_manifest(path) != manifest:

@@ -70,36 +70,144 @@ def test_manifest_crash_between_write_and_commit(spark, tmp_path):
     assert _store_rows(spark, path) == before
 
 
-def test_manifest_commit_supersedes_and_vacuums(spark, tmp_path):
+def _tag_day2(spark, path, tag):
+    c = PartitionCommitter(path, force_manifest=True)
+    src = read_store(spark, path, "day").filter(F.col("day") == "2024-03-02")
+    (
+        src.withColumn("tags", F.array(F.lit(tag)))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c.staging_dir())
+    )
+    c.commit(["day=2024-03-02"])
+    return c.token
+
+
+def test_manifest_commit_supersedes_with_mvcc_retention(spark, tmp_path):
     """Two successive manifest commits of the same partition: readers
-    always see exactly one generation; the superseded one is removed."""
+    always see exactly one generation, the superseded one survives the
+    commit (a concurrent reader that resolved the old manifest finishes
+    its scan on intact files — ADVICE r5), and reclaim is the explicit,
+    age-gated vacuum_store call."""
     path = str(tmp_path / "store")
     _mk_store(spark, path)
 
-    def tag_day2(tag):
-        c = PartitionCommitter(path, force_manifest=True)
-        src = read_store(spark, path, "day").filter(
-            F.col("day") == "2024-03-02"
-        )
-        (
-            src.withColumn("tags", F.array(F.lit(tag)))
-            .repartition(F.col("day"))
-            .write.partitionBy("day")
-            .parquet(c.staging_dir())
-        )
-        c.commit(["day=2024-03-02"])
-        return c.token
-
-    t1 = tag_day2("gen1")
+    t1 = _tag_day2(spark, path, "gen1")
     assert _store_rows(spark, path)["s1-0"] == ["gen1"]
-    t2 = tag_day2("gen2")
+    # a reader resolves the CURRENT (gen1) manifest ...
+    old_reader_dir = resolve_partitions(path)["day=2024-03-02"]
+    t2 = _tag_day2(spark, path, "gen2")
     got = _store_rows(spark, path)
     assert got["s1-0"] == ["gen2"]
     assert got["s0-0"] == ["old"]                      # other days untouched
-    assert not os.path.isdir(os.path.join(path, "_gen", t1))  # vacuumed
+    # ... and still completes AFTER the superseding commit: the old
+    # generation is unreachable but intact until vacuum
+    assert os.path.isdir(os.path.join(path, "_gen", t1))
+    assert {
+        r.session_id for r in spark.read.parquet(old_reader_dir).collect()
+    } == {"s1-0", "s1-1", "s1-2"}
+    # age-gated vacuum: a long retention keeps the old generation ...
+    assert vacuum_store(path, retain_s=3600.0) == []
+    assert os.path.isdir(os.path.join(path, "_gen", t1))
+    # ... and inside the horizon the gen1 commit is TIME-TRAVEL
+    # readable through its retained manifest snapshot
+    from moloch_spark.sources.commit import manifest_versions
+
+    v1, v2 = manifest_versions(path)
+    old_rows = {
+        r.session_id: sorted(r.tags)
+        for r in read_store(spark, path, "day", version=v1).collect()
+    }
+    assert old_rows["s1-0"] == ["gen1"] and old_rows["s0-0"] == ["old"]
+    # zero retention reclaims the unreferenced generation AND the
+    # superseded snapshot (the time-travel horizon moves with vacuum)
+    removed = vacuum_store(path)
+    assert os.path.join("_gen", t1) in removed
+    assert any(r.startswith("_manifest.v") for r in removed)
+    assert not os.path.isdir(os.path.join(path, "_gen", t1))
     assert os.path.isdir(os.path.join(path, "_gen", t2))
+    assert manifest_versions(path) == [v2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="reclaimed|not found"):
+        read_store(spark, path, "day", version=v1)
     # the plain (stale) dir is invisible to the manifest-aware reader
     assert len(got) == 9
+
+
+def test_rename_mode_auto_upgrades_under_manifest(spark, tmp_path):
+    """ADVICE r5 (medium): once any partition is manifest-committed, a
+    later DEFAULT-mode committer must go through the manifest too — a
+    plain-dir swap would be invisible behind the stale manifest entry
+    (lost update)."""
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    _tag_day2(spark, path, "gen1")
+
+    c = PartitionCommitter(path)                       # no force_manifest
+    assert c.manifest_mode                             # auto-upgraded
+    src = read_store(spark, path, "day").filter(F.col("day") == "2024-03-02")
+    (
+        src.withColumn("tags", F.array(F.lit("gen2")))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c.staging_dir())
+    )
+    c.commit(["day=2024-03-02"])
+    assert _store_rows(spark, path)["s1-0"] == ["gen2"]   # update visible
+
+
+def test_read_store_no_resolvable_partition_raises(spark, tmp_path):
+    """ADVICE r5 (low): a manifest-bearing store where nothing survives
+    the partition_col filter must fail with a descriptive error, not an
+    IndexError."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    _tag_day2(spark, path, "gen1")
+    with _pytest.raises(FileNotFoundError, match="no partition resolves"):
+        read_store(spark, path, "not_a_partition_col")
+
+
+def test_read_store_plan_bounded_by_generations(spark, tmp_path):
+    """VERDICT r5 #3: manifest-mode read plans one multi-path relation
+    per BASE (plain tree + one per generation token), not one union
+    branch per partition — 40 day-partitions with 2 manifest-committed
+    generations must plan 3 scans, not 41."""
+    import datetime as dtm
+
+    from moloch_spark.sources.session_store import write_sessions
+
+    path = str(tmp_path / "store")
+    rows = [
+        (f"s{d}-{i}", dtm.datetime(2024, 3, 1, 12, 0) + dtm.timedelta(days=d), ["old"])
+        for d in range(40)
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, last_packet timestamp, tags array<string>"
+    )
+    write_sessions(df, path, mode="overwrite")
+    _tag_day2(spark, path, "gen1")                     # token A: day 2
+    c = PartitionCommitter(path, force_manifest=True)  # token B: day 3
+    src = read_store(spark, path, "day").filter(F.col("day") == "2024-03-03")
+    (
+        src.withColumn("tags", F.array(F.lit("genB")))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c.staging_dir())
+    )
+    c.commit(["day=2024-03-03"])
+
+    out = read_store(spark, path, "day")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation")
+    assert n_scans == 3, f"expected 3 scans (plain + 2 generations): {plan}"
+    got = {r.session_id: sorted(r.tags) for r in out.collect()}
+    assert len(got) == 80
+    assert got["s1-0"] == ["gen1"] and got["s2-0"] == ["genB"]
+    assert got["s0-0"] == ["old"]
 
 
 def test_update_tags_partitioned_manifest_mode(spark, tmp_path):

@@ -1,0 +1,154 @@
+"""Filesystem-adapter coverage (VERDICT r5 #2 / ADVICE r5 medium).
+
+The commit protocols must run their I/O through the SAME filesystem
+Spark uses for the path's scheme: plain os for local paths, the JVM
+Hadoop FileSystem for everything else. These tests drive the HadoopFS
+adapter against the real org.apache.hadoop.fs.LocalFileSystem (the
+same JVM code path an s3a://gs:// URI takes, minus the remote
+connector), and pin that unsupported schemes fail loudly instead of
+silently writing to a stripped local relative path (the pre-r6 bug).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moloch_spark.sources.fs import HadoopFS, LocalFS, get_fs
+
+
+def test_get_fs_local_paths(spark, tmp_path):
+    fs, root = get_fs(str(tmp_path))
+    assert isinstance(fs, LocalFS) and root == str(tmp_path)
+    fs2, root2 = get_fs(f"file://{tmp_path}")
+    assert isinstance(fs2, LocalFS) and root2 == str(tmp_path)
+
+
+def test_get_fs_unknown_scheme_fails_loudly(spark, tmp_path):
+    """No silent local fallback: a scheme the JVM has no connector for
+    must raise at FS resolution, before any data moves."""
+    with pytest.raises(Exception, match="(?i)no filesystem for scheme"):
+        fs, _ = get_fs("noschemehere://bucket/store", spark)
+        fs.exists("noschemehere://bucket/store")
+
+
+def test_get_fs_nonfile_scheme_without_spark_raises(monkeypatch):
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    with pytest.raises(NotImplementedError, match="non-file scheme"):
+        get_fs("s3a://bucket/store")
+
+
+def test_hadoopfs_roundtrip(spark, tmp_path):
+    """Every operation the commit protocol needs, through the JVM FS."""
+    base = f"file://{tmp_path}/h"
+    fs = HadoopFS(spark, base)
+    assert not fs.exists(f"{base}/x")
+    fs.mkdirs(f"{base}/d1/d2")
+    assert fs.isdir(f"{base}/d1") and fs.isdir(f"{base}/d1/d2")
+    fs.put_text_atomic(f"{base}/d1/m.json", '{"a": 1}')
+    assert fs.read_text(f"{base}/d1/m.json") == '{"a": 1}'
+    fs.put_text_atomic(f"{base}/d1/m.json", '{"a": 2}')  # overwrite = swap
+    assert fs.read_text(f"{base}/d1/m.json") == '{"a": 2}'
+    assert not fs.isdir(f"{base}/d1/m.json")
+    assert "m.json" in fs.listdir(f"{base}/d1")
+    assert fs.mtime(f"{base}/d1/m.json") > 0
+    fs.rename(f"{base}/d1/d2", f"{base}/d1/d3")
+    assert fs.isdir(f"{base}/d1/d3") and not fs.exists(f"{base}/d1/d2")
+    fs.delete(f"{base}/d1")
+    assert not fs.exists(f"{base}/d1")
+
+
+@pytest.fixture
+def nonposix_file_scheme(monkeypatch):
+    """Route file:// URIs through HadoopFS, exactly as an s3a:// store
+    would route — same adapter, same manifest/marker code paths."""
+    import moloch_spark.sources.commit as commit_mod
+    import moloch_spark.sources.fs as fs_mod
+
+    fake = lambda path: "://" not in path  # noqa: E731
+    monkeypatch.setattr(fs_mod, "is_posix_path", fake)
+    monkeypatch.setattr(commit_mod, "is_posix_path", fake)
+    yield
+
+
+def test_partition_commit_protocol_over_hadoopfs(
+    spark, tmp_path, nonposix_file_scheme
+):
+    """End-to-end manifest-mode commit + read + vacuum where every
+    protocol I/O goes through the Hadoop FileSystem adapter (the
+    object-store route), while Spark writes the parquet through the
+    same URIs."""
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        load_manifest,
+        read_store,
+        vacuum_store,
+    )
+    from moloch_spark.sources.fs import HadoopFS
+    from moloch_spark.sources.session_store import write_sessions
+
+    store = f"file://{tmp_path}/store"
+    assert isinstance(get_fs(store, spark)[0], HadoopFS)
+
+    rows = [
+        (f"s{d}-{i}", dt.datetime(2024, 3, 1 + d, 12, i), ["old"])
+        for d in range(3)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, last_packet timestamp, tags array<string>"
+    )
+    write_sessions(df, store, mode="overwrite")
+
+    c = PartitionCommitter(store)
+    assert c.manifest_mode                      # non-posix -> manifest mode
+    assert c.staging_dir().startswith("file://")
+    src = read_store(spark, store, "day").filter(F.col("day") == "2024-03-02")
+    (
+        src.withColumn("tags", F.array(F.lit("swapped")))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c.staging_dir())
+    )
+    c.commit(["day=2024-03-02"])
+
+    assert load_manifest(store) == {
+        "day=2024-03-02": f"_gen/{c.token}/day=2024-03-02"
+    }
+    got = {
+        r.session_id: sorted(r.tags)
+        for r in read_store(spark, store, "day").collect()
+    }
+    assert len(got) == 9
+    assert got["s1-0"] == ["swapped"] and got["s0-0"] == ["old"]
+
+    # abort/vacuum path through the adapter too
+    c2 = PartitionCommitter(store)
+    spark.createDataFrame([(1,)], "x int").write.parquet(
+        c2.staging_dir() + "/day=2024-03-09"
+    )
+    assert vacuum_store(store, retain_s=3600.0) == []   # too young
+    assert vacuum_store(store) == [f"_gen/{c2.token}"]
+
+
+def test_publish_once_over_hadoopfs(spark, tmp_path, nonposix_file_scheme):
+    from moloch_spark.sources.commit import publish_once, resolve_commit
+
+    dest = f"file://{tmp_path}/tick"
+    df = spark.range(5).select(F.col("id"))
+    meta = publish_once(df, dest, {"hi": "t1"})
+    assert meta["hi"] == "t1"
+    data, got = resolve_commit(dest, spark)
+    assert got == meta and data.startswith("file://")
+    assert spark.read.parquet(data).count() == 5
+    # replay returns the recorded commit, no rewrite
+    meta2 = publish_once(spark.range(99).select(F.col("id")), dest, {"hi": "t9"})
+    assert meta2 == meta
+    assert spark.read.parquet(resolve_commit(dest, spark)[0]).count() == 5

@@ -84,18 +84,12 @@ def int8_quant_model(
     return 127.0 / m if m and m > 0 else 0.0
 
 
-def int8_codes(
-    emb: DataFrame,
-    scale: float,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """-> (id, code array<int> in [-127, 127]): scan-side quantization
-    with the scalar model as a literal. floor(x*s + 0.5) instead of
-    round() so both engines share one IEEE-deterministic rounding rule
-    (round() half-away vs half-even varies by engine)."""
-    code = F.transform(
+def int8_code_expr(vec_col: str, scale: float) -> Column:
+    """Column expression quantizing `vec_col` to array<int> in
+    [-127, 127] with the scalar model as a literal. floor(x*s + 0.5)
+    instead of round() so both engines share one IEEE-deterministic
+    rounding rule (round() half-away vs half-even varies by engine)."""
+    return F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.greatest(
             F.lit(-127),
@@ -105,7 +99,19 @@ def int8_codes(
             ),
         ),
     )
-    return emb.select(F.col(id_col), code.alias("code"))
+
+
+def int8_codes(
+    emb: DataFrame,
+    scale: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, code array<int>): scan-side quantization (int8_code_expr)."""
+    return emb.select(
+        F.col(id_col), int8_code_expr(vec_col, scale).alias("code")
+    )
 
 
 def ann_int8_topk(
@@ -379,6 +385,67 @@ def ann_ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "did", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ann_ivf_int8_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF + int8 composition — the clustered 100 TB layout with the 4x
+    scan-bandwidth cut applied INSIDE each inverted list (the Faiss
+    `IVFx,SQ8` shape): cell assignment runs on the full-precision
+    vectors (the coarse quantizer sees no quantization error), the
+    per-cell candidate scoring runs on int8 codes (exact integer dots,
+    64 bytes/vector). Per-query corpus cost is
+    O(n * nprobe / n_cells) code-bytes — both the probe pruning and the
+    bandwidth cut multiply. One scan computes cell + code side by side
+    (no self-join of the corpus); queries broadcast; recall vs exact
+    cosine is gated in test_ann_recall."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
+    scale = int8_quant_model(emb, vec_col=vec_col)
+    scorer = _cell_scores_udf(cents)
+    vec = F.col(vec_col).cast("array<double>")
+    corpus = emb.select(
+        F.col(id_col),
+        int8_code_expr(vec_col, scale).alias("code"),
+        _argmin_cell(scorer(vec)).alias("cell"),
+    )
+    q = (
+        emb.filter(F.col(id_col) < query_max_id)
+        .withColumn("sc", scorer(vec))
+        .select(
+            F.col(id_col).alias("qid"),
+            int8_code_expr(vec_col, scale).alias("qcode"),
+            F.explode(
+                _probe_cells(F.col("sc"), len(cents), nprobe)
+            ).alias("pcell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        F.col(id_col).alias("did"),
+        cosine_expr(F.col("qcode"), F.col("code")).alias("qcosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("qcosine").desc(), F.col("did").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "did", "qcosine", F.col("rank").cast("long").alias("rank"))
     )
 
 

@@ -685,6 +685,79 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def _ivf_int8_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    """IVF probe pruning (full-precision coarse assignment, replayed
+    from _ivf_ann_sql's cell_rank) composed with int8 in-cell scoring
+    (the codes CTE of the ann_int8 oracle): assignment on `ed`,
+    candidate cosine on integer codes."""
+    cents = S.ivf_centroids(dim, n_cells)
+    values = ", ".join(
+        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
+    c2_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
+    ) + " END"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    model AS (
+      SELECT 127.0 / MAX(list_aggregate(list_transform(ed, x -> abs(x)),
+                                        'max')) AS sc
+      FROM b
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(ed, x ->
+               GREATEST(-127, LEAST(127,
+                 CAST(FLOOR(x * sc + 0.5) AS INT)))) AS code
+      FROM b, model
+    ),
+    cells(cell, c) AS (VALUES {values}),
+    cell_rank AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
+             ) AS rn
+      FROM b CROSS JOIN cells
+    ),
+    assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cell
+               FROM cell_rank WHERE vec_id < 5 AND rn <= {nprobe}),
+    scored AS (
+      SELECT p.qid, a.vec_id AS did,
+             ROUND(list_dot_product(qc.code, dc.code)
+                   / (sqrt(list_dot_product(qc.code, qc.code))
+                      * sqrt(list_dot_product(dc.code, dc.code))), 4) AS qcosine
+      FROM assign a
+      JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+      JOIN codes qc ON qc.vec_id = p.qid
+      JOIN codes dc ON dc.vec_id = a.vec_id
+    )
+    SELECT qid, did, qcosine, rank FROM (
+      SELECT qid, did, qcosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY qcosine DESC, did ASC) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= 10
+    ORDER BY qid, rank
+    """
+
+
+@register("ann_ivf_int8_topk", _ivf_int8_sql())
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered + quantized ANN rung (VERDICT r5 ask #4, the Faiss
+    IVFx,SQ8 shape a 100 TB vector corpus actually deploys): coarse
+    cells prune the scan to nprobe/n_cells of the corpus, int8 codes
+    cut the bytes scanned per surviving candidate 4x, and the dots are
+    exact integer arithmetic. Cell assignment uses the full-precision
+    vectors so the coarse quantizer is unaffected by code error; recall
+    @10 vs exact cosine is gated >= 0.85 in test_ann_recall."""
+    return S.ann_ivf_int8_topk(load_table(spark, "embeddings", sf_dir)).orderBy(
+        "qid", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal (real decode/resize/frame-sample — see operators.multimodal)
 # ---------------------------------------------------------------------------
@@ -2276,9 +2349,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment", "rec_index")
 
 
-@register(
-    "hybrid_rrf_search",
-    f"""
+_HYBRID_RRF_SQL = f"""
     WITH uni AS (
       SELECT d.doc_id, d.text
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -2361,8 +2432,10 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fused
     ) WHERE rnk <= 10
     ORDER BY query_id, rnk
-    """,
-)
+    """
+
+
+@register("hybrid_rrf_search", _HYBRID_RRF_SQL)
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 over the text of every document that has
     an embedding, exact cosine over those embeddings, both top-20 per
@@ -2380,6 +2453,60 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qterms = R.corpus_queries(uni.filter(F.col("doc_id") < 5), modulus=1)
     lex = R.bm25_topk(uni, qterms, k=20)
+    emb_u = emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    dense = S.brute_force_topk(emb_u, query_max_id=5, k=20).select(
+        F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank"
+    )
+    return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense]).orderBy(
+        "query_id", "rank"
+    )
+
+
+# the hybrid gate's lexical corpus is documents ∩ embeddings, so the
+# durable index for the indexed variant is built over exactly that
+# slice — memoized per (process, sf_dir) like _bm25_index
+_BM25_HYBRID_CACHE: dict[str, str] = {}
+
+
+def _bm25_hybrid_index(spark: SparkSession, sf_dir: str) -> str:
+    import re
+    import tempfile
+
+    prefix = _BM25_HYBRID_CACHE.get(sf_dir)
+    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
+        return prefix
+    from moloch_spark.operators import retrieval as R
+
+    prefix = "bm25hy_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir)
+    uni = docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    R.build_bm25_index(
+        spark, uni, prefix, tempfile.mkdtemp(prefix="bm25hy_") + "/t"
+    )
+    _BM25_HYBRID_CACHE[sf_dir] = prefix
+    return prefix
+
+
+@register("hybrid_rrf_indexed", _HYBRID_RRF_SQL)
+def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of hybrid retrieval (VERDICT r5 ask #5):
+    the lexical side serves from the DURABLE term-bucketed BM25 index
+    (build once, bucket-pruned postings scan per query batch —
+    operators/retrieval.bm25_topk_indexed) instead of re-tokenizing the
+    corpus per search, then fuses with the dense top-20 via RRF. Must
+    hash-match the same oracle as hybrid_rrf_search: the index is a
+    physical layout, not a semantics change — index once, fuse per
+    batch."""
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.operators import similarity as S
+
+    prefix = _bm25_hybrid_index(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir)
+    uni = docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    qterms = R.corpus_queries(uni.filter(F.col("doc_id") < 5), modulus=1)
+    lex = R.bm25_topk_indexed(spark, prefix, qterms, k=20)
     emb_u = emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id")
     dense = S.brute_force_topk(emb_u, query_max_id=5, k=20).select(
         F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank"

@@ -56,6 +56,26 @@ def test_int8_quant_recall_vs_brute_force(spark):
     assert bounds["lo"] == -127 or bounds["hi"] == 127
 
 
+def test_ivf_int8_recall_vs_brute_force(spark):
+    """The IVF+int8 composition (VERDICT r5 ask #4) keeps recall@10 >=
+    0.85 against exact cosine: probe pruning and quantization losses
+    must not compound destructively. Also pins that it loses nothing
+    beyond what plain IVF (same cells/nprobe) already loses — the int8
+    step is near-lossless inside the probed cells."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    bf = _pairs(S.brute_force_topk(emb))
+    ivf8 = _pairs(S.ann_ivf_int8_topk(emb))
+    recall = len(bf & ivf8) / len(bf)
+    assert recall >= 0.85, f"IVF+int8 recall@10 collapsed: {recall:.2f}"
+
+    ivf = _pairs(S.ann_ivf_topk(emb))
+    recall_ivf = len(bf & ivf) / len(bf)
+    assert recall >= recall_ivf - 0.1, (
+        f"int8 in-cell scoring lost too much vs plain IVF: "
+        f"{recall:.2f} vs {recall_ivf:.2f}"
+    )
+
+
 def test_lsh_single_table_is_why_we_multi_table(spark):
     """Regression guard for the design rationale: one table alone loses
     almost everything on this fixture, the L-table union must recover a

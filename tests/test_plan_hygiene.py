@@ -18,8 +18,10 @@ SF = "/root/testdata/sf0.001"
 INTENTIONAL_NESTED_LOOP = {
     "ann_brute_force_topk",
     "embedding_near_dups",
-    # hybrid fusion's dense leg IS brute_force_topk (bounded query set)
+    # hybrid fusion's dense leg IS brute_force_topk (bounded query set);
+    # the indexed variant only swaps the lexical leg's physical source
     "hybrid_rrf_search",
+    "hybrid_rrf_indexed",
     # scalar-avg subquery: a 1-row aggregate broadcast against customer
     "tpch_q22_global_sales_opportunity",
     # fraction-of-total: the 1-row global total broadcast against vals

@@ -4,6 +4,7 @@ sessionizer exposed through the driver gate."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 import tempfile
 import uuid
 
@@ -17,6 +18,14 @@ from moloch_spark.registry import register
 from moloch_spark.sources.tables import load_table
 from moloch_spark.streaming.cron import CronQuery, CronRunner
 from moloch_spark.streaming.sessionizer import streaming_sessionize
+
+
+def _state_path(name: str = "state.json") -> str:
+    """Fresh per-call checkpoint/state file path inside a private
+    mkdtemp dir — race-free (unlike the deprecated tempfile.mktemp)
+    while still handing the component a path that does not exist yet,
+    which is the 'new cron query / new hunt queue' fixture contract."""
+    return os.path.join(tempfile.mkdtemp(prefix="mstate_"), name)
 
 # ---------------------------------------------------------------------------
 # hunts (viewer/apiHunts.js): payload content search
@@ -62,7 +71,7 @@ def q_hunt_job_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moloch_spark.operators.hunts import HuntJobQueue, HuntSpec
 
     ev = load_table(spark, "events", sf_dir)
-    queue = HuntJobQueue(tempfile.mktemp(suffix=".json"))
+    queue = HuntJobQueue(_state_path())
     queue.submit(HuntSpec("h-k6", "asciicase", '"k": 6'))
     queue.submit(HuntSpec("h-k1x", "regex", '"k": 1[0-9]\\}'))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
@@ -110,7 +119,7 @@ def q_hunt_node_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).withColumn(
         "node", F.pmod(F.col("user_id"), F.lit(3))
     )
-    queue = HuntJobQueue(tempfile.mktemp(suffix=".json"))
+    queue = HuntJobQueue(_state_path())
     queue.submit(HuntSpec("h-node", "asciicase", '"k": 2'))
     bounds = {
         r["n"]: (r["lo"], r["hi"])
@@ -153,7 +162,7 @@ def q_hunt_node_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     runner = CronRunner(
-        tempfile.mktemp(suffix=".json"), events_catalog()
+        _state_path(), events_catalog()
     )  # fresh state: first tick scans from the epoch, like a new cron query
     out = runner.run_once(
         ev,
@@ -188,7 +197,7 @@ def q_cron_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ev = load_table(spark, "events", sf_dir)
-    state = tempfile.mktemp(suffix=".json")
+    state = _state_path()
     outbox = tempfile.mkdtemp(prefix="cron_fwd_")
     runner = CronRunner(state, events_catalog())
     cq = CronQuery("fwd", "event.type == click", tags=[], action="forward:west")

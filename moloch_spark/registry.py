@@ -41,56 +41,30 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# ROUND-5 rotation (the r4 verdict's ask #2, executed this time):
-#   (a) the 7 gates that have NEVER had a driver row (incl. all three
-#       new-in-r4 gates),
-#   (b) session_tag_update — its semantics changed in r4, so its r2 row
-#       certifies the wrong code,
-#   (b') any gates NEW in r5 (driver-row them the round they land),
-#   (c) the 42-query block whose only driver row is r1,
-#   (d) past the ~50 cap: the 47-query r2 block oldest-signal-first —
-#       all green in r2 and pytest-oracle-green locally, so lowest risk.
-# ROUND-6 NOTE: next head = any r5 reds, any new r6 gates, then the 6
-# r1-block gates the r5 window cut off at position 50
-# (tpch_q3_shipping_priority, tpch_q5_local_supplier_volume,
-# unique_autocomplete, unique_event_type, unique_pair_user_type,
-# wise_feed_enrich), then the r2 block (ann_*, cron_query_tick,
-# dns/http/tls/x509/ssh/smtp/smb/misc parsers,
-# expr_sessions_store_search, pcap_*, sessionize_*, tpch
-# q2/q4/q7/q8/q10-q18, tunnel_decap_roundtrip, ...). After r6 no
-# query's latest row should be older than r5.
+# ROUND-6 rotation (the r5 verdict's ask #1, executed as written —
+# there were no r5 reds):
+#   (a) gates NEW in r6 (driver-row them the round they land),
+#   (b) the 6 gates whose latest row is r1 — cut at position 50 by the
+#       r5 window,
+#   (c) the 46-query block whose latest row is r2, oldest-signal-first,
+#   (d) past the ~50 cap: the 50-query r4 block (next-oldest signal),
+#       then the r5-rowed gates in registration order — all hash-green
+#       at their latest driver row and pytest-oracle-green locally.
+# ROUND-7 NOTE: next head = any r6 reds, any new r7 gates, then
+# whatever (c)-tail the r6 window cut at the cap (expected: the last
+# ~4 of the r2 block — tunnel_decap_roundtrip,
+# unique_multivalue_session_types, x509_cert_fields,
+# yara_scan_documents), then the r4 block of (d). After r7 no query's
+# latest row should be older than r5.
 _CHECK_PRIORITY = (
-    # --- (a) never driver-rowed (7) ---
-    "ann_pq_adc_topk", "ann_ivf_pq_topk", "cron_forward_exactly_once",
-    "semdedup_prune", "chunk_documents_sliding", "cms_ngram_counts",
-    "remove_duplicate_spans",
-    # --- (b) semantics changed in r4; r2 row is stale ---
-    "session_tag_update",
-    # --- (b') new in r5 ---
-    "hunt_node_fanout",                      # per-node checkpointed fan-out
-    "session_tag_update_prebuilt",           # update phase isolated from store build
-    "c4_line_filter",                        # C4 line/page cleaning (Raffel et al.)
-    "bm25_topk_indexed_search",              # durable term-bucketed BM25 index
-    "ann_int8_topk",                         # int8 scalar-quantized ANN scan
-    "bm25_index_append_search",              # incremental index maintenance
-    # --- (c) latest driver row is r1 (42) ---
-    "asof_feed_enrich", "cardinality_fields", "connections_baseline_events",
-    "connections_components", "connections_nation_graph",
-    "curate_global_shuffle", "curate_pack_sequences", "curate_split_assign",
-    "curate_weighted_sample", "dedup_exact", "dedup_lsh_candidates",
-    "dedup_minhash_signatures", "dedup_simhash", "doc_fingerprint",
-    "drophash_filter", "dstats_derived_rates", "enrich_region_rollup",
-    "expr_bool_and_list", "expr_ne_null_semantics", "expr_shortcut_semijoin",
-    "expr_textfield_phrase", "expr_wildcard_date_range", "lang_id",
-    "multies_scatter_gather", "multiunique_user_event",
-    "sessions_page_offset", "sessions_search_events",
-    "spigraph_event_type_daily", "spigraph_hierarchy_orders",
-    "spigraph_sum_metric_rank", "spiview_events", "text_stats",
-    "timeline_events_dense", "timeline_events_hourly", "token_counts",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "unique_autocomplete",
-    "unique_event_type", "unique_pair_user_type", "wise_feed_enrich",
-    # --- (d) past the ~50 cap: r2 block, all green prior rows ---
+    # --- (a) new in r6 ---
+    "ann_ivf_int8_topk",        # IVF cells + int8 in-cell codes (Faiss IVF,SQ8 shape)
+    "hybrid_rrf_indexed",       # hybrid RRF served from the durable BM25 index
+    # --- (b) latest driver row is r1 (6) ---
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "unique_autocomplete", "unique_event_type", "unique_pair_user_type",
+    "wise_feed_enrich",
+    # --- (c) latest driver row is r2 (46) ---
     "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_bucketed_topk",
     "corpus_ngram_stats", "cron_query_tick", "decontaminate_ngrams",
     "dedup_semantic_clusters", "dns_parse_fields",
@@ -111,6 +85,26 @@ _CHECK_PRIORITY = (
     "tpch_q9_product_profit", "tunnel_decap_roundtrip",
     "unique_multivalue_session_types", "x509_cert_fields",
     "yara_scan_documents",
+    # --- (d) past the ~50 cap: r4 block, oldest-first ---
+    "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
+    "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
+    "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
+    "bgp_parse_fields", "http2_parse_fields", "quic_parse_fields",
+    "pcap_over_ip_reframe", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_audio", "pii_scan", "repetition_signals",
+    "gopher_quality_flags", "quality_char_entropy", "curate_mixture_sample",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_part_supply_nation",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    "streaming_sessionize_closed", "dedup_ngram_jaccard",
+    "embedding_near_dups", "embedding_near_dup_pairs_lsh",
+    "duplicate_spans_13gram", "quic_v1_initial_fields", "line_dedup_corpus",
+    "dsir_importance_select", "dedup_incremental_lsh",
+    "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
+    "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
+    "bm25_topk_search", "bpe_train_and_apply", "quality_classifier_filter",
+    "ppl_lang_buckets", "embedding_pca_whiten", "pq_encode_codes",
+    "ccnet_pipeline_e2e", "warc_ingest_roundtrip", "hybrid_rrf_search",
+    "hunt_job_control", "streaming_state_cap",
 )
 
 

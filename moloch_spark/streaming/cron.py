@@ -131,9 +131,18 @@ class CronRunner:
         # the tick dir is keyed by (query, lo), not lo alone: two
         # standing queries forwarding to the same cluster both start
         # from lo='epoch', and a shared dir would make the second query
-        # adopt the first one's committed rows and hi
-        qtoken = "".join(
-            c if c.isalnum() or c in "-_" else "_" for c in query.name
+        # adopt the first one's committed rows and hi. The token is the
+        # sanitized name PLUS a short digest of the raw name, so names
+        # that sanitize identically ('fwd.err' vs 'fwd_err') still get
+        # distinct tick dirs (ADVICE r5).
+        import hashlib
+
+        qtoken = (
+            "".join(
+                c if c.isalnum() or c in "-_" else "_" for c in query.name
+            )
+            + "-"
+            + hashlib.md5(query.name.encode()).hexdigest()[:8]
         )
         dest = os.path.join(
             outbox, f"cluster={cluster}", f"query={qtoken}", f"ticklo={tick}"
@@ -153,17 +162,19 @@ def read_outbox(spark: SparkSession, outbox: str, cluster: str) -> DataFrame:
     / in-flight / losing-racer) data dirs are invisible because
     readers resolve through the markers."""
     from moloch_spark.sources.commit import resolve_commit
+    from moloch_spark.sources.fs import get_fs
 
-    root = os.path.join(outbox, f"cluster={cluster}")
+    fs, base = get_fs(outbox, spark)
+    root = os.path.join(base, f"cluster={cluster}")
     dirs = []
-    for qdir in sorted(os.listdir(root)):
+    for qdir in fs.listdir(root):
         if not qdir.startswith("query="):
             continue
         qroot = os.path.join(root, qdir)
-        for name in sorted(os.listdir(qroot)):
+        for name in fs.listdir(qroot):
             if not name.startswith("ticklo="):
                 continue
-            c = resolve_commit(os.path.join(qroot, name))
+            c = resolve_commit(os.path.join(qroot, name), spark)
             if c is not None:
                 dirs.append(c[0])
     if not dirs:

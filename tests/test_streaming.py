@@ -348,6 +348,36 @@ def test_cron_forward_two_queries_same_cluster_no_collision(spark, tmp_path):
     assert n_clk >= b.count()
 
 
+def test_cron_forward_sanitize_collision_distinct_dirs(spark, tmp_path):
+    """ADVICE r5 (low): query names that SANITIZE identically
+    ('fwd.err' vs 'fwd_err') must still get distinct tick dirs — the
+    qtoken carries a digest of the raw name."""
+    ev = load_table(spark, "events", SF)
+    outbox = str(tmp_path / "outbox")
+    runner = CronRunner(str(tmp_path / "cron.json"), events_catalog())
+    t = dt.datetime(2024, 2, 15, 0, 1, 30)
+    a = runner.run_once(
+        ev, CronQuery("fwd.err", "event.type == error", tags=[],
+                      action="forward:west"),
+        now=t, id_cols=["event_id", "ts"], outbox=outbox,
+    )
+    b = runner.run_once(
+        ev, CronQuery("fwd_err", "event.type == click", tags=[],
+                      action="forward:west"),
+        now=t, id_cols=["event_id", "ts"], outbox=outbox,
+    )
+    assert {r.cron_name for r in a.collect()} == {"fwd.err"}
+    assert {r.cron_name for r in b.collect()} == {"fwd_err"}   # its OWN rows
+    import os as _os
+
+    qdirs = [
+        n
+        for n in _os.listdir(_os.path.join(outbox, "cluster=west"))
+        if n.startswith("query=")
+    ]
+    assert len(qdirs) == 2                              # no shared tick dir
+
+
 def test_hunt_over_reassembled_payload(spark):
     """Hunts run on REASSEMBLED session payload (apiHunts.js reads
     reassembled packets) — compose reassemble_tcp -> hunt."""

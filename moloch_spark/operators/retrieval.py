@@ -259,6 +259,59 @@ def append_bm25_index(
     ).write.insertInto(f"{table_prefix}_stats", overwrite=True)
 
 
+def append_bm25_index_stream(
+    spark,
+    new_docs_stream,
+    table_prefix: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+):
+    """Continuous index maintenance: each micro-batch of newly crawled
+    documents folds into the durable index via append_bm25_index (one
+    tokenize+shuffle of the batch, bucketed appends, cheap stats
+    rewrite — document frequencies stay query-time-derived so the
+    index is never stale mid-stream). Returns the writeStream handle;
+    start with .trigger(availableNow=True) for catch-up batches or a
+    processingTime trigger for steady ingest.
+
+    Delivery contract: the checkpoint makes batch replay at-least-once;
+    parquet appends are not transactional, so a crash INSIDE a batch
+    can leave a partial append (same as any foreachBatch parquet sink).
+    A real deployment points the postings/dl tables at a transactional
+    format (Delta/Iceberg) and this wrapper becomes exactly-once with
+    zero code change — the batch fold itself is already idempotent-
+    keyed by doc ids (the append-only contract of append_bm25_index).
+
+    Sessions: foreachBatch hands each batch to a CLONED SparkSession;
+    the fold runs entirely in that session (so its stats aggregation
+    sees its own appends), then refreshes the SERVING session's
+    relation caches — table file listings are cached per-session, and
+    without the refresh a query session keeps serving the pre-append
+    index state."""
+
+    def fold(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        append_bm25_index(
+            batch.sparkSession,
+            batch,
+            table_prefix,
+            text_col=text_col,
+            id_col=id_col,
+            buckets=buckets,
+        )
+        for t in ("postings", "dl", "stats"):
+            spark.catalog.refreshTable(f"{table_prefix}_{t}")
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def bm25_topk_indexed(
     spark,
     table_prefix: str,

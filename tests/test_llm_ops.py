@@ -644,6 +644,64 @@ def test_bm25_index_append_equals_rebuild(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
 
 
+def test_bm25_index_append_stream_equals_rebuild(spark, tmp_path):
+    """Continuous maintenance: new crawl batches arriving THROUGH
+    Structured Streaming (foreachBatch -> append_bm25_index, one file
+    per micro-batch) must leave the index serving exactly what a
+    one-shot build over the whole corpus serves."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators import retrieval as R
+
+    rows = [(i, f"alpha term{i % 20} beta gamma shared words body {i}")
+            for i in range(120)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(500, "alpha"), (500, "term3"), (501, "term11"), (501, "beta")],
+        ["query_id", "qterm"],
+    )
+    pa, pb = "bm25idx_test_str_a", "bm25idx_test_str_b"
+    inbox = str(tmp_path / "inbox")
+    # stage the "new crawl" as 3 files -> 3 micro-batches
+    for lo, hi in ((60, 80), (80, 100), (100, 120)):
+        corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(inbox)
+    try:
+        R.build_bm25_index(spark, corpus, pa, str(tmp_path / "a"), buckets=8)
+        R.build_bm25_index(
+            spark,
+            corpus.filter(F.col("doc_id") < 60),
+            pb,
+            str(tmp_path / "b"),
+            buckets=8,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        q = (
+            R.append_bm25_index_stream(
+                spark, stream, pb, str(tmp_path / "ckpt"), buckets=8
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.lastProgress is None or q.lastProgress["batchId"] >= 2
+        full = R.bm25_topk_indexed(spark, pa, queries, exclude_self=False)
+        streamed = R.bm25_topk_indexed(spark, pb, queries, exclude_self=False)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, streamed.collect())
+        )
+        assert spark.table(f"{pb}_stats").first()["n_docs"] == 120
+    finally:
+        for p in (pa, pb):
+            for t in ("postings", "dl", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
 def test_quality_classifier_matches_reference_math(spark):
     """Distributed full-batch LR must track the plain-Python reference
     on the same features. Tolerances: iteration 1 is EXACT; later

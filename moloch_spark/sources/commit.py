@@ -352,6 +352,59 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     return removed
 
 
+def consolidate_store(spark, store: str) -> list[str]:
+    """Maintenance: rewrite every manifest-resolved partition through
+    ONE committer generation (the Delta OPTIMIZE / checkpoint analog).
+
+    Each manifest commit leaves its partitions under its own
+    `_gen/<token>`, and read_store plans one scan group per token — so
+    a year of daily single-partition tag updates would grow the plan
+    back to ~365 branches, the exact sprawl the basePath grouping
+    exists to prevent. Consolidation reads all manifest-resolved
+    partitions as one grouped relation and rewrites them under a
+    single new token in ONE Spark job (no per-partition driver loop),
+    then commits the whole set atomically; afterwards the plan is
+    (plain tree + 1 generation) regardless of update history, and the
+    superseded tokens age out via vacuum_store retention. Run it on
+    the same maintenance cadence as compaction. Returns the
+    consolidated partition names."""
+    from pyspark.sql import functions as F
+
+    manifest = load_manifest(store, spark)
+    tokens = {rel.split("/")[1] for rel in manifest.values()}
+    if len(tokens) <= 1:
+        return []
+    _, root = get_fs(store, spark)
+    groups: dict[str, list[str]] = {}
+    for name, rel in sorted(manifest.items()):
+        d = posixpath.join(root, rel)
+        groups.setdefault(d[: -(len(name) + 1)], []).append(d)
+    cols = {name.split("=", 1)[0] for name in manifest}
+    if len(cols) != 1:
+        raise ValueError(
+            f"store {store!r} manifest mixes partition columns {sorted(cols)}"
+        )
+    (col,) = cols
+    dfs = [
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .withColumn(col, F.col(col).cast("string"))
+        for base, dirs in sorted(groups.items())
+    ]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    c = PartitionCommitter(store, force_manifest=True)
+    (
+        df.repartition(F.col(col))
+        .write.partitionBy(col)
+        .parquet(c.staging_dir())
+    )
+    parts = sorted(manifest)
+    c.commit(parts)
+    return parts
+
+
 # ---------------------------------------------------------------------------
 # Marker-committed append dirs (the cron forward outbox tick)
 # ---------------------------------------------------------------------------

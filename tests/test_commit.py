@@ -271,6 +271,50 @@ def test_compact_partitions_manifest_mode(spark, tmp_path):
     ) == {"2024-03-05": 1}
 
 
+def test_consolidate_store_collapses_generation_sprawl(spark, tmp_path):
+    """A year of daily single-partition commits would grow read_store's
+    plan back to one scan group per token; consolidate_store rewrites
+    all manifest partitions under ONE token and restores the bounded
+    plan, preserving every row."""
+    from moloch_spark.sources.commit import consolidate_store
+
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    # three separate commits -> three generation tokens
+    for day, tag in (("2024-03-01", "g1"), ("2024-03-02", "g2"),
+                     ("2024-03-03", "g3")):
+        c = PartitionCommitter(path, force_manifest=True)
+        src = read_store(spark, path, "day").filter(F.col("day") == day)
+        (
+            src.withColumn("tags", F.array(F.lit(tag)))
+            .repartition(F.col("day"))
+            .write.partitionBy("day")
+            .parquet(c.staging_dir())
+        )
+        c.commit([f"day={day}"])
+    plan = read_store(spark, path, "day")._jdf.queryExecution()
+    assert plan.optimizedPlan().toString().count("Relation") == 3
+
+    parts = consolidate_store(spark, path)
+    assert parts == ["day=2024-03-01", "day=2024-03-02", "day=2024-03-03"]
+    out = read_store(spark, path, "day")
+    # bounded again: one manifest generation (plain dirs all overridden)
+    assert out._jdf.queryExecution().optimizedPlan().toString().count(
+        "Relation"
+    ) == 1
+    got = {r.session_id: sorted(r.tags) for r in out.collect()}
+    assert len(got) == 9
+    assert got["s0-0"] == ["g1"] and got["s1-0"] == ["g2"] and got["s2-0"] == ["g3"]
+    # idempotent: one token left -> no-op
+    assert consolidate_store(spark, path) == []
+    # superseded tokens reclaimable (age-gated in production)
+    removed = vacuum_store(path)
+    assert sum(r.startswith("_gen/") for r in removed) == 3
+    assert {r.session_id for r in read_store(spark, path, "day").collect()} == {
+        f"s{d}-{i}" for d in range(3) for i in range(3)
+    }
+
+
 def test_swap_dir_recovers_prior_crash(tmp_path):
     """ADVICE r4: a stale <dst>.old from a crash mid-swap must roll
     back on entry; a stale .old from a crash after the swap completed

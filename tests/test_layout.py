@@ -1,0 +1,104 @@
+"""Z-order clustering quality gates (sources/layout.py).
+
+Min/max file statistics are the pruning mechanism parquet/Delta
+readers actually use, so the tests measure exactly that: how narrow
+each written file's [min, max] envelope is on EVERY clustered column,
+against the degenerate envelope a single-column sort leaves on the
+other column.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from moloch_spark.sources.layout import write_zordered
+from tests.conftest import SF_CORRECT
+
+
+def _file_stats(spark, path, cols):
+    agg = []
+    for c in cols:
+        agg += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    return (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(*agg)
+        .collect()
+    )
+
+
+def test_zorder_narrows_file_envelopes_on_both_columns(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    zpath = str(tmp_path / "z")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+
+    rows = _file_stats(spark, zpath, ["l_partkey", "l_suppkey"])
+    assert len(rows) == 16
+    pw = sum(r["hi_l_partkey"] - r["lo_l_partkey"] for r in rows) / len(rows)
+    sw = sum(r["hi_l_suppkey"] - r["lo_l_suppkey"] for r in rows) / len(rows)
+    # measured 0.41 / 0.29 of the full range on this fixture
+    assert pw / 2000 < 0.6, f"partkey envelope too wide: {pw}"
+    assert sw / 100 < 0.5, f"suppkey envelope too wide: {sw}"
+
+    # single-column sort leaves the OTHER column unprunable (~full range)
+    spath = str(tmp_path / "s")
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(spath)
+    )
+    srows = _file_stats(spark, spath, ["l_suppkey"])
+    sw_sorted = sum(
+        r["hi_l_suppkey"] - r["lo_l_suppkey"] for r in srows
+    ) / len(srows)
+    assert sw_sorted / 100 > 0.9
+    assert sw < 0.6 * sw_sorted  # z-order beats it decisively
+
+    # point-predicate pruning: a given partkey can only live in files
+    # whose envelope contains it — on average ~6 of 16 here
+    random.seed(7)
+    hits = [
+        sum(
+            1
+            for r in rows
+            if r["lo_l_partkey"] <= pk <= r["hi_l_partkey"]
+        )
+        for pk in random.sample(range(0, 2000), 20)
+    ]
+    assert sum(hits) / len(hits) <= 9
+
+    # the layout changes bytes, never rows
+    got = spark.read.parquet(zpath)
+    assert got.count() == li.count()
+    a = got.agg(
+        F.sum("l_extendedprice").alias("p"), F.sum("l_partkey").alias("k")
+    ).first()
+    b = li.agg(
+        F.sum("l_extendedprice").alias("p"), F.sum("l_partkey").alias("k")
+    ).first()
+    assert a["k"] == b["k"]
+    assert abs(a["p"] - b["p"]) < 1e-6 * abs(b["p"])  # FP summation order
+
+
+def test_zorder_degenerate_and_three_column(spark, tmp_path):
+    """Constant columns must not break the key (span 0 -> rank 0), and
+    3-column interleave still bounds every dimension's envelope."""
+    ev = (
+        spark.range(0, 4096)
+        .select(
+            F.col("id"),
+            (F.col("id") % 64).alias("a"),
+            ((F.col("id") * 7) % 64).alias("b"),
+            F.lit(5).alias("c"),
+        )
+    )
+    p = str(tmp_path / "z3")
+    write_zordered(ev, p, ["a", "b", "c"], n_files=8)
+    rows = _file_stats(spark, p, ["a", "b"])
+    aw = sum(r["hi_a"] - r["lo_a"] for r in rows) / len(rows)
+    bw = sum(r["hi_b"] - r["lo_b"] for r in rows) / len(rows)
+    assert aw / 64 < 0.7 and bw / 64 < 0.7
+    assert spark.read.parquet(p).count() == 4096

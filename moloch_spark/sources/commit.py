@@ -146,6 +146,39 @@ def resolve_partitions(
     return out
 
 
+def read_exact_partitions(spark, base: str, dirs: list[str]):
+    """basePath multi-dir read with partition-type INFERENCE DISABLED,
+    so partition values round-trip exactly as their dir-name strings —
+    inference would turn `node=007` into 7 and `val=1.50` into 1.5,
+    changing query results and breaking a consolidate rewrite whose
+    commit must reproduce the original dir names. The conf toggle is
+    safe to scope around the call: partition discovery happens eagerly
+    inside spark.read.parquet."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return spark.read.option("basePath", base).parquet(*dirs)
+    finally:
+        spark.conf.set(key, old)
+
+
+def _grouped_partition_dfs(spark, parts: dict[str, str]) -> list:
+    """One DataFrame per (base dir, partition column) group — the
+    bounded-plan read shared by read_store and consolidate_store. The
+    column key keeps a plain tree that (illegitimately but survivably)
+    mixes partition column names from colliding into one conflicting
+    basePath relation."""
+    groups: dict[tuple[str, str], list[str]] = {}
+    for name, d in sorted(parts.items()):
+        base = d[: -(len(name) + 1)]  # strip "/<name>"
+        groups.setdefault((base, name.split("=", 1)[0]), []).append(d)
+    return [
+        read_exact_partitions(spark, base, dirs)
+        for (base, _col), dirs in sorted(groups.items())
+    ]
+
+
 def read_store(
     spark,
     store: str,
@@ -160,11 +193,12 @@ def read_store(
     each group reads as ONE multi-path `basePath` relation, so the plan
     holds a handful of FileScans however many day-partitions the store
     has accumulated (a per-partition union would be a 1000-branch plan
-    after three years of retention — VERDICT r5 #3). Spark re-derives
-    the partition column from the dir names; it is cast back to string,
-    the store's writer convention. `version` time-travels to a retained
-    manifest snapshot — reproducible reads for a long job spanning
-    maintenance commits, as long as vacuum retention covers it."""
+    after three years of retention — VERDICT r5 #3). Partition-type
+    inference is disabled for these reads (read_exact_partitions), so
+    values stay the exact dir-name strings — the store's writer
+    convention. `version` time-travels to a retained manifest snapshot
+    — reproducible reads for a long job spanning maintenance commits,
+    as long as vacuum retention covers it."""
     manifest = load_manifest(store, spark, version=version)
     if not manifest:
         if version is not None:
@@ -172,8 +206,6 @@ def read_store(
                 f"manifest version {version} of {store!r} is empty"
             )
         return spark.read.parquet(store)
-    from pyspark.sql import functions as F
-
     parts = resolve_partitions(store, spark, version=version)
     if partition_col is not None:
         parts = {
@@ -190,18 +222,7 @@ def read_store(
                 else ""
             )
         )
-    groups: dict[str, list[str]] = {}
-    for name, d in sorted(parts.items()):
-        base = d[: -(len(name) + 1)]  # strip "/<name>"
-        groups.setdefault(base, []).append(d)
-    dfs = []
-    for base, dirs in sorted(groups.items()):
-        col = posixpath.basename(dirs[0]).split("=", 1)[0]
-        dfs.append(
-            spark.read.option("basePath", base)
-            .parquet(*dirs)
-            .withColumn(col, F.col(col).cast("string"))
-        )
+    dfs = _grouped_partition_dfs(spark, parts)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -299,56 +320,83 @@ def swap_dir(src: str, dst: str) -> None:
 
 
 def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
-    """Reclaim `_gen` generations unreachable from the CURRENT manifest
-    and every RETAINED snapshot. Two-step, age-gated like Delta's
-    `VACUUM ... RETAIN` (ADVICE r5):
+    """Reclaim manifest snapshots and `_gen` data unreachable for at
+    least `retain_s` seconds — age-gated like Delta's
+    `VACUUM ... RETAIN`, and keyed on SUPERSESSION time, not creation
+    time (a generation that served as current for a week is still
+    protected for retain_s after the commit that replaced it):
 
-      1. manifest snapshots older than `retain_s` (except the one the
-         current manifest equals) are pruned — they define the time-
-         travel horizon;
-      2. generations younger than `retain_s` or referenced by any
-         surviving snapshot are kept, so both a long-running reader
-         that resolved the previous manifest mid-scan and a
-         `read_store(version=...)` inside the horizon complete on
-         intact files.
+      1. a snapshot whose content is not the live state is reclaimable
+         once its SUCCESSOR snapshot is older than retain_s (the
+         successor's commit is what superseded it); a NEWEST snapshot
+         that does not match the current manifest is an orphan from a
+         crash between the two `_write_manifest` PUTs and never became
+         visible — it ages on its own mtime;
+      2. generation data is reclaimed at PARTITION granularity: every
+         `_gen/<token>/<partition>` dir not referenced by the current
+         manifest or a surviving snapshot is removed (so a partition
+         superseded inside a still-live multi-partition token does not
+         leak), then empty tokens; tokens referenced by NO snapshot at
+         all (crashed or in-flight writers) age on their dir mtime.
 
-    Run with a retention longer than your longest query. Returns
-    removed relative paths (snapshots + generation dirs)."""
+    Because snapshot pruning gates on supersession age, the surviving
+    snapshots protect exactly the generations a reader inside the
+    retention window (concurrent scan on the previous manifest, or
+    read_store(version=...)) can still reach. Run with a retention
+    longer than your longest query. Returns removed relative paths."""
     fs, root = get_fs(store, spark)
     now = time.time()
     removed = []
-    versions = manifest_versions(store, spark)
     current = json.dumps(
         {"partitions": load_manifest(store, spark)}, sort_keys=True
     )
-    for v in versions[:-1] if versions else []:
-        name = f"{_VPREFIX}{v:08d}.json"
-        p = posixpath.join(root, name)
-        if retain_s > 0 and now - fs.mtime(p) < retain_s:
-            continue
+    versions = manifest_versions(store, spark)
+    vpath = {
+        v: posixpath.join(root, f"{_VPREFIX}{v:08d}.json") for v in versions
+    }
+    for i, v in enumerate(versions):
+        p = vpath[v]
         if fs.read_text(p) == current:
-            continue  # still the live state
+            continue  # the live state
+        superseded_at = (
+            fs.mtime(vpath[versions[i + 1]])
+            if i + 1 < len(versions)
+            else fs.mtime(p)  # newest-but-not-current: orphan commit
+        )
+        if retain_s > 0 and now - superseded_at < retain_s:
+            continue
         fs.delete(p)
-        removed.append(name)
+        removed.append(f"{_VPREFIX}{v:08d}.json")
     gen_root = posixpath.join(root, "_gen")
     if not fs.isdir(gen_root):
         return removed
-    live = {
-        rel.split("/")[1] for rel in load_manifest(store, spark).values()
-    }
+    live = set(load_manifest(store, spark).values())
     for v in manifest_versions(store, spark):
-        live |= {
-            rel.split("/")[1]
-            for rel in load_manifest(store, spark, version=v).values()
-        }
+        live |= set(load_manifest(store, spark, version=v).values())
+    live_tokens = {rel.split("/")[1] for rel in live}
     for token in fs.listdir(gen_root):
-        if token in live:
-            continue
         tdir = posixpath.join(gen_root, token)
-        if retain_s > 0 and now - fs.mtime(tdir) < retain_s:
+        if token not in live_tokens:
+            # never referenced by any retained state: a crashed or
+            # in-flight writer — age on the staging dir itself
+            if retain_s > 0 and now - fs.mtime(tdir) < retain_s:
+                continue
+            fs.delete(tdir)
+            removed.append(posixpath.join("_gen", token))
             continue
-        fs.delete(tdir)
-        removed.append(posixpath.join("_gen", token))
+        # token partially live: reclaim superseded partitions inside it
+        for name in fs.listdir(tdir):
+            if name.startswith(("_", ".")) or "=" not in name:
+                continue
+            rel = posixpath.join("_gen", token, name)
+            if rel not in live:
+                fs.delete(posixpath.join(tdir, name))
+                removed.append(rel)
+        if all(
+            n.startswith(("_", ".")) for n in fs.listdir(tdir)
+        ):  # only bookkeeping left
+            fs.delete(tdir)
+            removed.append(posixpath.join("_gen", token))
     return removed
 
 
@@ -375,22 +423,16 @@ def consolidate_store(spark, store: str) -> list[str]:
     if len(tokens) <= 1:
         return []
     _, root = get_fs(store, spark)
-    groups: dict[str, list[str]] = {}
-    for name, rel in sorted(manifest.items()):
-        d = posixpath.join(root, rel)
-        groups.setdefault(d[: -(len(name) + 1)], []).append(d)
     cols = {name.split("=", 1)[0] for name in manifest}
     if len(cols) != 1:
         raise ValueError(
             f"store {store!r} manifest mixes partition columns {sorted(cols)}"
         )
     (col,) = cols
-    dfs = [
-        spark.read.option("basePath", base)
-        .parquet(*dirs)
-        .withColumn(col, F.col(col).cast("string"))
-        for base, dirs in sorted(groups.items())
-    ]
+    dfs = _grouped_partition_dfs(
+        spark,
+        {name: posixpath.join(root, rel) for name, rel in manifest.items()},
+    )
     df = dfs[0]
     for d in dfs[1:]:
         df = df.unionByName(d)

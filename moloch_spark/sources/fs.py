@@ -14,11 +14,16 @@ relative path — the one case manifest mode exists for).
 Atomicity contract of `put_text_atomic`:
   * LocalFS — write to a same-directory temp file, fsync, rename()
     (atomic on POSIX);
-  * HadoopFS — one create(overwrite=True) stream; on object stores a
-    PUT becomes visible atomically at close, which is exactly the
-    single-object commit unit the manifest protocol is designed around
-    (commit.py module docstring). On hdfs:// create+close is likewise
-    atomic at the namenode.
+  * HadoopFS on flat object stores (s3/s3a/gs/oss/...) — one
+    create(overwrite=True) stream: the PUT becomes visible atomically
+    at close, which is exactly the single-object commit unit the
+    manifest protocol is designed around, and rename there would be a
+    non-atomic copy+delete;
+  * HadoopFS on mutable-file schemes (hdfs, file, abfs, ...) —
+    create() truncates in place and bytes can be observed before
+    close, so the write goes to a temp sibling and lands via
+    FileContext.rename(OVERWRITE), which IS atomic on these
+    filesystems.
 
 Scheme-less paths and file:// are local; anything else requires an
 active SparkSession (the JVM gateway) and raises a clear error instead
@@ -91,6 +96,12 @@ class LocalFS:
         return os.path.getmtime(p)
 
 
+# schemes with no atomic in-place mutation but atomic single-object
+# PUTs; everything else is treated as a mutable filesystem with atomic
+# rename (hdfs, file, abfs/abfss hierarchical namespaces, ...)
+_FLAT_OBJECT_SCHEMES = {"s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "obs"}
+
+
 class HadoopFS:
     """JVM org.apache.hadoop.fs.FileSystem-backed implementation —
     resolved per-path from the SparkSession's Hadoop configuration, so
@@ -99,8 +110,11 @@ class HadoopFS:
 
     def __init__(self, spark, path: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
         jpath = self._jvm.org.apache.hadoop.fs.Path(path)
-        self._fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._fs = jpath.getFileSystem(self._conf)
+        self._scheme = path.split("://", 1)[0] if "://" in path else "file"
 
     def _p(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -131,12 +145,32 @@ class HadoopFS:
         finally:
             stream.close()
 
-    def put_text_atomic(self, p: str, text: str) -> None:
+    def _create(self, p: str, text: str) -> None:
         out = self._fs.create(self._p(p), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def put_text_atomic(self, p: str, text: str) -> None:
+        if self._scheme in _FLAT_OBJECT_SCHEMES:
+            # one PUT, atomically visible at close; rename here would
+            # be a non-atomic copy+delete — strictly worse
+            self._create(p, text)
+            return
+        # mutable filesystems: create() truncates the live object and a
+        # concurrent reader can observe the partial file — stage a temp
+        # sibling and land it with the ATOMIC overwrite rename
+        # (FileContext, the same primitive Spark's HDFSMetadataLog uses)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        self._create(tmp, text)
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._fs.getUri(), self._conf
+        )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        fc.rename(self._p(tmp), self._p(p), opts)
 
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._p(src), self._p(dst)):

@@ -128,10 +128,22 @@ def time_bounded(
 
 
 def expire_partitions(
-    spark: SparkSession, path: str, *, keep_days: int, now: dt.date | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_days: int,
+    now: dt.date | None = None,
+    vacuum_retain_s: float = 0.0,
 ) -> list[str]:
     """Retention: drop partitions older than keep_days (db.pl expire).
-    Returns the dropped partition names."""
+    Returns the dropped partition names.
+
+    `vacuum_retain_s` is passed through to the post-expiry
+    vacuum_store call: the default 0 reclaims superseded generations
+    and manifest snapshots immediately (a standalone cleanup run); a
+    deployment with concurrent readers or time-travel consumers must
+    set it to its query/retention horizon, or expiry would void the
+    commit protocol's MVCC window."""
     from moloch_spark.sources.commit import (
         load_manifest,
         resolve_partitions,
@@ -160,7 +172,7 @@ def expire_partitions(
         from moloch_spark.sources.commit import _write_manifest
 
         _write_manifest(path, manifest)
-        vacuum_store(path)
+        vacuum_store(path, retain_s=vacuum_retain_s)
     return dropped
 
 

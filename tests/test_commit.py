@@ -271,6 +271,117 @@ def test_compact_partitions_manifest_mode(spark, tmp_path):
     ) == {"2024-03-05": 1}
 
 
+def test_vacuum_reclaims_partition_inside_live_token(spark, tmp_path):
+    """A multi-partition commit leaves one token holding several days;
+    when a later commit supersedes only ONE of them, vacuum must
+    reclaim that partition dir inside the still-live token instead of
+    leaking it forever (token-granular liveness bug)."""
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    c1 = PartitionCommitter(path, force_manifest=True)
+    src = read_store(spark, path, "day").filter(
+        F.col("day").isin("2024-03-01", "2024-03-02")
+    )
+    (
+        src.withColumn("tags", F.array(F.lit("T")))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c1.staging_dir())
+    )
+    c1.commit(["day=2024-03-01", "day=2024-03-02"])
+    _tag_day2(spark, path, "U")                   # supersede day 2 only
+    removed = vacuum_store(path)
+    assert os.path.join("_gen", c1.token, "day=2024-03-02") in removed
+    assert os.path.isdir(os.path.join(path, "_gen", c1.token, "day=2024-03-01"))
+    got = _store_rows(spark, path)
+    assert got["s0-0"] == ["T"] and got["s1-0"] == ["U"]
+    assert len(got) == 9
+
+
+def test_vacuum_orphan_newest_snapshot_reclaimed(spark, tmp_path):
+    """A crash between the snapshot PUT and the manifest PUT leaves the
+    NEWEST snapshot not matching the current manifest; it never became
+    visible, so vacuum reclaims it (and its generation) on its own age
+    instead of exempting the newest version forever."""
+    import json as _json
+
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    t1 = _tag_day2(spark, path, "gen1")
+    # forge the crashed writer: staged generation + versioned snapshot,
+    # no _manifest.json swap
+    orphan_token = "f" * 12
+    os.makedirs(os.path.join(path, "_gen", orphan_token, "day=2024-03-02"))
+    with open(os.path.join(path, "_manifest.v00000099.json"), "w") as f:
+        _json.dump(
+            {"partitions": {"day=2024-03-02": f"_gen/{orphan_token}/day=2024-03-02"}},
+            f,
+        )
+    assert vacuum_store(path, retain_s=3600.0) == []   # young: protected
+    removed = vacuum_store(path)
+    assert "_manifest.v00000099.json" in removed
+    assert os.path.join("_gen", orphan_token) in removed
+    # the committed state is untouched
+    assert _store_rows(spark, path)["s1-0"] == ["gen1"]
+    assert os.path.isdir(os.path.join(path, "_gen", t1))
+
+
+def test_vacuum_gates_on_supersession_time_not_creation(spark, tmp_path):
+    """The review scenario: gen1 served as current for 'hours' (old
+    mtimes), then gen2 supersedes it JUST NOW. retain_s=3600 must keep
+    gen1 — a reader that resolved the old manifest a second before the
+    swap is still scanning it — even though gen1's files are old."""
+    import time as _time
+
+    path = str(tmp_path / "store")
+    _mk_store(spark, path)
+    t1 = _tag_day2(spark, path, "gen1")
+    # age gen1's snapshot and data two hours into the past
+    old = _time.time() - 7200
+    from moloch_spark.sources.commit import manifest_versions
+
+    v1 = manifest_versions(path)[0]
+    os.utime(os.path.join(path, f"_manifest.v{v1:08d}.json"), (old, old))
+    os.utime(os.path.join(path, "_gen", t1), (old, old))
+    t2 = _tag_day2(spark, path, "gen2")            # supersedes NOW
+    assert vacuum_store(path, retain_s=3600.0) == []
+    assert os.path.isdir(os.path.join(path, "_gen", t1))   # still readable
+    # once the SUPERSEDING commit is old too, gen1 ages out
+    v2 = manifest_versions(path)[1]
+    os.utime(os.path.join(path, f"_manifest.v{v2:08d}.json"), (old, old))
+    removed = vacuum_store(path, retain_s=3600.0)
+    assert f"_manifest.v{v1:08d}.json" in removed
+    assert os.path.join("_gen", t1) in removed
+    assert os.path.isdir(os.path.join(path, "_gen", t2))
+    assert _store_rows(spark, path)["s1-0"] == ["gen2"]
+
+
+def test_read_store_preserves_exact_partition_values(spark, tmp_path):
+    """Partition-type inference must not rewrite values: node=007 stays
+    '007' through read_store AND through a consolidate rewrite (which
+    must reproduce the exact dir names it commits)."""
+    from moloch_spark.sources.commit import consolidate_store
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("a", "007"), ("b", "007"), ("c", "112")], "id string, node string"
+    )
+    for node in ("007", "112"):
+        c = PartitionCommitter(path, force_manifest=True)
+        (
+            df.filter(F.col("node") == node)
+            .repartition(1)
+            .write.partitionBy("node")
+            .parquet(c.staging_dir())
+        )
+        c.commit([f"node={node}"])
+    got = read_store(spark, path, "node")
+    assert sorted(r.node for r in got.collect()) == ["007", "007", "112"]
+    assert consolidate_store(spark, path) == ["node=007", "node=112"]
+    got2 = read_store(spark, path, "node")
+    assert sorted(r.node for r in got2.collect()) == ["007", "007", "112"]
+
+
 def test_consolidate_store_collapses_generation_sprawl(spark, tmp_path):
     """A year of daily single-partition commits would grow read_store's
     plan back to one scan group per token; consolidate_store rewrites

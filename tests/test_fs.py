@@ -57,7 +57,8 @@ def test_hadoopfs_roundtrip(spark, tmp_path):
     fs.put_text_atomic(f"{base}/d1/m.json", '{"a": 2}')  # overwrite = swap
     assert fs.read_text(f"{base}/d1/m.json") == '{"a": 2}'
     assert not fs.isdir(f"{base}/d1/m.json")
-    assert "m.json" in fs.listdir(f"{base}/d1")
+    # mutable-scheme path stages via temp + atomic rename: no residue
+    assert [n for n in fs.listdir(f"{base}/d1") if "m.json" in n] == ["m.json"]
     assert fs.mtime(f"{base}/d1/m.json") > 0
     fs.rename(f"{base}/d1/d2", f"{base}/d1/d3")
     assert fs.isdir(f"{base}/d1/d3") and not fs.exists(f"{base}/d1/d2")

@@ -1770,30 +1770,42 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the durable-index fixture for bm25_topk_indexed_search: built once per
-# (process, sf_dir), like a deployed search index — bench rep 1 pays the
-# build, rep 2 (the reported best-of-2) times the SERVE path alone
+# durable-index fixtures: built once per (process, sf_dir), like a
+# deployed search index — bench rep 1 pays the build, rep 2 (the
+# reported best-of-2) times the SERVE path alone. One shared memoizer;
+# each gate supplies its tag + build closure.
+
+
+def _memoized_index(
+    spark: SparkSession, sf_dir: str, cache: dict, tag: str, build
+) -> str:
+    import re
+    import tempfile
+
+    prefix = cache.get(sf_dir)
+    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
+        return prefix
+    prefix = f"{tag}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    build(prefix, tempfile.mkdtemp(prefix=f"{tag}_") + "/t")
+    cache[sf_dir] = prefix
+    return prefix
+
+
 _BM25_INDEX_CACHE: dict[str, str] = {}
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str) -> str:
-    import re
-    import tempfile
-
-    prefix = _BM25_INDEX_CACHE.get(sf_dir)
-    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
-        return prefix
     from moloch_spark.operators import retrieval as R
 
-    prefix = "bm25idx_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    R.build_bm25_index(
+    return _memoized_index(
         spark,
-        load_table_spread(spark, "documents", sf_dir),
-        prefix,
-        tempfile.mkdtemp(prefix="bm25idx_") + "/t",
+        sf_dir,
+        _BM25_INDEX_CACHE,
+        "bm25idx",
+        lambda prefix, path: R.build_bm25_index(
+            spark, load_table_spread(spark, "documents", sf_dir), prefix, path
+        ),
     )
-    _BM25_INDEX_CACHE[sf_dir] = prefix
-    return prefix
 
 
 @register("bm25_topk_indexed_search", _BM25_TOPK_SQL)
@@ -1822,25 +1834,18 @@ _BM25_APPEND_CACHE: dict[str, str] = {}
 def _bm25_appended_index(spark: SparkSession, sf_dir: str) -> str:
     """Index fixture built INCREMENTALLY: even doc_ids at build, odd
     doc_ids folded in by append_bm25_index — memoized per process."""
-    import re
-    import tempfile
-
-    prefix = _BM25_APPEND_CACHE.get(sf_dir)
-    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
-        return prefix
     from moloch_spark.operators import retrieval as R
 
-    prefix = "bm25ap_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    docs = load_table_spread(spark, "documents", sf_dir)
-    R.build_bm25_index(
-        spark,
-        docs.filter(F.col("doc_id") % 2 == 0),
-        prefix,
-        tempfile.mkdtemp(prefix="bm25ap_") + "/t",
-    )
-    R.append_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 1), prefix)
-    _BM25_APPEND_CACHE[sf_dir] = prefix
-    return prefix
+    def build(prefix, path):
+        docs = load_table_spread(spark, "documents", sf_dir)
+        R.build_bm25_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), prefix, path
+        )
+        R.append_bm25_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), prefix
+        )
+
+    return _memoized_index(spark, sf_dir, _BM25_APPEND_CACHE, "bm25ap", build)
 
 
 @register("bm25_index_append_search", _BM25_TOPK_SQL)
@@ -2469,23 +2474,15 @@ _BM25_HYBRID_CACHE: dict[str, str] = {}
 
 
 def _bm25_hybrid_index(spark: SparkSession, sf_dir: str) -> str:
-    import re
-    import tempfile
-
-    prefix = _BM25_HYBRID_CACHE.get(sf_dir)
-    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
-        return prefix
     from moloch_spark.operators import retrieval as R
 
-    prefix = "bm25hy_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    emb = load_table(spark, "embeddings", sf_dir)
-    uni = docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
-    R.build_bm25_index(
-        spark, uni, prefix, tempfile.mkdtemp(prefix="bm25hy_") + "/t"
-    )
-    _BM25_HYBRID_CACHE[sf_dir] = prefix
-    return prefix
+    def build(prefix, path):
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        emb = load_table(spark, "embeddings", sf_dir)
+        uni = docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        R.build_bm25_index(spark, uni, prefix, path)
+
+    return _memoized_index(spark, sf_dir, _BM25_HYBRID_CACHE, "bm25hy", build)
 
 
 @register("hybrid_rrf_indexed", _HYBRID_RRF_SQL)

@@ -60,6 +60,7 @@ import json
 import os
 import posixpath
 import shutil
+import threading
 import time
 import uuid
 
@@ -146,21 +147,27 @@ def resolve_partitions(
     return out
 
 
+_INFERENCE_LOCK = threading.Lock()
+
+
 def read_exact_partitions(spark, base: str, dirs: list[str]):
     """basePath multi-dir read with partition-type INFERENCE DISABLED,
     so partition values round-trip exactly as their dir-name strings —
     inference would turn `node=007` into 7 and `val=1.50` into 1.5,
     changing query results and breaking a consolidate rewrite whose
     commit must reproduce the original dir names. The conf toggle is
-    safe to scope around the call: partition discovery happens eagerly
-    inside spark.read.parquet."""
+    scoped around the call (partition discovery happens eagerly inside
+    spark.read.parquet) and serialized under a process lock so
+    interleaved readers can't restore each other's values and leave
+    the session-global setting corrupted."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        return spark.read.option("basePath", base).parquet(*dirs)
-    finally:
-        spark.conf.set(key, old)
+    with _INFERENCE_LOCK:
+        old = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            return spark.read.option("basePath", base).parquet(*dirs)
+        finally:
+            spark.conf.set(key, old)
 
 
 def _grouped_partition_dfs(spark, parts: dict[str, str]) -> list:
@@ -319,6 +326,15 @@ def swap_dir(src: str, dst: str) -> None:
     shutil.rmtree(old)
 
 
+# Minimum age before a newest-but-not-current snapshot (a suspected
+# crash between _write_manifest's two PUTs) may be reclaimed, at ANY
+# retain_s: an IN-FLIGHT commit looks identical between its two PUTs,
+# and reclaiming its snapshot+staging under it would land a manifest
+# referencing deleted data. Real commits close the window in
+# milliseconds; 15 minutes is orders of magnitude beyond any of them.
+ORPHAN_COMMIT_GRACE_S = 900.0
+
+
 def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     """Reclaim manifest snapshots and `_gen` data unreachable for at
     least `retain_s` seconds — age-gated like Delta's
@@ -326,18 +342,25 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     time (a generation that served as current for a week is still
     protected for retain_s after the commit that replaced it):
 
-      1. a snapshot whose content is not the live state is reclaimable
-         once its SUCCESSOR snapshot is older than retain_s (the
-         successor's commit is what superseded it); a NEWEST snapshot
-         that does not match the current manifest is an orphan from a
-         crash between the two `_write_manifest` PUTs and never became
-         visible — it ages on its own mtime;
+      1. a snapshot whose content is not the live state was superseded
+         no later than the commit that produced the CURRENT state —
+         it is reclaimable once that commit's snapshot is older than
+         retain_s (conservative: a mid-chain snapshot is protected a
+         little longer than strictly necessary, never less). A
+         snapshot NEWER than the current state's commit is a suspected
+         orphan from a crash between the two `_write_manifest` PUTs —
+         or an in-flight commit happening right now — and is only
+         reclaimed past max(retain_s, ORPHAN_COMMIT_GRACE_S) of its
+         own age;
       2. generation data is reclaimed at PARTITION granularity: every
          `_gen/<token>/<partition>` dir not referenced by the current
          manifest or a surviving snapshot is removed (so a partition
          superseded inside a still-live multi-partition token does not
          leak), then empty tokens; tokens referenced by NO snapshot at
-         all (crashed or in-flight writers) age on their dir mtime.
+         all (crashed writers) age on their dir mtime — do not run
+         retain_s=0 vacuum concurrently with active writers;
+      3. `.tmp-` staging residue from crashed atomic puts at the store
+         root is swept on the same orphan grace.
 
     Because snapshot pruning gates on supersession age, the surviving
     snapshots protect exactly the generations a reader inside the
@@ -354,25 +377,43 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     vpath = {
         v: posixpath.join(root, f"{_VPREFIX}{v:08d}.json") for v in versions
     }
-    for i, v in enumerate(versions):
-        p = vpath[v]
-        if fs.read_text(p) == current:
+    bodies = {v: fs.read_text(vpath[v]) for v in versions}
+    current_vs = [v for v in versions if bodies[v] == current]
+    cur_mtime = fs.mtime(vpath[current_vs[-1]]) if current_vs else None
+    surviving = []
+    for v in versions:
+        if bodies[v] == current:
+            surviving.append(v)
             continue  # the live state
-        superseded_at = (
-            fs.mtime(vpath[versions[i + 1]])
-            if i + 1 < len(versions)
-            else fs.mtime(p)  # newest-but-not-current: orphan commit
-        )
-        if retain_s > 0 and now - superseded_at < retain_s:
+        mt = fs.mtime(vpath[v])
+        if cur_mtime is not None and mt < cur_mtime:
+            superseded_at = cur_mtime
+            gate = retain_s
+        else:
+            # newer than (or without) a current-state commit: suspected
+            # orphan or in-flight writer — age on its own mtime with
+            # the hard grace floor
+            superseded_at = mt
+            gate = max(retain_s, ORPHAN_COMMIT_GRACE_S)
+        if now - superseded_at < gate:
+            surviving.append(v)
             continue
-        fs.delete(p)
+        fs.delete(vpath[v])
         removed.append(f"{_VPREFIX}{v:08d}.json")
+    # crashed atomic-put staging residue at the store root
+    if fs.isdir(root):
+        for name in fs.listdir(root):
+            if ".tmp-" in name and not fs.isdir(posixpath.join(root, name)):
+                p = posixpath.join(root, name)
+                if now - fs.mtime(p) >= max(retain_s, ORPHAN_COMMIT_GRACE_S):
+                    fs.delete(p)
+                    removed.append(name)
     gen_root = posixpath.join(root, "_gen")
     if not fs.isdir(gen_root):
         return removed
     live = set(load_manifest(store, spark).values())
-    for v in manifest_versions(store, spark):
-        live |= set(load_manifest(store, spark, version=v).values())
+    for v in surviving:
+        live |= set(json.loads(bodies[v]).get("partitions", {}).values())
     live_tokens = {rel.split("/")[1] for rel in live}
     for token in fs.listdir(gen_root):
         tdir = posixpath.join(gen_root, token)

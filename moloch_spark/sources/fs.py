@@ -97,9 +97,15 @@ class LocalFS:
 
 
 # schemes with no atomic in-place mutation but atomic single-object
-# PUTs; everything else is treated as a mutable filesystem with atomic
-# rename (hdfs, file, abfs/abfss hierarchical namespaces, ...)
-_FLAT_OBJECT_SCHEMES = {"s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "obs"}
+# PUTs (flat blob namespaces — rename there is client-side copy+delete,
+# strictly worse than one PUT); everything else is treated as a mutable
+# filesystem with atomic rename (hdfs, file, abfs/abfss hierarchical
+# namespaces, ...). wasb/wasbs are flat Azure blob; Tencent COS's
+# Hadoop scheme is cosn.
+_FLAT_OBJECT_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "oss", "swift", "cosn", "obs",
+    "wasb", "wasbs",
+}
 
 
 class HadoopFS:
@@ -152,10 +158,31 @@ class HadoopFS:
         finally:
             out.close()
 
+    def _file_context(self):
+        """FileContext for atomic-overwrite renames, or None when the
+        scheme has no AbstractFileSystem registration (some connectors
+        ship FileSystem only) — those fall back to the single-PUT path
+        rather than failing every commit."""
+        if not hasattr(self, "_fc"):
+            try:
+                self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                    self._fs.getUri(), self._conf
+                )
+            except Exception:
+                self._fc = None
+        return self._fc
+
     def put_text_atomic(self, p: str, text: str) -> None:
-        if self._scheme in _FLAT_OBJECT_SCHEMES:
-            # one PUT, atomically visible at close; rename here would
-            # be a non-atomic copy+delete — strictly worse
+        fc = (
+            None
+            if self._scheme in _FLAT_OBJECT_SCHEMES
+            else self._file_context()
+        )
+        if fc is None:
+            # one PUT, atomically visible at close — the object-store
+            # commit unit (rename there is a non-atomic copy+delete);
+            # also the fallback for schemes without an
+            # AbstractFileSystem registration
             self._create(p, text)
             return
         # mutable filesystems: create() truncates the live object and a
@@ -164,13 +191,14 @@ class HadoopFS:
         # (FileContext, the same primitive Spark's HDFSMetadataLog uses)
         tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
         self._create(tmp, text)
-        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            self._fs.getUri(), self._conf
-        )
-        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
-        opts = self._gateway.new_array(Rename, 1)
-        opts[0] = Rename.OVERWRITE
-        fc.rename(self._p(tmp), self._p(p), opts)
+        try:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            fc.rename(self._p(tmp), self._p(p), opts)
+        except Exception:
+            self._fs.delete(self._p(tmp), False)  # no residue on failure
+            raise
 
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._p(src), self._p(dst)):

@@ -138,12 +138,16 @@ def expire_partitions(
     """Retention: drop partitions older than keep_days (db.pl expire).
     Returns the dropped partition names.
 
-    `vacuum_retain_s` is passed through to the post-expiry
-    vacuum_store call: the default 0 reclaims superseded generations
-    and manifest snapshots immediately (a standalone cleanup run); a
-    deployment with concurrent readers or time-travel consumers must
-    set it to its query/retention horizon, or expiry would void the
-    commit protocol's MVCC window."""
+    Manifest-resolved partitions are expired by DROPPING THEIR MANIFEST
+    ENTRY only; the data stays on disk until the age-gated
+    `vacuum_store(retain_s=vacuum_retain_s)` reclaims it — so a reader
+    mid-scan on the pre-expiry manifest, or a read_store(version=...)
+    inside the retention horizon, still completes. Plain (never
+    manifest-committed) partitions have no snapshot protecting them and
+    are deleted inline, as before. The default vacuum_retain_s=0
+    reclaims immediately (a standalone cleanup run); a deployment with
+    concurrent readers or time-travel consumers must set it to its
+    query/retention horizon."""
     from moloch_spark.sources.commit import (
         load_manifest,
         resolve_partitions,
@@ -162,11 +166,16 @@ def expire_partitions(
     for name, pdir in resolve_partitions(path).items():
         day = name.split("=", 1)[1]
         if day < cutoff:
-            fs.delete(pdir)
+            if name in manifest:
+                # MVCC path: unreference now, reclaim via vacuum below
+                manifest.pop(name)
+            else:
+                fs.delete(pdir)
+            # a stale plain dir shadowed by a manifest entry is already
+            # invisible to manifest-aware readers — safe to drop inline
             plain = os.path.join(root, name)
             if fs.isdir(plain):
                 fs.delete(plain)
-            manifest.pop(name, None)
             dropped.append(name)
     if load_manifest(path) != manifest:
         from moloch_spark.sources.commit import _write_manifest

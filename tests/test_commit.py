@@ -300,24 +300,33 @@ def test_vacuum_reclaims_partition_inside_live_token(spark, tmp_path):
 
 def test_vacuum_orphan_newest_snapshot_reclaimed(spark, tmp_path):
     """A crash between the snapshot PUT and the manifest PUT leaves the
-    NEWEST snapshot not matching the current manifest; it never became
-    visible, so vacuum reclaims it (and its generation) on its own age
-    instead of exempting the newest version forever."""
+    NEWEST snapshot not matching the current manifest. While young it
+    must be PROTECTED at any retain_s — an in-flight commit looks
+    identical, and reclaiming under it would land a manifest pointing
+    at deleted data — but past the grace it is reclaimed (with its
+    generation) instead of being exempt forever."""
     import json as _json
+    import time as _time
 
     path = str(tmp_path / "store")
     _mk_store(spark, path)
     t1 = _tag_day2(spark, path, "gen1")
-    # forge the crashed writer: staged generation + versioned snapshot,
-    # no _manifest.json swap
+    # forge the crashed/in-flight writer: staged generation + versioned
+    # snapshot, no _manifest.json swap
     orphan_token = "f" * 12
     os.makedirs(os.path.join(path, "_gen", orphan_token, "day=2024-03-02"))
-    with open(os.path.join(path, "_manifest.v00000099.json"), "w") as f:
+    vpath = os.path.join(path, "_manifest.v00000099.json")
+    with open(vpath, "w") as f:
         _json.dump(
             {"partitions": {"day=2024-03-02": f"_gen/{orphan_token}/day=2024-03-02"}},
             f,
         )
-    assert vacuum_store(path, retain_s=3600.0) == []   # young: protected
+    # young: protected even at retain_s=0 (the in-flight-commit race)
+    assert vacuum_store(path) == []
+    assert vacuum_store(path, retain_s=3600.0) == []
+    # past the grace: reclaimed on its own age
+    old = _time.time() - 7200
+    os.utime(vpath, (old, old))
     removed = vacuum_store(path)
     assert "_manifest.v00000099.json" in removed
     assert os.path.join("_gen", orphan_token) in removed

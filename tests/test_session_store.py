@@ -88,6 +88,61 @@ def test_retention(spark, store, tmp_path):
     assert all(p.split("=")[1] >= "2024-01-15" for p in remaining)
 
 
+def test_retention_defers_manifest_data_to_vacuum(spark, tmp_path):
+    """Expiring a MANIFEST-committed partition drops only its manifest
+    entry; with vacuum_retain_s set, the generation data survives the
+    expiry, so a reader that resolved the pre-expiry manifest (or a
+    time-travel read inside the horizon) still completes. A later
+    zero-retention vacuum reclaims it."""
+    import datetime as dtm
+
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        read_store,
+        vacuum_store,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "store")
+    rows = [
+        (f"s{d}-{i}", dtm.datetime(2024, 1, 10 + d, 12, i), ["old"])
+        for d in range(3)
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, last_packet timestamp, tags array<string>"
+    )
+    write_sessions(df, path, mode="overwrite")
+    c = PartitionCommitter(path, force_manifest=True)
+    src = read_store(spark, path, "day").filter(F.col("day") == "2024-01-10")
+    (
+        src.withColumn("tags", F.array(F.lit("M")))
+        .repartition(F.col("day"))
+        .write.partitionBy("day")
+        .parquet(c.staging_dir())
+    )
+    c.commit(["day=2024-01-10"])
+    gen_dir = os.path.join(path, "_gen", c.token, "day=2024-01-10")
+
+    dropped = expire_partitions(
+        spark, path, keep_days=10, now=dt.date(2024, 1, 21),
+        vacuum_retain_s=3600.0,
+    )
+    assert dropped == ["day=2024-01-10"]
+    # invisible to new readers, but the generation survives for
+    # readers inside the retention horizon
+    # (the emptied manifest routes read_store to the plain parquet
+    # read, where `day` comes back date-typed — normalize to str)
+    assert {str(r.day) for r in read_store(spark, path, "day").collect()} == {
+        "2024-01-11", "2024-01-12"
+    }
+    assert os.path.isdir(gen_dir)
+    assert spark.read.parquet(gen_dir).count() == 2
+    # explicit zero-retention reclaim
+    vacuum_store(path)
+    assert not os.path.isdir(gen_dir)
+
+
 def test_user_forced_expression_and_time_limit(spark):
     ev = load_table(spark, "events", SF)
     user = UserContext(

@@ -20,7 +20,37 @@ UDF anywhere.
 
 from __future__ import annotations
 
+import os.path
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _string_proj_expr(c: str, skip: int) -> Column:
+    """Monotone numeric projection of a string column: the 7 UTF-8
+    bytes AFTER the column's common prefix, read as a big-endian
+    integer — preserves lexicographic order and fits a long exactly.
+    Skipping the shared prefix matters: keys like 'host-001' or
+    '10.0.1.23' spend most of their leading bytes on bytes every row
+    shares, and a fixed-window projection would collapse them into a
+    handful of ranks. Nulls sort to 0."""
+    return F.coalesce(
+        F.conv(
+            F.hex(F.substring(F.encode(F.col(c), "UTF-8"), skip + 1, 7)),
+            16,
+            10,
+        ).cast("double"),
+        F.lit(0.0),
+    )
+
+
+def _string_proj_py(s: str | None, skip: int) -> float:
+    """Python mirror of _string_proj_expr — used to derive the lo/hi
+    literals from the column's min/max strings (the projection is
+    monotone, so proj(min)/proj(max) bound every row)."""
+    if s is None:
+        return 0.0
+    b = s.encode("utf-8")[skip : skip + 7]
+    return float(int.from_bytes(b, "big")) if b else 0.0
 
 
 def _rank_norm(col: Column, lo: Column, hi: Column, bits: int) -> Column:
@@ -37,8 +67,11 @@ def _rank_norm(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 
 def zorder_key(cols: list[Column], los: list[Column], his: list[Column], *, bits: int = 12) -> Column:
     """Morton interleave: bit j of column i lands at position
-    j * n_cols + i. Pure shiftleft/bitwise-OR expression tree —
-    whole-stage-codegen friendly, n_cols * bits ops per row."""
+    j * n_cols + i — so with n files splitting the top ranges, LATER
+    columns get the finer split (their high bits are more
+    significant). Put the column you filter on most often LAST. Pure
+    shiftleft/bitwise-OR expression tree — whole-stage-codegen
+    friendly, n_cols * bits ops per row."""
     ranks = [
         _rank_norm(c, lo, hi, bits) for c, lo, hi in zip(cols, los, his)
     ]
@@ -64,17 +97,32 @@ def write_zordered(
     parquet files, each covering a compact hyper-rectangle of the value
     space. One stats scan (min/max per column — swap for percentile
     boundaries under heavy skew), one range-partitioned sorted write;
-    the key column itself is not persisted."""
-    stats = df.agg(
-        *[F.min(c).alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).alias(f"__hi_{c}") for c in cols],
-    ).first()
-    z = zorder_key(
-        [F.col(c) for c in cols],
-        [F.lit(stats[f"__lo_{c}"]) for c in cols],
-        [F.lit(stats[f"__hi_{c}"]) for c in cols],
-        bits=bits,
-    )
+    the key column itself is not persisted. String columns cluster by
+    the 7 lexicographic bytes after their common prefix (derived from
+    the min/max — every value between two bounds shares the bounds'
+    common prefix)."""
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        src = F.col(c) if dtypes[c] == "string" else F.col(c).cast("double")
+        aggs += [F.min(src).alias(f"__lo_{c}"), F.max(src).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs).first()
+    exprs, los, his = [], [], []
+    for c in cols:
+        lo_v, hi_v = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if dtypes[c] == "string":
+            lo_s, hi_s = lo_v or "", hi_v or ""
+            skip = len(
+                os.path.commonprefix([lo_s, hi_s]).encode("utf-8")
+            )
+            exprs.append(_string_proj_expr(c, skip))
+            los.append(F.lit(_string_proj_py(lo_s, skip)))
+            his.append(F.lit(_string_proj_py(hi_s, skip)))
+        else:
+            exprs.append(F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
+            los.append(F.lit(float(lo_v if lo_v is not None else 0.0)))
+            his.append(F.lit(float(hi_v if hi_v is not None else 0.0)))
+    z = zorder_key(exprs, los, his, bits=bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))

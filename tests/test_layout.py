@@ -83,6 +83,41 @@ def test_zorder_narrows_file_envelopes_on_both_columns(spark, tmp_path):
     assert abs(a["p"] - b["p"]) < 1e-6 * abs(b["p"])  # FP summation order
 
 
+def test_zorder_clusters_string_columns(spark, tmp_path):
+    """String keys (IPs, hostnames) must actually cluster — a plain
+    double cast would null out and silently collapse the dimension to
+    rank 0. The 7-byte lexicographic-prefix projection keeps order, so
+    per-file envelopes are narrow on BOTH the string and numeric dim."""
+    df = (
+        spark.range(0, 8192)
+        .select(
+            F.format_string("host-%03d", (F.col("id") % 64)).alias("host"),
+            ((F.col("id") * 13) % 256).alias("port"),
+        )
+    )
+    p = str(tmp_path / "zs")
+    write_zordered(df, p, ["host", "port"], n_files=16)
+    rows = (
+        spark.read.parquet(p)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.countDistinct("host").alias("nh"),
+            F.min("port").alias("plo"),
+            F.max("port").alias("phi"),
+        )
+        .collect()
+    )
+    assert len(rows) == 16
+    avg_hosts = sum(r["nh"] for r in rows) / len(rows)
+    avg_pw = sum(r["phi"] - r["plo"] for r in rows) / len(rows)
+    # unclustered each file would hold ~64 hosts / ~255 port span;
+    # a 16-tile Morton grid over 2 dims gives ~4x4 -> ~16 hosts and
+    # ~64-128 port span per file
+    assert avg_hosts < 28, f"string dim did not cluster: {avg_hosts}"
+    assert avg_pw < 180, f"numeric dim did not cluster: {avg_pw}"
+
+
 def test_zorder_degenerate_and_three_column(spark, tmp_path):
     """Constant columns must not break the key (span 0 -> rank 0), and
     3-column interleave still bounds every dimension's envelope."""

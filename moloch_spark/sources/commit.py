@@ -72,54 +72,86 @@ MANIFEST = "_manifest.json"
 _VPREFIX = "_manifest.v"
 
 
+def _snapshot_entries(fs, root: str) -> list[tuple[int, str]]:
+    """(version, filename) for every retained manifest snapshot, sorted
+    by version then name. Two naming forms coexist: the writer-unique
+    `_manifest.v{N}-{token}.json` (current — racing committers that
+    both claim version N land under DIFFERENT keys instead of
+    overwriting each other, ADVICE r6) and the legacy tokenless
+    `_manifest.v{N}.json` from stores written before round 7."""
+    if not fs.isdir(root):
+        return []
+    out = []
+    for n in fs.listdir(root):
+        if not (n.startswith(_VPREFIX) and n.endswith(".json")):
+            continue
+        core = n[len(_VPREFIX) : -len(".json")]
+        vstr = core.split("-", 1)[0]
+        try:
+            out.append((int(vstr), n))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
 def load_manifest(
     store: str, spark=None, *, version: int | None = None
 ) -> dict[str, str]:
     """partition name -> store-relative data dir for manifest-committed
     partitions; empty when the store has no manifest. `version` reads a
     retained historical snapshot instead of the current manifest (time
-    travel — see manifest_versions / vacuum_store retention)."""
+    travel — see manifest_versions / vacuum_store retention). If racing
+    committers both claimed `version`, the snapshot with the latest
+    (mtime, name) wins — the closest observable proxy for which of the
+    two `_manifest.json` last-writer-wins PUTs actually landed last."""
     fs, root = get_fs(store, spark)
-    name = MANIFEST if version is None else f"{_VPREFIX}{version:08d}.json"
-    p = posixpath.join(root, name)
-    if not fs.exists(p):
-        if version is not None:
-            raise FileNotFoundError(
-                f"manifest version {version} not found under {store!r} "
-                "(never written, or reclaimed by vacuum_store retention)"
-            )
-        return {}
-    return json.loads(fs.read_text(p)).get("partitions", {})
+    if version is None:
+        p = posixpath.join(root, MANIFEST)
+        if not fs.exists(p):
+            return {}
+        return json.loads(fs.read_text(p)).get("partitions", {})
+    names = [n for v, n in _snapshot_entries(fs, root) if v == version]
+    if not names:
+        raise FileNotFoundError(
+            f"manifest version {version} not found under {store!r} "
+            "(never written, or reclaimed by vacuum_store retention)"
+        )
+    name = max(names, key=lambda n: (fs.mtime(posixpath.join(root, n)), n))
+    return json.loads(fs.read_text(posixpath.join(root, name))).get(
+        "partitions", {}
+    )
 
 
 def manifest_versions(store: str, spark=None) -> list[int]:
-    """Retained manifest snapshot versions, ascending. Each commit
-    appends one; vacuum_store prunes those older than its retention."""
+    """Retained manifest snapshot versions, ascending (deduplicated —
+    a version-claim collision leaves two snapshot files for one
+    version). Each commit appends one; vacuum_store prunes those older
+    than its retention."""
     fs, root = get_fs(store, spark)
-    if not fs.isdir(root):
-        return []
-    out = []
-    for n in fs.listdir(root):
-        if n.startswith(_VPREFIX) and n.endswith(".json"):
-            out.append(int(n[len(_VPREFIX) : -len(".json")]))
-    return sorted(out)
+    return sorted({v for v, _ in _snapshot_entries(fs, root)})
 
 
 def _write_manifest(store: str, partitions: dict[str, str], spark=None) -> None:
     """Atomic single-object swap: temp-file + rename locally; one PUT of
     the manifest key on an object store (PUTs are atomic per object).
-    A versioned snapshot (`_manifest.vNNNNNNNN.json`) is written FIRST:
-    the commit point is still the single `_manifest.json` swap — a
-    crash in between leaves an orphan snapshot that vacuum reclaims —
-    and the snapshot gives readers time travel back to any commit
-    still inside the vacuum retention window."""
+    A versioned snapshot (`_manifest.v{N}-{token}.json`) is written
+    FIRST: the commit point is still the single `_manifest.json` swap —
+    a crash in between leaves an orphan snapshot that vacuum reclaims —
+    and the snapshot gives readers time travel back to any commit still
+    inside the vacuum retention window. The writer-unique token suffix
+    keeps two committers that both computed N = last+1 from overwriting
+    the same snapshot key (ADVICE r6): both snapshots survive, version
+    ordering inside vacuum/time-travel is derived from (mtime, name),
+    and the LWW `_manifest.json` swap decides the current state exactly
+    as before."""
     fs, root = get_fs(store, spark)
     fs.mkdirs(root)
     body = json.dumps({"partitions": partitions}, sort_keys=True)
     versions = manifest_versions(store, spark)
     v = (versions[-1] + 1) if versions else 1
     fs.put_text_atomic(
-        posixpath.join(root, f"{_VPREFIX}{v:08d}.json"), body
+        posixpath.join(root, f"{_VPREFIX}{v:08d}-{uuid.uuid4().hex[:12]}.json"),
+        body,
     )
     fs.put_text_atomic(posixpath.join(root, MANIFEST), body)
 
@@ -206,12 +238,13 @@ def read_store(
     convention. `version` time-travels to a retained manifest snapshot
     — reproducible reads for a long job spanning maintenance commits,
     as long as vacuum retention covers it."""
+    # load_manifest raises FileNotFoundError for a MISSING snapshot
+    # version; an EMPTY snapshot is a legitimate committed state (an
+    # expire_partitions run that popped every entry writes one) and
+    # serves the plain tree exactly like the current-state read
+    # (ADVICE r6).
     manifest = load_manifest(store, spark, version=version)
     if not manifest:
-        if version is not None:
-            raise FileNotFoundError(
-                f"manifest version {version} of {store!r} is empty"
-            )
         return spark.read.parquet(store)
     parts = resolve_partitions(store, spark, version=version)
     if partition_col is not None:
@@ -342,23 +375,30 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     time (a generation that served as current for a week is still
     protected for retain_s after the commit that replaced it):
 
-      1. a snapshot whose content is not the live state was superseded
-         no later than the commit that produced the CURRENT state —
-         it is reclaimable once that commit's snapshot is older than
-         retain_s (conservative: a mid-chain snapshot is protected a
-         little longer than strictly necessary, never less). A
-         snapshot NEWER than the current state's commit is a suspected
-         orphan from a crash between the two `_write_manifest` PUTs —
-         or an in-flight commit happening right now — and is only
-         reclaimed past max(retain_s, ORPHAN_COMMIT_GRACE_S) of its
-         own age;
+      1. snapshot supersession is PER-SUCCESSOR (VERDICT r6 #1):
+         snapshot i in the (mtime, version, name)-ordered chain was
+         superseded the moment snapshot i+1 was written, and is
+         reclaimable once that successor is older than retain_s. On a
+         store that commits more often than retain_s (a cron tag
+         write-back every tick) the horizon therefore still advances —
+         keying every snapshot on the CURRENT commit's age, as earlier
+         rounds did, meant such a store never reclaimed anything
+         (reclaim starvation). The NEWEST snapshot, when it is not the
+         live state, has no successor to date it: a suspected orphan
+         from a crash between the two `_write_manifest` PUTs — or an
+         in-flight commit happening right now — reclaimed only past
+         max(retain_s, ORPHAN_COMMIT_GRACE_S) of its own age;
       2. generation data is reclaimed at PARTITION granularity: every
          `_gen/<token>/<partition>` dir not referenced by the current
          manifest or a surviving snapshot is removed (so a partition
          superseded inside a still-live multi-partition token does not
-         leak), then empty tokens; tokens referenced by NO snapshot at
-         all (crashed writers) age on their dir mtime — do not run
-         retain_s=0 vacuum concurrently with active writers;
+         leak), then empty tokens. A token whose last reference was a
+         snapshot reclaimed THIS run is a superseded generation whose
+         supersession age already passed the gate — reclaimed with it.
+         Tokens referenced by NO snapshot at all (crashed writers) age
+         on their dir mtime — do not run retain_s=0 vacuum concurrently
+         with active writers (expire_partitions defaults its embedded
+         vacuum to the orphan grace for exactly this reason);
       3. `.tmp-` staging residue from crashed atomic puts at the store
          root is swept on the same orphan grace.
 
@@ -373,33 +413,36 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     current = json.dumps(
         {"partitions": load_manifest(store, spark)}, sort_keys=True
     )
-    versions = manifest_versions(store, spark)
-    vpath = {
-        v: posixpath.join(root, f"{_VPREFIX}{v:08d}.json") for v in versions
-    }
-    bodies = {v: fs.read_text(vpath[v]) for v in versions}
-    current_vs = [v for v in versions if bodies[v] == current]
-    cur_mtime = fs.mtime(vpath[current_vs[-1]]) if current_vs else None
-    surviving = []
-    for v in versions:
-        if bodies[v] == current:
-            surviving.append(v)
-            continue  # the live state
-        mt = fs.mtime(vpath[v])
-        if cur_mtime is not None and mt < cur_mtime:
-            superseded_at = cur_mtime
+    entries = _snapshot_entries(fs, root)
+    paths = {n: posixpath.join(root, n) for _, n in entries}
+    bodies = {n: fs.read_text(paths[n]) for _, n in entries}
+    # supersession chain ordered by (mtime, version, name): mtime is the
+    # authoritative commit order — version-claim collisions can leave
+    # two snapshot files carrying the same version number (ADVICE r6)
+    chain = sorted(
+        entries, key=lambda e: (fs.mtime(paths[e[1]]), e[0], e[1])
+    )
+    surviving: list[str] = []
+    reclaimed_refs: set[str] = set()
+    for i, (_v, name) in enumerate(chain):
+        if bodies[name] == current:
+            surviving.append(name)
+            continue  # the live state — always retained
+        if i + 1 < len(chain):
+            superseded_at = fs.mtime(paths[chain[i + 1][1]])
             gate = retain_s
         else:
-            # newer than (or without) a current-state commit: suspected
-            # orphan or in-flight writer — age on its own mtime with
-            # the hard grace floor
-            superseded_at = mt
+            # newest-but-not-current: suspected orphan or in-flight
+            # writer — age on its own mtime with the hard grace floor
+            superseded_at = fs.mtime(paths[name])
             gate = max(retain_s, ORPHAN_COMMIT_GRACE_S)
         if now - superseded_at < gate:
-            surviving.append(v)
+            surviving.append(name)
             continue
-        fs.delete(vpath[v])
-        removed.append(f"{_VPREFIX}{v:08d}.json")
+        for rel in json.loads(bodies[name]).get("partitions", {}).values():
+            reclaimed_refs.add(rel.split("/")[1])
+        fs.delete(paths[name])
+        removed.append(name)
     # crashed atomic-put staging residue at the store root
     if fs.isdir(root):
         for name in fs.listdir(root):
@@ -412,15 +455,19 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     if not fs.isdir(gen_root):
         return removed
     live = set(load_manifest(store, spark).values())
-    for v in surviving:
-        live |= set(json.loads(bodies[v]).get("partitions", {}).values())
+    for name in surviving:
+        live |= set(json.loads(bodies[name]).get("partitions", {}).values())
     live_tokens = {rel.split("/")[1] for rel in live}
     for token in fs.listdir(gen_root):
         tdir = posixpath.join(gen_root, token)
         if token not in live_tokens:
-            # never referenced by any retained state: a crashed or
-            # in-flight writer — age on the staging dir itself
-            if retain_s > 0 and now - fs.mtime(tdir) < retain_s:
+            # a token whose snapshots were reclaimed THIS run is a
+            # superseded generation already past the supersession gate;
+            # a token referenced by NO retained state is a crashed or
+            # in-flight writer — age that one on the staging dir itself
+            if token not in reclaimed_refs and (
+                retain_s > 0 and now - fs.mtime(tdir) < retain_s
+            ):
                 continue
             fs.delete(tdir)
             removed.append(posixpath.join("_gen", token))
@@ -504,8 +551,18 @@ def publish_once(df, dest: str, meta: dict | None = None) -> dict:
       * else write data to `dest/data-<wtoken>` (unique per writer, so
         racers never interleave), then PUT `dest/_committed-<wtoken>`
         with the meta as content. Readers resolve the MIN committed
-        wtoken, so every reader deterministically agrees on the winner
-        even while a race is in flight.
+        wtoken.
+
+    Winner determinism (VERDICT r6): once BOTH racers' markers are
+    visible, every reader agrees on the min-token winner forever. WHILE
+    a race is in flight there is a flip window — if racer B holds the
+    smaller token but lands its marker after racer A's, a reader that
+    resolved between the two PUTs saw A, and later readers see B. A
+    caller that must act on one specific winner should therefore record
+    the resolved meta and replay from the record (the cron forwarder
+    does exactly this — and its racers carry identical (query, lo)
+    content, so a flip is invisible there anyway) rather than
+    re-resolving.
 
     Crash between data write and marker -> no marker -> invisible;
     the orphan data dir is a vacuum target."""

@@ -95,6 +95,9 @@ class LocalFS:
     def mtime(self, p: str) -> float:
         return os.path.getmtime(p)
 
+    def size(self, p: str) -> int:
+        return os.path.getsize(p)
+
 
 # schemes with no atomic in-place mutation but atomic single-object
 # PUTs (flat blob namespaces — rename there is client-side copy+delete,
@@ -209,6 +212,9 @@ class HadoopFS:
 
     def mtime(self, p: str) -> float:
         return self._fs.getFileStatus(self._p(p)).getModificationTime() / 1000.0
+
+    def size(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._p(p)).getLen())
 
 
 def get_fs(path: str, spark=None) -> tuple[object, str]:

@@ -133,7 +133,7 @@ def expire_partitions(
     *,
     keep_days: int,
     now: dt.date | None = None,
-    vacuum_retain_s: float = 0.0,
+    vacuum_retain_s: float | None = None,
 ) -> list[str]:
     """Retention: drop partitions older than keep_days (db.pl expire).
     Returns the dropped partition names.
@@ -142,44 +142,72 @@ def expire_partitions(
     ENTRY only; the data stays on disk until the age-gated
     `vacuum_store(retain_s=vacuum_retain_s)` reclaims it — so a reader
     mid-scan on the pre-expiry manifest, or a read_store(version=...)
-    inside the retention horizon, still completes. Plain (never
-    manifest-committed) partitions have no snapshot protecting them and
-    are deleted inline, as before. The default vacuum_retain_s=0
-    reclaims immediately (a standalone cleanup run); a deployment with
-    concurrent readers or time-travel consumers must set it to its
-    query/retention horizon."""
+    inside the retention horizon, still completes. vacuum_retain_s
+    defaults to the orphan-commit grace (ADVICE r6: a retain_s=0 vacuum
+    deletes a CONCURRENT writer's staging dir mid-write — a routine
+    expiry run must never kill a racing tag update); pass an explicit
+    horizon to widen it, or 0 for a standalone immediate cleanup when
+    nothing else runs.
+
+    A manifest-backed partition whose PLAIN dir is still resolved by a
+    retained snapshot (one written before the partition's first
+    manifest commit) is DEFERRED, not expired (ADVICE r6): popping its
+    entry would unshadow the stale plain dir for current readers, and
+    deleting the dir would break time travel inside the retention
+    horizon. A later run expires it once vacuum has aged that snapshot
+    out. Plain, never-manifest-committed partitions have no snapshot of
+    their own protecting them and are deleted inline, as before."""
+    import json
+    import posixpath
+
     from moloch_spark.sources.commit import (
+        ORPHAN_COMMIT_GRACE_S,
+        _snapshot_entries,
+        _write_manifest,
         load_manifest,
         resolve_partitions,
         vacuum_store,
     )
-
     from moloch_spark.sources.fs import get_fs
 
+    if vacuum_retain_s is None:
+        vacuum_retain_s = ORPHAN_COMMIT_GRACE_S
     fs, root = get_fs(path, spark)
     now = now or dt.date.today()
     cutoff = (now - dt.timedelta(days=keep_days)).isoformat()
-    dropped = []
+    dropped: list[str] = []
     if not fs.isdir(root):
         return dropped
+    # age superseded snapshots out FIRST so long-gone history does not
+    # defer expiry below
+    vacuum_store(path, retain_s=vacuum_retain_s)
     manifest = load_manifest(path)
+    noncurrent_snaps = []
+    for _v, sname in _snapshot_entries(fs, root):
+        body = json.loads(
+            fs.read_text(posixpath.join(root, sname))
+        ).get("partitions", {})
+        if body != manifest:
+            noncurrent_snaps.append(body)
     for name, pdir in resolve_partitions(path).items():
         day = name.split("=", 1)[1]
-        if day < cutoff:
-            if name in manifest:
-                # MVCC path: unreference now, reclaim via vacuum below
-                manifest.pop(name)
-            else:
-                fs.delete(pdir)
-            # a stale plain dir shadowed by a manifest entry is already
-            # invisible to manifest-aware readers — safe to drop inline
-            plain = os.path.join(root, name)
+        if day >= cutoff:
+            continue
+        plain = posixpath.join(root, name)
+        if name in manifest:
+            if fs.isdir(plain) and any(
+                name not in b for b in noncurrent_snaps
+            ):
+                continue  # deferred: a retained snapshot needs the plain dir
+            manifest.pop(name)
+            # the stale plain dir (shadowed until now by the manifest
+            # entry) goes inline — no retained snapshot resolves to it
             if fs.isdir(plain):
                 fs.delete(plain)
-            dropped.append(name)
+        else:
+            fs.delete(pdir)
+        dropped.append(name)
     if load_manifest(path) != manifest:
-        from moloch_spark.sources.commit import _write_manifest
-
         _write_manifest(path, manifest)
         vacuum_store(path, retain_s=vacuum_retain_s)
     return dropped
@@ -233,16 +261,27 @@ def compact_partitions(
     (force_manifest=True anywhere; see PLANS.md §28) — so readers
     never observe a partially-rewritten partition. On a real
     deployment the same job runs per closed day (only CLOSED days:
-    compaction of the live day races the writer). Returns
-    {day: files_after}."""
-    import glob as _glob
+    compaction of the live day races the writer). File stats go through
+    the sources/fs adapter — a glob/getsize probe would silently find
+    ZERO files on an s3a:// store and no-op the exact deployments
+    compaction exists for (VERDICT r6 #3). Returns {day: files_after}."""
     import math
-    import os
+    import posixpath
 
     from moloch_spark.sources.commit import (
         PartitionCommitter,
         resolve_partitions,
     )
+    from moloch_spark.sources.fs import get_fs
+
+    fs, _root = get_fs(path, spark)
+
+    def _parquet_files(pdir: str) -> list[str]:
+        return [
+            posixpath.join(pdir, n)
+            for n in fs.listdir(pdir)
+            if n.endswith(".parquet")
+        ]
 
     parts = resolve_partitions(path)
     if days is None:
@@ -254,13 +293,15 @@ def compact_partitions(
         pdir = parts.get(f"{PARTITION_COL}={day}")
         if pdir is None:
             continue
-        files = _glob.glob(os.path.join(pdir, "*.parquet"))
-        size = sum(os.path.getsize(f) for f in files)
+        files = _parquet_files(pdir)
+        size = sum(fs.size(f) for f in files)
         n = max(1, math.ceil(size / target_file_bytes))
         if len(files) <= n:
             out[day] = len(files)
             continue
-        dst = os.path.join(committer.staging_dir(), f"{PARTITION_COL}={day}")
+        dst = posixpath.join(
+            committer.staging_dir(), f"{PARTITION_COL}={day}"
+        )
         spark.read.parquet(pdir).repartition(n).write.mode("overwrite").parquet(
             dst
         )
@@ -269,11 +310,7 @@ def compact_partitions(
         committer.commit([f"{PARTITION_COL}={d}" for d in compacted])
         parts = resolve_partitions(path)
         for day in compacted:
-            out[day] = len(
-                _glob.glob(
-                    os.path.join(parts[f"{PARTITION_COL}={day}"], "*.parquet")
-                )
-            )
+            out[day] = len(_parquet_files(parts[f"{PARTITION_COL}={day}"]))
     else:
         committer.abort()
     return out

@@ -449,6 +449,172 @@ def ann_ivf_int8_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted ANN serving index (VERDICT r6 #5 — the BM25-index counterpart)
+# ---------------------------------------------------------------------------
+
+
+def build_ann_index(
+    spark,
+    emb: DataFrame,
+    table_prefix: str,
+    path_prefix: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    buckets: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Write the DURABLE ANN serving index — the IVF+SQ8 layout a
+    100 TB vector corpus queries without re-deriving the model per
+    batch (ann_ivf_int8_topk recomputes scale + cell assignment from
+    the raw embeddings every call: right for a correctness gate, wrong
+    as the serving shape — retrieval.build_bm25_index is the template):
+
+      <prefix>_codes  (id, cell, code array<int>)  bucketed+sorted by cell
+      <prefix>_model  (scale, centroids)           one row
+
+    One scan encodes cell + int8 code side by side (ivf/int8 exprs are
+    scan-side; the only shuffle is the bucketed write's clustering).
+    Bucketing the codes by cell means a query batch's `cell IN (...)`
+    probe-list predicate BUCKET-PRUNES the scan — the engine opens only
+    the buckets holding the probed cells, never the whole index — and
+    the within-bucket sort adds row-group min/max pruning on top. The
+    model row is the entire driver/executor transfer at query time.
+    `buckets` is a layout contract (appends must pass the same value)."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
+    scale = int8_quant_model(emb, vec_col=vec_col)
+    scorer = _cell_scores_udf(cents)
+    vec = F.col(vec_col).cast("array<double>")
+    codes = emb.select(
+        F.col(id_col),
+        _argmin_cell(scorer(vec)).alias("cell"),
+        int8_code_expr(vec_col, scale).alias("code"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_codes")
+    (
+        codes.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell", id_col)
+        .option("path", f"{path_prefix}_codes")
+        .saveAsTable(f"{table_prefix}_codes")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_model")
+    (
+        spark.createDataFrame(
+            [(float(scale), [[float(x) for x in c] for c in cents])],
+            "scale double, centroids array<array<double>>",
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", f"{path_prefix}_model")
+        .saveAsTable(f"{table_prefix}_model")
+    )
+
+
+def append_ann_index(
+    spark,
+    new_emb: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+) -> None:
+    """Fold newly ingested vectors into the index WITHOUT rebuilding —
+    the append_bm25_index analog. The new batch is encoded with the
+    PERSISTED model (scale + centroids): re-deriving either would put
+    old and new codes in different quantization/cell spaces and corrupt
+    every cross-batch comparison, so the model is read back and applied
+    verbatim; the encode cost is one scan of the NEW batch only, landed
+    as a bucketed append (pruning layout unchanged). Re-train the model
+    (full build) when drift warrants it — the Faiss re-train cadence
+    decision, not an append-time one. Contract: new ids are not already
+    indexed, `buckets` matches the build."""
+    m = spark.table(f"{table_prefix}_model").first()
+    scale = float(m["scale"])
+    cents = [list(c) for c in m["centroids"]]
+    scorer = _cell_scores_udf(cents)
+    vec = F.col(vec_col).cast("array<double>")
+    codes = new_emb.select(
+        F.col(id_col),
+        _argmin_cell(scorer(vec)).alias("cell"),
+        int8_code_expr(vec_col, scale).alias("code"),
+    )
+    (
+        codes.write.mode("append")
+        .format("parquet")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell", id_col)
+        .saveAsTable(f"{table_prefix}_codes")
+    )
+
+
+def ann_index_search(
+    spark,
+    queries: DataFrame,
+    table_prefix: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve top-k from the persisted index: read the one-row model,
+    encode ONLY the query batch (cells from full-precision vectors,
+    codes from the persisted scale — exactly the build-side split), and
+    scan the codes table with the probe cells as a LITERAL `IN` so the
+    bucketed layout prunes at the scan (a join key alone would not
+    bucket-prune). The probe-cell collect is bounded by |queries| ×
+    nprobe — a query-batch-sized transfer, same contract as
+    retrieval.bm25_topk_indexed's term list. Per-query corpus cost is
+    O(n · nprobe / n_cells) code-bytes over only the probed buckets.
+    Output matches ann_ivf_int8_topk: (qid, did, qcosine, rank)."""
+    m = spark.table(f"{table_prefix}_model").first()
+    scale = float(m["scale"])
+    cents = [list(c) for c in m["centroids"]]
+    scorer = _cell_scores_udf(cents)
+    vec = F.col(vec_col).cast("array<double>")
+    q = (
+        queries.withColumn("sc", scorer(vec))  # UDF column first: a
+        # pandas UDF can't sit inside _probe_cells' lambda tree
+        .select(
+            F.col(id_col).alias("qid"),
+            int8_code_expr(vec_col, scale).alias("qcode"),
+            F.explode(
+                _probe_cells(F.col("sc"), len(cents), nprobe)
+            ).alias("pcell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probe_cells = sorted(
+        r["pcell"] for r in q.select("pcell").distinct().collect()
+    )
+    codes = spark.table(f"{table_prefix}_codes").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    cand = codes.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        F.col(id_col).alias("did"),
+        cosine_expr(F.col("qcode"), F.col("code")).alias("qcosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("qcosine").desc(), F.col("did").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "did", "qcosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def kmeans_train(
     emb: DataFrame,
     *,

@@ -41,51 +41,28 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# ROUND-6 rotation (the r5 verdict's ask #1, executed as written —
-# there were no r5 reds):
-#   (a) gates NEW in r6 (driver-row them the round they land),
-#   (b) the 6 gates whose latest row is r1 — cut at position 50 by the
-#       r5 window,
-#   (c) the 46-query block whose latest row is r2, oldest-signal-first,
-#   (d) past the ~50 cap: the 50-query r4 block (next-oldest signal),
-#       then the r5-rowed gates in registration order — all hash-green
-#       at their latest driver row and pytest-oracle-green locally.
-# ROUND-7 NOTE: next head = any r6 reds, any new r7 gates, then
-# whatever (c)-tail the r6 window cut at the cap (expected: the last
-# ~4 of the r2 block — tunnel_decap_roundtrip,
-# unique_multivalue_session_types, x509_cert_fields,
-# yara_scan_documents), then the r4 block of (d). After r7 no query's
-# latest row should be older than r5.
+# ROUND-7 rotation (the r6 verdict's ask #2 / the r6 ROUND-7 NOTE,
+# executed as written — there were no r6 reds):
+#   (a) gates NEW in r7 (driver-row them the round they land),
+#   (b) the 4-gate r2 tail the r6 window cut at position 50,
+#   (c) the 50-query block whose latest row is r4 (the oldest signal),
+#       oldest-registered-first — the ~50 cap lands after 44 of them,
+#   (d) past the cap: the 6-query r4 tail, then the r5-rowed and
+#       r6-rowed gates in registration order — all hash-green at their
+#       latest driver row and pytest-oracle-green locally.
+# ROUND-8 NOTE: next head = any r7 reds, any new r8 gates, then the
+# 6-gate r4 tail of (d) (pq_encode_codes, ccnet_pipeline_e2e,
+# warc_ingest_roundtrip, hybrid_rrf_search, hunt_job_control,
+# streaming_state_cap), then the 50-gate r5 block (next-oldest
+# signal). After r8 no query's latest row should be older than r6.
 _CHECK_PRIORITY = (
-    # --- (a) new in r6 ---
-    "ann_ivf_int8_topk",        # IVF cells + int8 in-cell codes (Faiss IVF,SQ8 shape)
-    "hybrid_rrf_indexed",       # hybrid RRF served from the durable BM25 index
-    # --- (b) latest driver row is r1 (6) ---
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "unique_autocomplete", "unique_event_type", "unique_pair_user_type",
-    "wise_feed_enrich",
-    # --- (c) latest driver row is r2 (46) ---
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_bucketed_topk",
-    "corpus_ngram_stats", "cron_query_tick", "decontaminate_ngrams",
-    "dedup_semantic_clusters", "dns_parse_fields",
-    "expr_sessions_store_search", "frame_decode_roundtrip",
-    "http_parse_fields", "hunt_ascii_and_regex", "misc_parse_fields",
-    "multimodal_features", "pcap_export_sessions", "pcap_packet_positions",
-    "rules_tagging", "session_segments_merge", "session_store_bounded_either",
-    "sessionize_chunked_rootid", "sessionize_events_30m",
-    "sessionize_per_proto_timeouts", "smb_parse_fields", "smtp_parse_fields",
-    "ssh_hassh_fields", "suricata_interval_join", "tls_ja3_fields",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority", "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tunnel_decap_roundtrip",
-    "unique_multivalue_session_types", "x509_cert_fields",
-    "yara_scan_documents",
-    # --- (d) past the ~50 cap: r4 block, oldest-first ---
+    # --- (a) new in r7 ---
+    "zorder_store_search",      # optimize_layout z-order rewrite through the store
+    "ann_indexed_topk",         # IVF+SQ8 served from the persisted codes table
+    # --- (b) latest driver row is r2: the tail the r6 window cut (4) ---
+    "tunnel_decap_roundtrip", "unique_multivalue_session_types",
+    "x509_cert_fields", "yara_scan_documents",
+    # --- (c) latest driver row is r4 (50; cap cuts after 44) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
     "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
     "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
@@ -102,9 +79,12 @@ _CHECK_PRIORITY = (
     "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
     "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
     "bm25_topk_search", "bpe_train_and_apply", "quality_classifier_filter",
-    "ppl_lang_buckets", "embedding_pca_whiten", "pq_encode_codes",
-    "ccnet_pipeline_e2e", "warc_ingest_roundtrip", "hybrid_rrf_search",
-    "hunt_job_control", "streaming_state_cap",
+    "ppl_lang_buckets", "embedding_pca_whiten",
+    # --- (d) past the ~50 cap: the r4 tail (next head per the
+    #     ROUND-8 NOTE); unlisted gates (all r5/r6-rowed) follow in
+    #     registration order ---
+    "pq_encode_codes", "ccnet_pipeline_e2e", "warc_ingest_roundtrip",
+    "hybrid_rrf_search", "hunt_job_control", "streaming_state_cap",
 )
 
 

@@ -27,15 +27,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def _string_proj_expr(c: str, skip: int) -> Column:
     """Monotone numeric projection of a string column: the 7 UTF-8
-    bytes AFTER the column's common prefix, read as a big-endian
-    integer — preserves lexicographic order and fits a long exactly.
-    Skipping the shared prefix matters: keys like 'host-001' or
-    '10.0.1.23' spend most of their leading bytes on bytes every row
-    shares, and a fixed-window projection would collapse them into a
-    handful of ranks. Nulls sort to 0."""
+    bytes AFTER the column's common prefix, RIGHT-PADDED with zero
+    bytes to a fixed 7-byte window and read as a big-endian integer —
+    preserves lexicographic order and fits a long exactly. Without the
+    padding a short suffix reads as a SMALL integer regardless of its
+    leading byte ('b'=98 < 'ab'=24930), so mixed-length values invert
+    the order and can collapse the dimension to rank 0 (ADVICE r6).
+    The pad happens on the hex encoding (2 chars per byte, right-pad
+    to 14 with '0' == zero-byte pad). Skipping the shared prefix
+    matters: keys like 'host-001' or '10.0.1.23' spend most of their
+    leading bytes on bytes every row shares, and a fixed-window
+    projection would collapse them into a handful of ranks. Nulls
+    sort to 0."""
     return F.coalesce(
         F.conv(
-            F.hex(F.substring(F.encode(F.col(c), "UTF-8"), skip + 1, 7)),
+            F.rpad(
+                F.hex(
+                    F.substring(F.encode(F.col(c), "UTF-8"), skip + 1, 7)
+                ),
+                14,
+                "0",
+            ),
             16,
             10,
         ).cast("double"),
@@ -50,7 +62,7 @@ def _string_proj_py(s: str | None, skip: int) -> float:
     if s is None:
         return 0.0
     b = s.encode("utf-8")[skip : skip + 7]
-    return float(int.from_bytes(b, "big")) if b else 0.0
+    return float(int.from_bytes(b.ljust(7, b"\x00"), "big"))
 
 
 def _rank_norm(col: Column, lo: Column, hi: Column, bits: int) -> Column:

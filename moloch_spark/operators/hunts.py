@@ -107,22 +107,27 @@ class HuntJobQueue:
     retry policy, same as the reference re-issuing a failed scroll)."""
 
     def __init__(self, state_path: str):
+        # state I/O through the sources/fs adapter (VERDICT r6 #8): the
+        # job table may live next to the session store on shared
+        # storage (s3a://...) so any node can run the tick; writes are
+        # the adapter's atomic single-object publish, so a crash
+        # mid-save never leaves a truncated state file. Single-writer
+        # contract (one hunt scheduler), like the reference's one
+        # active hunt (viewer/apiHunts.js:370-460).
         import json
-        import os
 
-        self.state_path = state_path
+        from moloch_spark.sources.fs import get_fs
+
+        self._fs, self.state_path = get_fs(state_path)
         self._json = json
-        self._os = os
 
     def _load(self) -> dict:
-        if self._os.path.exists(self.state_path):
-            with open(self.state_path) as f:
-                return self._json.load(f)
+        if self._fs.exists(self.state_path):
+            return self._json.loads(self._fs.read_text(self.state_path))
         return {"seq": 0, "jobs": {}}
 
     def _save(self, st: dict) -> None:
-        with open(self.state_path, "w") as f:
-            self._json.dump(st, f)
+        self._fs.put_text_atomic(self.state_path, self._json.dumps(st))
 
     def submit(self, spec: HuntSpec) -> None:
         st = self._load()

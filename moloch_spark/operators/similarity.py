@@ -553,6 +553,53 @@ def append_ann_index(
     )
 
 
+def append_ann_index_stream(
+    spark,
+    new_emb_stream,
+    table_prefix: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+):
+    """Continuous ANN index maintenance — the append_bm25_index_stream
+    counterpart (retrieval.py:262): each micro-batch of newly ingested
+    vectors folds into the durable codes table via append_ann_index
+    (one encode scan of the batch with the PERSISTED model, bucketed
+    append — the pruning layout and every existing code are untouched).
+    Returns the writeStream handle; start with
+    .trigger(availableNow=True) for catch-up or a processingTime
+    trigger for steady ingest.
+
+    Delivery contract mirrors the BM25 stream fold: the checkpoint
+    makes batch replay at-least-once; parquet appends are not
+    transactional, so a crash inside a batch can leave a partial
+    append — point the codes table at Delta/Iceberg for exactly-once
+    with no code change. foreachBatch hands the batch a CLONED
+    session; the fold encodes there (the model read is per-batch but
+    one row), then refreshes the SERVING session's cached file listing
+    so queries see the appended codes."""
+
+    def fold(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        append_ann_index(
+            batch.sparkSession,
+            batch,
+            table_prefix,
+            id_col=id_col,
+            vec_col=vec_col,
+            buckets=buckets,
+        )
+        spark.catalog.refreshTable(f"{table_prefix}_codes")
+
+    return (
+        new_emb_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def ann_index_search(
     spark,
     queries: DataFrame,

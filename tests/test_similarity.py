@@ -344,3 +344,60 @@ def test_ann_index_append_matches_full_build(spark, tmp_path):
         for t in ("t_annfull_codes", "t_annfull_model",
                   "t_annappend_codes", "t_annappend_model"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_index_append_stream_equals_batch_append(spark, tmp_path):
+    """Continuous ANN maintenance: new vectors arriving THROUGH
+    Structured Streaming (foreachBatch -> append_ann_index, one file
+    per micro-batch) must leave the index byte-equivalent to the batch
+    append of the same rows — same persisted model, same codes, same
+    serving results."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators import similarity as S
+
+    emb = _ann_fixture(spark)
+    first = emb.filter("vec_id < 256")
+    rest = emb.filter("vec_id >= 256")
+    inbox = str(tmp_path / "inbox")
+    for lo, hi in ((256, 384), (384, 512)):
+        rest.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(inbox)
+    try:
+        S.build_ann_index(
+            spark, first, "t_annstr_a", str(tmp_path / "a"),
+            n_cells=8, dim=16, buckets=8,
+        )
+        S.build_ann_index(
+            spark, first, "t_annstr_b", str(tmp_path / "b"),
+            n_cells=8, dim=16, buckets=8,
+        )
+        S.append_ann_index(spark, rest, "t_annstr_a", buckets=8)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        q = (
+            S.append_ann_index_stream(
+                spark, stream, "t_annstr_b", str(tmp_path / "ckpt"),
+                buckets=8,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.table("t_annstr_b_codes").count() == 512
+        qs = emb.filter("vec_id < 5")
+        a = sorted(
+            map(tuple, S.ann_index_search(spark, qs, "t_annstr_a").collect())
+        )
+        b = sorted(
+            map(tuple, S.ann_index_search(spark, qs, "t_annstr_b").collect())
+        )
+        assert a == b and len(a) == 50
+    finally:
+        for t in ("t_annstr_a_codes", "t_annstr_a_model",
+                  "t_annstr_b_codes", "t_annstr_b_model"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

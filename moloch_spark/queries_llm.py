@@ -764,21 +764,16 @@ _ANN_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ann_index(spark: SparkSession, sf_dir: str) -> str:
-    import re
-    import tempfile
-
-    prefix = _ANN_INDEX_CACHE.get(sf_dir)
-    if prefix is not None and spark.catalog.tableExists(f"{prefix}_codes"):
-        return prefix
-    prefix = "annidx_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    S.build_ann_index(
+    return _memoized_index(
         spark,
-        load_table(spark, "embeddings", sf_dir),
-        prefix,
-        tempfile.mkdtemp(prefix="annidx_") + "/t",
+        sf_dir,
+        _ANN_INDEX_CACHE,
+        "annidx",
+        lambda prefix, path: S.build_ann_index(
+            spark, load_table(spark, "embeddings", sf_dir), prefix, path
+        ),
+        check_table="codes",
     )
-    _ANN_INDEX_CACHE[sf_dir] = prefix
-    return prefix
 
 
 @register("ann_indexed_topk", _ivf_int8_sql())
@@ -1818,15 +1813,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _memoized_index(
-    spark: SparkSession, sf_dir: str, cache: dict, tag: str, build
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    tag: str,
+    build,
+    *,
+    check_table: str = "postings",
 ) -> str:
+    """Build-once cache for expensive durable-index fixtures, keyed on
+    (process, sf_dir). `check_table` is the layout's existence-probe
+    suffix (BM25 has _postings, the ANN index _codes). The prefix
+    carries md5(sf_dir)[:8] so two sf_dirs that SANITIZE identically
+    ('data/sf0.1' vs 'data/sf0_1') can never share tables — without
+    it the second build overwrites the first and the first cache entry
+    silently serves the wrong corpus (same fix as the cron qtoken)."""
+    import hashlib
     import re
     import tempfile
 
     prefix = cache.get(sf_dir)
-    if prefix is not None and spark.catalog.tableExists(f"{prefix}_postings"):
+    if prefix is not None and spark.catalog.tableExists(
+        f"{prefix}_{check_table}"
+    ):
         return prefix
-    prefix = f"{tag}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    prefix = (
+        f"{tag}_"
+        + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
     build(prefix, tempfile.mkdtemp(prefix=f"{tag}_") + "/t")
     cache[sf_dir] = prefix
     return prefix

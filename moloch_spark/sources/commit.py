@@ -122,6 +122,20 @@ def load_manifest(
     )
 
 
+def snapshot_bodies(store: str, spark=None) -> list[dict[str, str]]:
+    """The partitions map of every retained manifest snapshot, in
+    (version, name) order — the public form expire_partitions uses to
+    decide whether a retained snapshot still resolves a partition to
+    its plain dir."""
+    fs, root = get_fs(store, spark)
+    return [
+        json.loads(fs.read_text(posixpath.join(root, n))).get(
+            "partitions", {}
+        )
+        for _v, n in _snapshot_entries(fs, root)
+    ]
+
+
 def manifest_versions(store: str, spark=None) -> list[int]:
     """Retained manifest snapshot versions, ascending (deduplicated —
     a version-claim collision leaves two snapshot files for one
@@ -443,10 +457,15 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
             reclaimed_refs.add(rel.split("/")[1])
         fs.delete(paths[name])
         removed.append(name)
-    # crashed atomic-put staging residue at the store root
+    # crashed atomic-put staging residue at the store root: HadoopFS
+    # stages as `<name>.tmp-<hex>`, LocalFS as `.<name>.<hex>.tmp` —
+    # sweep both conventions (the old `.tmp-`-only match left local
+    # residue forever)
     if fs.isdir(root):
         for name in fs.listdir(root):
-            if ".tmp-" in name and not fs.isdir(posixpath.join(root, name)):
+            if (".tmp-" in name or name.endswith(".tmp")) and not fs.isdir(
+                posixpath.join(root, name)
+            ):
                 p = posixpath.join(root, name)
                 if now - fs.mtime(p) >= max(retain_s, ORPHAN_COMMIT_GRACE_S):
                     fs.delete(p)

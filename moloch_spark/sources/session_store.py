@@ -157,15 +157,14 @@ def expire_partitions(
     horizon. A later run expires it once vacuum has aged that snapshot
     out. Plain, never-manifest-committed partitions have no snapshot of
     their own protecting them and are deleted inline, as before."""
-    import json
     import posixpath
 
     from moloch_spark.sources.commit import (
         ORPHAN_COMMIT_GRACE_S,
-        _snapshot_entries,
         _write_manifest,
         load_manifest,
         resolve_partitions,
+        snapshot_bodies,
         vacuum_store,
     )
     from moloch_spark.sources.fs import get_fs
@@ -178,21 +177,22 @@ def expire_partitions(
     dropped: list[str] = []
     if not fs.isdir(root):
         return dropped
+    expirable = {
+        name: pdir
+        for name, pdir in resolve_partitions(path).items()
+        if name.split("=", 1)[1] < cutoff
+    }
+    if not expirable:
+        return dropped  # routine tick, nothing past the cutoff: one
+        # listdir + manifest read, no vacuum / snapshot-body scans
     # age superseded snapshots out FIRST so long-gone history does not
     # defer expiry below
     vacuum_store(path, retain_s=vacuum_retain_s)
     manifest = load_manifest(path)
-    noncurrent_snaps = []
-    for _v, sname in _snapshot_entries(fs, root):
-        body = json.loads(
-            fs.read_text(posixpath.join(root, sname))
-        ).get("partitions", {})
-        if body != manifest:
-            noncurrent_snaps.append(body)
-    for name, pdir in resolve_partitions(path).items():
-        day = name.split("=", 1)[1]
-        if day >= cutoff:
-            continue
+    noncurrent_snaps = [
+        b for b in snapshot_bodies(path) if b != manifest
+    ]
+    for name, pdir in sorted(expirable.items()):
         plain = posixpath.join(root, name)
         if name in manifest:
             if fs.isdir(plain) and any(
@@ -252,11 +252,17 @@ def optimize_layout(
     days: list[str] | None = None,
     bits: int = 12,
     n_files: int = 16,
-    force_manifest: bool = False,
+    force_manifest: bool = True,
 ) -> list[str]:
     """Maintenance: rewrite day partitions Z-ORDERED by `cols` and
     commit them atomically through the PartitionCommitter (VERDICT r6
     #4 — layout.write_zordered was an island with no store path).
+    Defaults to MANIFEST mode even on a local store: the reader-
+    isolation and all-days-or-nothing guarantees below come from the
+    single manifest swap — rename mode deletes each superseded
+    partition at its own swap, so a concurrent reader mid-scan would
+    hit removed files (pass force_manifest=False only for an offline
+    local rewrite with no readers).
 
     The reference prunes scans by TIME only (index-name ranges,
     viewer/db.js:1853-1939); its hottest non-time predicates —

@@ -646,3 +646,34 @@ def test_snapshot_version_claim_collision_keeps_both(tmp_path, spark):
     assert sum(r.startswith("_manifest.v") for r in removed) == 1
     assert os.path.exists(forged)
     assert _store_rows(spark, path)["s1-0"] == ["gen2"]
+
+
+def test_vacuum_sweeps_local_atomic_put_residue(tmp_path):
+    """LocalFS.put_text_atomic stages as `.<name>.<hex>.tmp` (HadoopFS
+    as `<name>.tmp-<hex>`); a crash between the temp write and the
+    rename leaves that file forever if the sweep only matches the
+    Hadoop convention. Both patterns reclaim past the orphan grace,
+    and a YOUNG residue (possibly an in-flight put) is protected."""
+    import time as _time
+
+    from moloch_spark.sources.commit import _write_manifest
+
+    path = str(tmp_path / "store")
+    os.makedirs(os.path.join(path, "_gen", "tok1", "day=2024-01-01"))
+    _write_manifest(path, {"day=2024-01-01": "_gen/tok1/day=2024-01-01"})
+    local_residue = os.path.join(path, "._manifest.json.deadbeef.tmp")
+    hadoop_residue = os.path.join(path, "_manifest.json.tmp-deadbeef")
+    for p in (local_residue, hadoop_residue):
+        with open(p, "w") as f:
+            f.write("{}")
+    assert vacuum_store(path) == []                  # young: protected
+    old = _time.time() - 7200
+    for p in (local_residue, hadoop_residue):
+        os.utime(p, (old, old))
+    removed = vacuum_store(path)
+    assert os.path.basename(local_residue) in removed
+    assert os.path.basename(hadoop_residue) in removed
+    assert not os.path.exists(local_residue)
+    assert not os.path.exists(hadoop_residue)
+    # committed state untouched
+    assert load_manifest(path) == {"day=2024-01-01": "_gen/tok1/day=2024-01-01"}

@@ -321,6 +321,8 @@ def compact_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     days: list[str] | None = None,
     force_manifest: bool = False,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 12,
 ) -> dict[str, int]:
     """Small-files maintenance — the `db.pl optimize` analog. Streaming
     appends and per-day writes accumulate small files; scans then pay
@@ -334,7 +336,16 @@ def compact_partitions(
     compaction of the live day races the writer). File stats go through
     the sources/fs adapter — a glob/getsize probe would silently find
     ZERO files on an s3a:// store and no-op the exact deployments
-    compaction exists for (VERDICT r6 #3). Returns {day: files_after}."""
+    compaction exists for (VERDICT r6 #3).
+
+    `zorder_cols` clusters each rewritten partition by the Morton key
+    of those columns in the SAME rewrite (Delta's `OPTIMIZE ... ZORDER
+    BY` shape): a deployment that compacts and then optimize_layout's
+    the same closed day pays two full rewrites; folding the layout into
+    the compaction pays one. Compaction TRIGGER semantics are unchanged
+    (a day already at its target file count is skipped) — use
+    optimize_layout to re-cluster without the small-files condition.
+    Returns {day: files_after}."""
     import math
     import posixpath
 
@@ -372,9 +383,20 @@ def compact_partitions(
         dst = posixpath.join(
             committer.staging_dir(), f"{PARTITION_COL}={day}"
         )
-        spark.read.parquet(pdir).repartition(n).write.mode("overwrite").parquet(
-            dst
-        )
+        if zorder_cols:
+            from moloch_spark.sources.layout import write_zordered
+
+            write_zordered(
+                spark.read.parquet(pdir),
+                dst,
+                zorder_cols,
+                bits=zorder_bits,
+                n_files=n,
+            )
+        else:
+            spark.read.parquet(pdir).repartition(n).write.mode(
+                "overwrite"
+            ).parquet(dst)
         compacted.append(day)
     if compacted:
         committer.commit([f"{PARTITION_COL}={d}" for d in compacted])

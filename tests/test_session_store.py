@@ -562,3 +562,55 @@ def test_optimize_layout_zorders_store_partitions(spark, tmp_path):
 
     # the plain (pre-layout) dirs are superseded, not destroyed: MVCC
     assert os.path.isdir(os.path.join(path, "day=2024-01-10"))
+
+
+def test_compact_with_zorder_clusters_in_one_rewrite(spark, tmp_path):
+    """compact_partitions(zorder_cols=...) folds the layout job into
+    the compaction rewrite (OPTIMIZE ZORDER BY shape): small files
+    collapse AND the surviving files' min/max envelopes narrow on the
+    clustered columns — one rewrite, not compact-then-optimize."""
+    from moloch_spark.sources.session_store import compact_partitions
+
+    path = str(tmp_path / "store")
+    for lo in range(0, 8192, 1024):  # 8 appends -> 8 small files
+        df = spark.range(lo, lo + 1024).select(
+            # fixed-width ids: linear string ranks are uniform, so the
+            # Morton grid tiles evenly (mixed-width skew behavior is
+            # test_layout's subject, not this integration's)
+            F.format_string("u%02d", (F.col("id") % 64)).alias("user_id"),
+            ((F.col("id") * 13) % 256).alias("packets"),
+            F.to_timestamp(F.lit("2024-03-05 12:00:00")).alias("last_packet"),
+        )
+        write_sessions(df, path, mode="append")
+
+    # target sized from the actual bytes so the rewrite triggers
+    # (8 files > n≈4) AND lands multiple files — envelopes are only
+    # meaningful across >1 file
+    import glob
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(path + "/day=*/*.parquet")
+    )
+    res = compact_partitions(
+        spark,
+        path,
+        target_file_bytes=max(1, total // 4),
+        zorder_cols=["user_id", "packets"],
+        force_manifest=True,
+    )
+    day = "2024-03-05"
+    assert 4 <= res[day] < 8          # compacted AND multi-file
+    out = read_sessions(spark, path)
+    assert out.count() == 8192
+    stats = (
+        out.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.countDistinct("user_id").alias("nu"),
+            (F.max("packets") - F.min("packets")).alias("pw"),
+        )
+        .collect()
+    )
+    assert len(stats) == res[day]
+    assert sum(r["nu"] for r in stats) / len(stats) < 40       # of 64
+    assert sum(r["pw"] for r in stats) / len(stats) < 210      # of 256

@@ -677,3 +677,106 @@ def test_vacuum_sweeps_local_atomic_put_residue(tmp_path):
     assert not os.path.exists(hadoop_residue)
     # committed state untouched
     assert load_manifest(path) == {"day=2024-01-01": "_gen/tok1/day=2024-01-01"}
+
+
+def test_manifest_protocol_randomized_model_check(tmp_path):
+    """Seeded randomized sequences of commit / expire-style pops /
+    vacuum / time-travel against a pure-Python model of the protocol.
+    Invariants after every step:
+
+      1. load_manifest() equals the model's current state;
+      2. every generation dir referenced by the current manifest exists
+         on disk (vacuum never reclaims reachable data, at any retain);
+      3. a retained snapshot version always resolves to a body that the
+         model once held as current, and its referenced generation dirs
+         exist (time travel inside the horizon never dangles);
+      4. with retain_s=3600, the PREVIOUS state's generations survive
+         every vacuum (the concurrent-reader guarantee) — unless an
+         explicit zero-retention vacuum (the "nothing is running"
+         cleanup) already reclaimed that history.
+
+    Pure fs level (forged one-file generations, no Spark) so 200 ops
+    run in seconds; the Spark-read equivalents are pinned by the
+    dedicated tests above."""
+    import json as _json
+    import random
+
+    from moloch_spark.sources.commit import (
+        _write_manifest,
+        load_manifest,
+        manifest_versions,
+        vacuum_store,
+    )
+
+    rng = random.Random(20260815)
+    path = str(tmp_path / "mc")
+    os.makedirs(path)
+    model: dict[str, str] = {}          # current partitions map
+    history: list[dict] = []            # every committed state, in order
+    prev_state: dict = {}               # state before the latest commit
+    prev_protected = False              # False once a retain=0 vacuum ran
+    tok_n = 0
+
+    def commit(n_parts: int) -> None:
+        nonlocal tok_n, prev_state, prev_protected
+        tok_n += 1
+        tok = f"t{tok_n:04d}"
+        prev_state = dict(model)
+        for i in rng.sample(range(6), n_parts):
+            name = f"day=2024-02-{i + 1:02d}"
+            rel = f"_gen/{tok}/{name}"
+            gen = os.path.join(path, "_gen", tok, name)
+            os.makedirs(gen)
+            with open(os.path.join(gen, "part-0.parquet"), "w") as f:
+                f.write(tok)
+            model[name] = rel
+        _write_manifest(path, model)
+        history.append(dict(model))
+        prev_protected = True
+
+    def pop(name: str) -> None:
+        nonlocal prev_state, prev_protected
+        prev_state = dict(model)
+        prev_protected = True
+        model.pop(name)
+        _write_manifest(path, model)
+        history.append(dict(model))
+
+    def check() -> None:
+        assert load_manifest(path) == model
+        for rel in model.values():
+            assert os.path.isdir(os.path.join(path, rel)), rel
+        for v in manifest_versions(path):
+            body = load_manifest(path, version=v)
+            assert body in history, (v, body)
+            for rel in body.values():
+                assert os.path.isdir(os.path.join(path, rel)), (v, rel)
+
+    commit(2)
+    check()
+    for _step in range(60):
+        op = rng.random()
+        if op < 0.45:
+            commit(rng.randint(1, 3))
+        elif op < 0.6 and model:
+            pop(rng.choice(sorted(model)))
+        elif op < 0.8:
+            # long retention: the previous state's generations must
+            # survive for its concurrent readers
+            vacuum_store(path, retain_s=3600.0)
+            if prev_protected:
+                for rel in prev_state.values():
+                    assert os.path.isdir(os.path.join(path, rel)), rel
+        else:
+            # zero retention reclaims history but NEVER the live state
+            vacuum_store(path)
+            prev_protected = False
+        check()
+    # drain: zero-retention vacuum leaves exactly the live state (plus
+    # the current-state snapshot) and every live generation intact
+    removed = vacuum_store(path)
+    check()
+    assert vacuum_store(path) == []     # idempotent once drained
+    live_tokens = {rel.split("/")[1] for rel in model.values()}
+    on_disk = set(os.listdir(os.path.join(path, "_gen")))
+    assert on_disk == live_tokens, (on_disk, live_tokens, removed)

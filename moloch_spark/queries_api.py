@@ -147,34 +147,36 @@ def _prebuilt_tag_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import tempfile
 
-    cached = _TAG_STORE_CACHE.get(sf_dir)
-    if cached is not None and os.path.isdir(cached[0]):
-        return cached
+    from moloch_spark.fixture_cache import memoized_fixture
     from moloch_spark.sources.session_store import write_sessions
 
-    ev = load_table(spark, "events", sf_dir)
-    sess = sessionize_events(ev, idle_timeout_s=1800).withColumn(
-        "tags", F.array().cast("array<string>")
-    )
-    root = tempfile.mkdtemp(prefix="tag_prebuilt_")
-    store = os.path.join(root, "store")
-    matched_path = os.path.join(root, "matched")
-    write_sessions(
-        sess.select("session_id", "packets", "tags", "last_packet"),
-        store,
-        mode="overwrite",
-    )
-    (
-        sess.filter(
-            F.array_contains("event_types", "error")
-            & (F.date_format("last_packet", "yyyy-MM-dd") < "2024-01-08")
+    def _build() -> tuple[str, str]:
+        ev = load_table(spark, "events", sf_dir)
+        sess = sessionize_events(ev, idle_timeout_s=1800).withColumn(
+            "tags", F.array().cast("array<string>")
         )
-        .select("session_id", "last_packet")
-        .write.mode("overwrite")
-        .parquet(matched_path)
+        root = tempfile.mkdtemp(prefix="tag_prebuilt_")
+        store = os.path.join(root, "store")
+        matched_path = os.path.join(root, "matched")
+        write_sessions(
+            sess.select("session_id", "packets", "tags", "last_packet"),
+            store,
+            mode="overwrite",
+        )
+        (
+            sess.filter(
+                F.array_contains("event_types", "error")
+                & (F.date_format("last_packet", "yyyy-MM-dd") < "2024-01-08")
+            )
+            .select("session_id", "last_packet")
+            .write.mode("overwrite")
+            .parquet(matched_path)
+        )
+        return store, matched_path
+
+    return memoized_fixture(
+        _TAG_STORE_CACHE, sf_dir, lambda v: os.path.isdir(v[0]), _build
     )
-    _TAG_STORE_CACHE[sf_dir] = (store, matched_path)
-    return store, matched_path
 
 
 @register(
@@ -450,27 +452,29 @@ def _zorder_store(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    from moloch_spark.fixture_cache import memoized_fixture
     from moloch_spark.sources.session_store import (
         optimize_layout,
         write_sessions,
     )
 
-    path = _ZORDER_STORE_CACHE.get(sf_dir)
-    if path is not None and os.path.isdir(path):
+    def _build() -> str:
+        ev = load_table(spark, "events", sf_dir)
+        sess = sessionize_events(ev, idle_timeout_s=1800)
+        path = tempfile.mkdtemp(prefix="session_store_zorder_")
+        write_sessions(sess, path, mode="overwrite")
+        optimize_layout(
+            spark,
+            path,
+            ["user_id", "packets"],
+            days=["2024-01-10", "2024-01-11", "2024-01-12"],
+            n_files=4,
+        )
         return path
-    ev = load_table(spark, "events", sf_dir)
-    sess = sessionize_events(ev, idle_timeout_s=1800)
-    path = tempfile.mkdtemp(prefix="session_store_zorder_")
-    write_sessions(sess, path, mode="overwrite")
-    optimize_layout(
-        spark,
-        path,
-        ["user_id", "packets"],
-        days=["2024-01-10", "2024-01-11", "2024-01-12"],
-        n_files=4,
+
+    return memoized_fixture(
+        _ZORDER_STORE_CACHE, sf_dir, os.path.isdir, _build
     )
-    _ZORDER_STORE_CACHE[sf_dir] = path
-    return path
 
 
 @register(

@@ -1832,20 +1832,24 @@ def _memoized_index(
     import re
     import tempfile
 
-    prefix = cache.get(sf_dir)
-    if prefix is not None and spark.catalog.tableExists(
-        f"{prefix}_{check_table}"
-    ):
+    from moloch_spark.fixture_cache import memoized_fixture
+
+    def _build() -> str:
+        prefix = (
+            f"{tag}_"
+            + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+            + "_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        build(prefix, tempfile.mkdtemp(prefix=f"{tag}_") + "/t")
         return prefix
-    prefix = (
-        f"{tag}_"
-        + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-        + "_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+    return memoized_fixture(
+        cache,
+        sf_dir,
+        lambda p: spark.catalog.tableExists(f"{p}_{check_table}"),
+        _build,
     )
-    build(prefix, tempfile.mkdtemp(prefix=f"{tag}_") + "/t")
-    cache[sf_dir] = prefix
-    return prefix
 
 
 _BM25_INDEX_CACHE: dict[str, str] = {}

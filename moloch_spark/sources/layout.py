@@ -135,11 +135,19 @@ def write_zordered(
             los.append(F.lit(float(lo_v if lo_v is not None else 0.0)))
             his.append(F.lit(float(hi_v if hi_v is not None else 0.0)))
     z = zorder_key(exprs, los, his, bits=bits)
+    # secondary uniform tiebreak: with a degenerate key (constant or
+    # all-null clustered columns -> every row z=0) repartitionByRange
+    # on __z alone collapses to ONE partition, producing one file of
+    # the partition's full size and silently abandoning the caller's
+    # file-count contract. Ties split by __r instead; for distinct z
+    # values the primary ordering is untouched, and splitting WITHIN a
+    # z value never widens a file's min/max envelope.
     (
         df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
+        .withColumn("__r", F.rand(0))
+        .repartitionByRange(n_files, F.col("__z"), F.col("__r"))
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__r")
         .write.mode(mode)
         .parquet(path)
     )

@@ -695,10 +695,9 @@ def test_manifest_protocol_randomized_model_check(tmp_path):
          explicit zero-retention vacuum (the "nothing is running"
          cleanup) already reclaimed that history.
 
-    Pure fs level (forged one-file generations, no Spark) so 200 ops
+    Pure fs level (forged one-file generations, no Spark) so 60 ops
     run in seconds; the Spark-read equivalents are pinned by the
     dedicated tests above."""
-    import json as _json
     import random
 
     from moloch_spark.sources.commit import (

@@ -182,3 +182,21 @@ def test_zorder_mixed_length_strings_stay_monotone(spark, tmp_path):
     # holds ~64 hosts. The padded projection must keep clustering.
     assert avg_hosts < 32, f"mixed-length string dim collapsed: {avg_hosts}"
     assert avg_pw < 180, f"numeric dim did not cluster: {avg_pw}"
+
+
+def test_zorder_degenerate_key_still_splits_files(spark, tmp_path):
+    """Constant (or all-null) clustered columns give every row z=0;
+    range partitioning on the key alone would collapse to ONE file of
+    the partition's full size, silently abandoning the caller's
+    file-count contract and wedging compaction (one giant file always
+    satisfies len(files) <= n). The uniform tiebreak must keep the
+    requested file count."""
+    df = spark.range(0, 4096).select(
+        F.lit("same").alias("a"), F.lit(7).alias("b"), F.col("id")
+    )
+    p = str(tmp_path / "zconst")
+    write_zordered(df, p, ["a", "b"], n_files=8)
+    out = spark.read.parquet(p)
+    assert out.count() == 4096
+    n = out.select(F.input_file_name()).distinct().count()
+    assert n == 8, f"degenerate key collapsed to {n} files"

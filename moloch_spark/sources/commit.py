@@ -382,7 +382,9 @@ def swap_dir(src: str, dst: str) -> None:
 ORPHAN_COMMIT_GRACE_S = 900.0
 
 
-def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
+def vacuum_store(
+    store: str, *, retain_s: float = 0.0, spark=None, dry_run: bool = False
+) -> list[str]:
     """Reclaim manifest snapshots and `_gen` data unreachable for at
     least `retain_s` seconds — age-gated like Delta's
     `VACUUM ... RETAIN`, and keyed on SUPERSESSION time, not creation
@@ -420,10 +422,18 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
     snapshots protect exactly the generations a reader inside the
     retention window (concurrent scan on the previous manifest, or
     read_store(version=...)) can still reach. Run with a retention
-    longer than your longest query. Returns removed relative paths."""
+    longer than your longest query. Returns removed relative paths.
+
+    `dry_run=True` (Delta's `VACUUM ... DRY RUN` analog) returns
+    exactly what a real run would remove, deleting nothing — audit the
+    list before a low-retention cleanup on a shared store."""
     fs, root = get_fs(store, spark)
     now = time.time()
     removed = []
+
+    def _delete(p: str) -> None:
+        if not dry_run:
+            fs.delete(p)
     current = json.dumps(
         {"partitions": load_manifest(store, spark)}, sort_keys=True
     )
@@ -455,7 +465,7 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
             continue
         for rel in json.loads(bodies[name]).get("partitions", {}).values():
             reclaimed_refs.add(rel.split("/")[1])
-        fs.delete(paths[name])
+        _delete(paths[name])
         removed.append(name)
     # crashed atomic-put staging residue at the store root: HadoopFS
     # stages as `<name>.tmp-<hex>`, LocalFS as `.<name>.<hex>.tmp` —
@@ -468,7 +478,7 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
             ):
                 p = posixpath.join(root, name)
                 if now - fs.mtime(p) >= max(retain_s, ORPHAN_COMMIT_GRACE_S):
-                    fs.delete(p)
+                    _delete(p)
                     removed.append(name)
     gen_root = posixpath.join(root, "_gen")
     if not fs.isdir(gen_root):
@@ -488,7 +498,7 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
                 retain_s > 0 and now - fs.mtime(tdir) < retain_s
             ):
                 continue
-            fs.delete(tdir)
+            _delete(tdir)
             removed.append(posixpath.join("_gen", token))
             continue
         # token partially live: reclaim superseded partitions inside it
@@ -497,12 +507,14 @@ def vacuum_store(store: str, *, retain_s: float = 0.0, spark=None) -> list[str]:
                 continue
             rel = posixpath.join("_gen", token, name)
             if rel not in live:
-                fs.delete(posixpath.join(tdir, name))
+                _delete(posixpath.join(tdir, name))
                 removed.append(rel)
         if all(
-            n.startswith(("_", ".")) for n in fs.listdir(tdir)
-        ):  # only bookkeeping left
-            fs.delete(tdir)
+            n.startswith(("_", "."))
+            or posixpath.join("_gen", token, n) in removed
+            for n in fs.listdir(tdir)
+        ):  # only bookkeeping (or would-be-removed partitions) left
+            _delete(tdir)
             removed.append(posixpath.join("_gen", token))
     return removed
 

@@ -69,13 +69,18 @@ def write_sessions_stream(
     )
 
 
-def read_sessions(spark: SparkSession, path: str) -> DataFrame:
+def read_sessions(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
     """Manifest-aware store read: a plain partitioned parquet read when
     no partition has been manifest-committed (the normal local case),
-    the commit-protocol resolver otherwise (object-store updates)."""
+    the commit-protocol resolver otherwise (object-store updates).
+    `version` time-travels to a retained manifest snapshot — a long
+    job spanning maintenance commits pins its read to one version and
+    stays reproducible as long as vacuum retention covers it."""
     from moloch_spark.sources.commit import read_store
 
-    return read_store(spark, path, PARTITION_COL)
+    return read_store(spark, path, PARTITION_COL, version=version)
 
 
 def time_bounded(

@@ -779,3 +779,39 @@ def test_manifest_protocol_randomized_model_check(tmp_path):
     live_tokens = {rel.split("/")[1] for rel in model.values()}
     on_disk = set(os.listdir(os.path.join(path, "_gen")))
     assert on_disk == live_tokens, (on_disk, live_tokens, removed)
+
+
+def test_vacuum_dry_run_reports_without_deleting(tmp_path):
+    """dry_run=True (the VACUUM DRY RUN analog) must return exactly
+    the real run's removal list while deleting nothing — including the
+    would-be-empty token dirs whose partitions are only *slated* for
+    removal."""
+    import time as _time
+
+    from moloch_spark.sources.commit import _write_manifest
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    for i in (1, 2):
+        gen = os.path.join(path, "_gen", f"tok{i}", "day=2024-01-01")
+        os.makedirs(gen)
+        with open(os.path.join(gen, "p.parquet"), "w") as f:
+            f.write("x")
+        _write_manifest(path, {"day=2024-01-01": f"_gen/tok{i}/day=2024-01-01"})
+    residue = os.path.join(path, "._manifest.json.cafe1234.tmp")
+    with open(residue, "w") as f:
+        f.write("{}")
+    old = _time.time() - 7200
+    os.utime(residue, (old, old))
+
+    planned = vacuum_store(path, dry_run=True)
+    # nothing touched
+    assert os.path.isdir(os.path.join(path, "_gen", "tok1"))
+    assert os.path.exists(residue)
+    assert len(_snapshot_names(path)) == 2
+    # the real run removes exactly what the dry run reported
+    real = vacuum_store(path)
+    assert sorted(planned) == sorted(real)
+    assert not os.path.isdir(os.path.join(path, "_gen", "tok1"))
+    assert os.path.isdir(os.path.join(path, "_gen", "tok2"))
+    assert not os.path.exists(residue)

@@ -614,3 +614,41 @@ def test_compact_with_zorder_clusters_in_one_rewrite(spark, tmp_path):
     assert len(stats) == res[day]
     assert sum(r["nu"] for r in stats) / len(stats) < 40       # of 64
     assert sum(r["pw"] for r in stats) / len(stats) < 210      # of 256
+
+
+def test_read_sessions_time_travel(spark, tmp_path):
+    """read_sessions(version=...) pins a long job's read to one
+    retained manifest snapshot across maintenance commits."""
+    import datetime as dtm
+
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        manifest_versions,
+        read_store,
+    )
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("s1", dtm.datetime(2024, 1, 10, 12), ["old"])],
+        "session_id string, last_packet timestamp, tags array<string>",
+    )
+    write_sessions(df, path, mode="overwrite")
+
+    def _commit(tag):
+        c = PartitionCommitter(path, force_manifest=True)
+        src = read_store(spark, path, "day")
+        (
+            src.withColumn("tags", F.array(F.lit(tag)))
+            .repartition(F.col("day"))
+            .write.partitionBy("day")
+            .parquet(c.staging_dir())
+        )
+        c.commit(["day=2024-01-10"])
+
+    _commit("v1")
+    v1 = manifest_versions(path)[-1]
+    _commit("v2")
+    assert [r.tags for r in read_sessions(spark, path).collect()] == [["v2"]]
+    assert [
+        r.tags for r in read_sessions(spark, path, version=v1).collect()
+    ] == [["v1"]]

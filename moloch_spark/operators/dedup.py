@@ -704,6 +704,51 @@ def decontaminate(
     return clean, flagged
 
 
+def decontaminate_semantic(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-based eval-set decontamination — the dense complement
+    to the exact-n-gram `decontaminate`: paraphrased or lightly edited
+    benchmark leakage shares no 13-gram but sits at high cosine to the
+    eval embedding (the FineWeb/LLM-report "semantic overlap" audit).
+    Returns one row per train vector: (id, max_eval_cosine, the eval id
+    achieving it, contaminated flag).
+
+    Scale shape: the EVAL side is model-sized by definition (benchmark
+    suites, not corpora) and broadcasts; the train corpus is scanned
+    ONCE with a per-row max over the broadcast eval set (broadcast
+    nested-loop join + partial max aggregation — no train shuffle
+    beyond the final per-id reduce, never n²). Ties on the max cosine
+    resolve to the lowest eval id, so results are engine-independent."""
+    ev = eval_emb.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("eval_vec")
+    )
+    scored = train_emb.join(
+        F.broadcast(ev), F.col(id_col) != F.col("eval_id")
+    ).select(
+        F.col(id_col),
+        F.col("eval_id"),
+        cosine_expr(F.col(vec_col), F.col("eval_vec")).alias("cos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max("cos").alias("max_eval_cosine"),
+        F.max_by(
+            "eval_id", F.struct(F.col("cos"), (-F.col("eval_id")).alias("t"))
+        ).alias("nearest_eval_id"),
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("max_eval_cosine"),
+        F.col("nearest_eval_id"),
+        (F.col("max_eval_cosine") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     *,

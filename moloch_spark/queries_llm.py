@@ -758,6 +758,49 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_semantic",
+    """
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, ed AS ev FROM b WHERE vec_id < 5),
+    tr AS (SELECT vec_id, ed FROM b WHERE vec_id >= 5),
+    sc AS (
+      SELECT t.vec_id, e.eval_id,
+             ROUND(list_dot_product(t.ed, e.ev)
+                   / (sqrt(list_dot_product(t.ed, t.ed))
+                      * sqrt(list_dot_product(e.ev, e.ev))), 4) AS cos
+      FROM tr t CROSS JOIN ev e
+    ),
+    ranked AS (
+      SELECT vec_id, eval_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, eval_id ASC) AS rn
+      FROM sc
+    )
+    SELECT vec_id, cos AS max_eval_cosine, eval_id AS nearest_eval_id,
+           cos >= 0.3 AS contaminated
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based eval-set decontamination (the dense complement
+    to the 13-gram `decontaminate_ngrams` gate): paraphrased benchmark
+    leakage shares no exact n-gram but sits at high cosine to an eval
+    embedding. Eval side = vec_id < 5 (benchmark suites are model-sized
+    and broadcast), train side scanned once with a per-row max — no
+    train shuffle beyond the per-id reduce. Ties on the max cosine
+    resolve to the lowest eval id on both engines."""
+    from moloch_spark.operators import dedup as D
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return D.decontaminate_semantic(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        threshold=0.3,
+    ).orderBy("vec_id")
+
+
 # memoized like _bm25_index, keyed on the _codes table (the ANN layout
 # has no _postings)
 _ANN_INDEX_CACHE: dict[str, str] = {}

@@ -18,6 +18,9 @@ SF = "/root/testdata/sf0.001"
 INTENTIONAL_NESTED_LOOP = {
     "ann_brute_force_topk",
     "embedding_near_dups",
+    # semantic decontamination: the model-sized EVAL embedding set
+    # broadcast against one train scan (per-row max, no train shuffle)
+    "decontaminate_semantic",
     # hybrid fusion's dense leg IS brute_force_topk (bounded query set);
     # the indexed variant only swaps the lexical leg's physical source
     "hybrid_rrf_search",

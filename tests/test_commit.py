@@ -679,7 +679,8 @@ def test_vacuum_sweeps_local_atomic_put_residue(tmp_path):
     assert load_manifest(path) == {"day=2024-01-01": "_gen/tok1/day=2024-01-01"}
 
 
-def test_manifest_protocol_randomized_model_check(tmp_path):
+@pytest.mark.parametrize("seed", [20260815, 7, 42, 31337, 999])
+def test_manifest_protocol_randomized_model_check(tmp_path, seed):
     """Seeded randomized sequences of commit / expire-style pops /
     vacuum / time-travel against a pure-Python model of the protocol.
     Invariants after every step:
@@ -707,7 +708,7 @@ def test_manifest_protocol_randomized_model_check(tmp_path):
         vacuum_store,
     )
 
-    rng = random.Random(20260815)
+    rng = random.Random(seed)
     path = str(tmp_path / "mc")
     os.makedirs(path)
     model: dict[str, str] = {}          # current partitions map

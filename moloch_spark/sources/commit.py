@@ -122,17 +122,22 @@ def load_manifest(
     )
 
 
-def snapshot_bodies(store: str, spark=None) -> list[dict[str, str]]:
+def snapshot_bodies(
+    store: str, spark=None, *, exclude_names: set[str] | frozenset = frozenset()
+) -> list[dict[str, str]]:
     """The partitions map of every retained manifest snapshot, in
     (version, name) order — the public form expire_partitions uses to
     decide whether a retained snapshot still resolves a partition to
-    its plain dir."""
+    its plain dir. `exclude_names` skips snapshots by filename (a
+    dry-run caller passes the names its simulated vacuum would have
+    pruned)."""
     fs, root = get_fs(store, spark)
     return [
         json.loads(fs.read_text(posixpath.join(root, n))).get(
             "partitions", {}
         )
         for _v, n in _snapshot_entries(fs, root)
+        if n not in exclude_names
     ]
 
 

@@ -139,9 +139,14 @@ def expire_partitions(
     keep_days: int,
     now: dt.date | None = None,
     vacuum_retain_s: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retention: drop partitions older than keep_days (db.pl expire).
-    Returns the dropped partition names.
+    Returns the dropped partition names. `dry_run=True` reports what a
+    real run would drop — including honoring the same snapshot-driven
+    deferrals, simulated against a dry-run vacuum — while changing
+    nothing (vacuum_store's DRY RUN counterpart for the destructive
+    retention step).
 
     Manifest-resolved partitions are expired by DROPPING THEIR MANIFEST
     ENTRY only; the data stays on disk until the age-gated
@@ -191,11 +196,24 @@ def expire_partitions(
         return dropped  # routine tick, nothing past the cutoff: one
         # listdir + manifest read, no vacuum / snapshot-body scans
     # age superseded snapshots out FIRST so long-gone history does not
-    # defer expiry below
-    vacuum_store(path, retain_s=vacuum_retain_s)
+    # defer expiry below (a dry run simulates the same pruning and
+    # excludes the would-be-pruned snapshots from the deferral check)
+    if dry_run:
+        pruned = {
+            n
+            for n in vacuum_store(
+                path, retain_s=vacuum_retain_s, dry_run=True
+            )
+            if n.startswith("_manifest.v")
+        }
+    else:
+        vacuum_store(path, retain_s=vacuum_retain_s)
+        pruned = set()
     manifest = load_manifest(path)
     noncurrent_snaps = [
-        b for b in snapshot_bodies(path) if b != manifest
+        b
+        for b in snapshot_bodies(path, exclude_names=pruned)
+        if b != manifest
     ]
     for name, pdir in sorted(expirable.items()):
         plain = posixpath.join(root, name)
@@ -204,15 +222,17 @@ def expire_partitions(
                 name not in b for b in noncurrent_snaps
             ):
                 continue  # deferred: a retained snapshot needs the plain dir
-            manifest.pop(name)
-            # the stale plain dir (shadowed until now by the manifest
-            # entry) goes inline — no retained snapshot resolves to it
-            if fs.isdir(plain):
-                fs.delete(plain)
-        else:
+            if not dry_run:
+                manifest.pop(name)
+                # the stale plain dir (shadowed until now by the
+                # manifest entry) goes inline — no retained snapshot
+                # resolves to it
+                if fs.isdir(plain):
+                    fs.delete(plain)
+        elif not dry_run:
             fs.delete(pdir)
         dropped.append(name)
-    if load_manifest(path) != manifest:
+    if not dry_run and load_manifest(path) != manifest:
         _write_manifest(path, manifest)
         vacuum_store(path, retain_s=vacuum_retain_s)
     return dropped

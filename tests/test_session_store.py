@@ -652,3 +652,40 @@ def test_read_sessions_time_travel(spark, tmp_path):
     assert [
         r.tags for r in read_sessions(spark, path, version=v1).collect()
     ] == [["v1"]]
+
+
+def test_expire_dry_run_reports_without_dropping(spark, tmp_path):
+    """expire_partitions(dry_run=True) must report exactly what a real
+    run would drop — honoring the snapshot-driven deferral against a
+    SIMULATED vacuum — while changing nothing on disk."""
+    import datetime as dtm
+
+    from moloch_spark.sources.commit import load_manifest, read_store
+
+    path = str(tmp_path / "store")
+    rows = [
+        (f"s{d}", dtm.datetime(2024, 1, 10 + d, 12), ["old"])
+        for d in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, last_packet timestamp, tags array<string>"
+    )
+    write_sessions(df, path, mode="overwrite")
+
+    planned = expire_partitions(
+        spark, path, keep_days=8, now=dt.date(2024, 1, 20),
+        vacuum_retain_s=3600.0, dry_run=True,
+    )
+    assert planned == ["day=2024-01-10", "day=2024-01-11"]
+    # nothing changed: all three days still read
+    assert read_store(spark, path, "day").count() == 3
+    assert load_manifest(path) == {}
+
+    real = expire_partitions(
+        spark, path, keep_days=8, now=dt.date(2024, 1, 20),
+        vacuum_retain_s=3600.0,
+    )
+    assert real == planned
+    assert {str(r.day) for r in read_store(spark, path, "day").collect()} == {
+        "2024-01-12"
+    }

@@ -170,7 +170,14 @@ def build_bm25_index(
     so the candidate join shuffles only the (bounded) candidate side.
     `buckets` is a layout contract, like the session store's (pick
     ~2-4x executor count on a real cluster; appends must pass the same
-    value)."""
+    value).
+
+    Rebuild atomicity: the three tables are dropped and recreated
+    separately, so a query racing a REBUILD can observe them at mixed
+    generations. Rebuild into a fresh prefix and switch readers over,
+    or schedule rebuilds in a maintenance window; appends (the
+    steady-state path) are per-table atomic enough for serving because
+    df is query-time-derived and stats lag only by one cheap rewrite."""
     post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
         eager=True
     )

@@ -483,7 +483,15 @@ def build_ann_index(
     the buckets holding the probed cells, never the whole index — and
     the within-bucket sort adds row-group min/max pruning on top. The
     model row is the entire driver/executor transfer at query time.
-    `buckets` is a layout contract (appends must pass the same value)."""
+    `buckets` is a layout contract (appends must pass the same value).
+
+    Rebuild atomicity: the codes and model tables are dropped and
+    recreated separately, so a query racing a REBUILD can mix an old
+    model with new codes (same caveat as build_bm25_index's
+    postings/dl/stats trio). Rebuild into a fresh prefix and switch
+    readers over, or schedule rebuilds in a maintenance window; appends
+    (the steady-state path) touch only the codes table and are safe
+    against concurrent reads."""
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
     scale = int8_quant_model(emb, vec_col=vec_col)
     scorer = _cell_scores_udf(cents)

@@ -284,13 +284,17 @@ def append_bm25_index_stream(
     start with .trigger(availableNow=True) for catch-up batches or a
     processingTime trigger for steady ingest.
 
-    Delivery contract: the checkpoint makes batch replay at-least-once;
-    parquet appends are not transactional, so a crash INSIDE a batch
-    can leave a partial append (same as any foreachBatch parquet sink).
-    A real deployment points the postings/dl tables at a transactional
-    format (Delta/Iceberg) and this wrapper becomes exactly-once with
-    zero code change — the batch fold itself is already idempotent-
-    keyed by doc ids (the append-only contract of append_bm25_index).
+    Delivery contract: EXACTLY-ONCE for the common failure (batch
+    folded, checkpoint commit lost — restart re-delivers the same
+    epoch id): an epoch ledger inside the checkpoint dir
+    (streaming/ledger.py, the Delta `txn` pattern) records each folded
+    epoch and the fold skips re-delivered ones. The residual window is
+    a crash INSIDE the fold — the epoch is unrecorded, restart re-runs
+    it, and since each table's parquet job commit is all-or-nothing
+    but the postings/dl pair is two jobs, the re-run can double-append
+    whichever table(s) already committed; repair_bm25_index restores
+    key uniqueness offline. A transactional table format (Delta/
+    Iceberg) closes that window too with zero wrapper change.
 
     Sessions: foreachBatch hands each batch to a CLONED SparkSession;
     the fold runs entirely in that session (so its stats aggregation
@@ -298,10 +302,39 @@ def append_bm25_index_stream(
     relation caches — table file listings are cached per-session, and
     without the refresh a query session keeps serving the pre-append
     index state."""
+    fold = bm25_stream_fold(
+        spark,
+        table_prefix,
+        checkpoint,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+    )
+    return (
+        new_docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def bm25_stream_fold(
+    spark,
+    table_prefix: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+):
+    """The (batch, epoch_id) callable append_bm25_index_stream hands to
+    foreachBatch, exposed so the replay/skip semantics are directly
+    testable: consult the epoch ledger, fold, advance the ledger."""
+    from moloch_spark.streaming import ledger
 
     def fold(batch, epoch_id):
         if batch.isEmpty():
             return
+        if epoch_id <= ledger.committed_epoch(checkpoint, table_prefix, spark):
+            return  # re-delivered epoch: already folded, skip
         append_bm25_index(
             batch.sparkSession,
             batch,
@@ -310,12 +343,70 @@ def append_bm25_index_stream(
             id_col=id_col,
             buckets=buckets,
         )
+        ledger.record_epoch(checkpoint, table_prefix, epoch_id, spark)
         for t in ("postings", "dl", "stats"):
             spark.catalog.refreshTable(f"{table_prefix}_{t}")
 
-    return (
-        new_docs_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
+    return fold
+
+
+def repair_bm25_index(
+    spark,
+    src_prefix: str,
+    dst_prefix: str,
+    dst_path_prefix: str,
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 16,
+) -> None:
+    """Restore the index's key-uniqueness invariants after a crash
+    inside a stream fold (see append_bm25_index_stream): a re-run of a
+    partially committed epoch can leave duplicate (term, doc_id)
+    postings rows and duplicate doc_id dl rows — every duplicate is a
+    whole-batch replay artifact, bit-identical to the row it shadows,
+    so dropDuplicates on the key is an exact repair. Rewrites into a
+    FRESH prefix (same bucketed layout) and readers switch over — the
+    same rebuild-atomicity guidance build_bm25_index documents; cost is
+    one scan of the INDEX (no corpus re-tokenize). Stats are recomputed
+    from the deduped dl, so they are exact after the swap."""
+    for t in ("postings", "dl", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {dst_prefix}_{t}")
+    post = spark.table(f"{src_prefix}_postings").dropDuplicates(
+        ["term", id_col]
+    )
+    (
+        post.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .option("path", f"{dst_path_prefix}_postings")
+        .saveAsTable(f"{dst_prefix}_postings")
+    )
+    dl = spark.table(f"{src_prefix}_dl").dropDuplicates([id_col])
+    (
+        dl.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, id_col)
+        .sortBy(id_col)
+        .option("path", f"{dst_path_prefix}_dl")
+        .saveAsTable(f"{dst_prefix}_dl")
+    )
+    stats = (
+        spark.table(f"{dst_prefix}_dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    (
+        spark.createDataFrame(
+            [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", f"{dst_path_prefix}_stats")
+        .saveAsTable(f"{dst_prefix}_stats")
     )
 
 

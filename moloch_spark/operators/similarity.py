@@ -580,18 +580,50 @@ def append_ann_index_stream(
     .trigger(availableNow=True) for catch-up or a processingTime
     trigger for steady ingest.
 
-    Delivery contract mirrors the BM25 stream fold: the checkpoint
-    makes batch replay at-least-once; parquet appends are not
-    transactional, so a crash inside a batch can leave a partial
-    append — point the codes table at Delta/Iceberg for exactly-once
-    with no code change. foreachBatch hands the batch a CLONED
-    session; the fold encodes there (the model read is per-batch but
-    one row), then refreshes the SERVING session's cached file listing
-    so queries see the appended codes."""
+    Delivery contract mirrors the BM25 stream fold (retrieval.py):
+    EXACTLY-ONCE for a re-delivered epoch — the checkpoint-dir epoch
+    ledger (streaming/ledger.py) records each folded epoch and the
+    fold skips replays. The single codes-table append is one parquet
+    job (all-or-nothing at job commit), so the only residual window is
+    a crash between that commit and the ledger PUT; restart then
+    re-appends the batch once and repair_ann_index (dropDuplicates on
+    vec_id into a fresh prefix) restores uniqueness. foreachBatch
+    hands the batch a CLONED session; the fold encodes there (the
+    model read is per-batch but one row), then refreshes the SERVING
+    session's cached file listing so queries see the appended codes."""
+    fold = ann_stream_fold(
+        spark,
+        table_prefix,
+        checkpoint,
+        id_col=id_col,
+        vec_col=vec_col,
+        buckets=buckets,
+    )
+    return (
+        new_emb_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def ann_stream_fold(
+    spark,
+    table_prefix: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+):
+    """The (batch, epoch_id) callable append_ann_index_stream hands to
+    foreachBatch, exposed so the replay/skip semantics are directly
+    testable: consult the epoch ledger, fold, advance the ledger."""
+    from moloch_spark.streaming import ledger
 
     def fold(batch, epoch_id):
         if batch.isEmpty():
             return
+        if epoch_id <= ledger.committed_epoch(checkpoint, table_prefix, spark):
+            return  # re-delivered epoch: already folded, skip
         append_ann_index(
             batch.sparkSession,
             batch,
@@ -600,11 +632,46 @@ def append_ann_index_stream(
             vec_col=vec_col,
             buckets=buckets,
         )
+        ledger.record_epoch(checkpoint, table_prefix, epoch_id, spark)
         spark.catalog.refreshTable(f"{table_prefix}_codes")
 
-    return (
-        new_emb_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
+    return fold
+
+
+def repair_ann_index(
+    spark,
+    src_prefix: str,
+    dst_prefix: str,
+    dst_path_prefix: str,
+    *,
+    id_col: str = "vec_id",
+    buckets: int = 16,
+) -> None:
+    """Restore vec_id uniqueness after a crash inside a stream fold
+    (see append_ann_index_stream): duplicates are whole-batch replay
+    artifacts encoded with the SAME persisted model, bit-identical to
+    the rows they shadow, so dropDuplicates on the id is an exact
+    repair. Rewrites codes into a FRESH prefix (same cell bucketing)
+    and copies the model row; readers switch over — the rebuild-
+    atomicity guidance build_ann_index documents. Cost: one scan of
+    the codes table (no re-encode of the corpus)."""
+    for t in ("codes", "model"):
+        spark.sql(f"DROP TABLE IF EXISTS {dst_prefix}_{t}")
+    codes = spark.table(f"{src_prefix}_codes").dropDuplicates([id_col])
+    (
+        codes.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell", id_col)
+        .option("path", f"{dst_path_prefix}_codes")
+        .saveAsTable(f"{dst_prefix}_codes")
+    )
+    (
+        spark.table(f"{src_prefix}_model")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", f"{dst_path_prefix}_model")
+        .saveAsTable(f"{dst_prefix}_model")
     )
 
 

@@ -571,3 +571,82 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming index maintenance, end-to-end: build half, stream the rest,
+# serve from the index (the exactly-once epoch ledger in the loop)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_stream_sql() -> str:
+    from moloch_spark.queries_llm import _BM25_TOPK_SQL
+
+    return _BM25_TOPK_SQL
+
+
+_BM25_STREAM_CACHE: dict[str, str] = {}
+
+
+def _bm25_streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index fixture maintained THROUGH Structured Streaming: even
+    doc_ids at the one-shot build, odd doc_ids arriving as two
+    availableNow micro-batches through append_bm25_index_stream
+    (foreachBatch -> append_bm25_index behind the exactly-once epoch
+    ledger, streaming/ledger.py). Memoized per (process, sf_dir) like
+    queries_llm's index fixtures: bench rep 1 pays the build+stream,
+    the reported rep times the serve path alone."""
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.queries_llm import _memoized_index
+
+    def build(prefix: str, path: str) -> None:
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id", "text"
+        )
+        R.build_bm25_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), prefix, path
+        )
+        inbox = tempfile.mkdtemp(prefix="bm25s_inbox_")
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        for part in (1, 3):  # two files -> two micro-batches/epochs
+            odd.filter(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(inbox)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        q = (
+            R.append_bm25_index_stream(
+                spark, stream, prefix, tempfile.mkdtemp(prefix="bm25s_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    return _memoized_index(
+        spark, sf_dir, _BM25_STREAM_CACHE, "bm25st", build
+    )
+
+
+@register("bm25_stream_append_serve", _bm25_stream_sql())
+def q_bm25_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous index maintenance END-TO-END: half the corpus is
+    indexed at build, the other half arrives through Structured
+    Streaming (foreachBatch folds each micro-batch via
+    append_bm25_index behind the checkpoint-dir epoch ledger that
+    makes re-delivered epochs no-ops — streaming/ledger.py), and the
+    query is served FROM the streamed-into index, bucket-pruned. Must
+    hash-match the one-shot full-corpus oracle — the proof that the
+    streaming maintenance path loses nothing and duplicates nothing.
+    Reference analog: capture's continuous per-session ES bulk indexing
+    serving viewer searches mid-capture (capture/db.c, viewer/db.js)."""
+    from moloch_spark.operators import retrieval as R
+
+    prefix = _bm25_streamed_index(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    return R.bm25_topk_indexed(
+        spark, prefix, R.corpus_queries(docs)
+    ).orderBy("query_id", "rank")

@@ -944,3 +944,87 @@ def test_cms_sketch_guarantee_and_merge(spark):
     merged = {(r.row, r.bucket): r.cnt for r in SK.cms_merge(h1, h2).collect()}
     whole = {(r.row, r.bucket): r.cnt for r in sk.collect()}
     assert merged == whole
+
+
+def test_bm25_stream_fold_replay_is_skipped(spark, tmp_path):
+    """foreachBatch re-delivers the last epoch when the checkpoint
+    commit is lost after a completed fold; the epoch ledger must turn
+    that replay into a no-op (exactly-once), while a genuinely new
+    epoch still folds."""
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.streaming import ledger
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha shared term{i % 7} body {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    prefix, ckpt = "bm25idx_test_ledger", str(tmp_path / "ckpt")
+    try:
+        R.build_bm25_index(
+            spark, corpus.filter("doc_id < 20"), prefix,
+            str(tmp_path / "t"), buckets=8,
+        )
+        fold = R.bm25_stream_fold(spark, prefix, ckpt, buckets=8)
+        b1 = corpus.filter("doc_id >= 20 and doc_id < 30")
+        fold(b1, 0)
+        n_post = spark.table(f"{prefix}_postings").count()
+        assert spark.table(f"{prefix}_dl").count() == 30
+        assert ledger.committed_epoch(ckpt, prefix) == 0
+        # the replay: same epoch id again -> nothing changes
+        fold(b1, 0)
+        assert spark.table(f"{prefix}_postings").count() == n_post
+        assert spark.table(f"{prefix}_dl").count() == 30
+        # a NEW epoch still folds and advances the ledger
+        fold(corpus.filter("doc_id >= 30"), 1)
+        assert spark.table(f"{prefix}_dl").count() == 40
+        assert spark.table(f"{prefix}_stats").first()["n_docs"] == 40
+        assert ledger.committed_epoch(ckpt, prefix) == 1
+        # a restarted stream consults the same ledger file
+        fold2 = R.bm25_stream_fold(spark, prefix, ckpt, buckets=8)
+        fold2(b1, 1)  # replay across restart
+        assert spark.table(f"{prefix}_dl").count() == 40
+    finally:
+        for t in ("postings", "dl", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_repair_bm25_index_restores_uniqueness(spark, tmp_path):
+    """A crash inside a stream fold re-runs a partially committed
+    epoch: simulate the worst case (the whole batch appended twice)
+    and verify repair_bm25_index rewrites a fresh prefix that serves
+    exactly what an uncorrupted one-shot build serves."""
+    from moloch_spark.operators import retrieval as R
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha shared term{i % 7} body {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(900, "alpha"), (900, "term3"), (901, "shared")],
+        ["query_id", "qterm"],
+    )
+    clean, dup, fixed = (
+        "bm25idx_test_rp_clean", "bm25idx_test_rp_dup", "bm25idx_test_rp_fix"
+    )
+    try:
+        R.build_bm25_index(spark, corpus, clean, str(tmp_path / "c"),
+                           buckets=8)
+        R.build_bm25_index(spark, corpus.filter("doc_id < 30"), dup,
+                           str(tmp_path / "d"), buckets=8)
+        batch = corpus.filter("doc_id >= 30")
+        R.append_bm25_index(spark, batch, dup, buckets=8)
+        R.append_bm25_index(spark, batch, dup, buckets=8)  # the replay
+        assert spark.table(f"{dup}_dl").count() == 50  # corrupted
+        R.repair_bm25_index(spark, dup, fixed, str(tmp_path / "f"),
+                            buckets=8)
+        assert spark.table(f"{fixed}_dl").count() == 40
+        assert spark.table(f"{fixed}_stats").first()["n_docs"] == 40
+        want = sorted(map(tuple, R.bm25_topk_indexed(
+            spark, clean, queries, exclude_self=False).collect()))
+        got = sorted(map(tuple, R.bm25_topk_indexed(
+            spark, fixed, queries, exclude_self=False).collect()))
+        assert got == want
+    finally:
+        for p in (clean, dup, fixed):
+            for t in ("postings", "dl", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

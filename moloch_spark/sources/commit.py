@@ -39,10 +39,19 @@ operating on a stripped local path (ADVICE r5).
 
 Concurrency: each writer owns a unique `_gen/<token>` prefix, so
 racing writers never interleave files. The manifest read-modify-write
-itself is last-writer-wins; two writers racing on DIFFERENT partitions
-of the same store need a real table format (Delta/Iceberg log) or a
-conditional PUT — documented in PLANS.md §28, out of scope here, and
-irrelevant for the single-writer maintenance jobs that use this.
+goes through commit_manifest_entries — an optimistic merge/retry loop
+(read as late as possible, PUT, read BACK, and if another writer's PUT
+landed in between, merge our entries onto the fresh state and re-PUT).
+Two writers racing on DIFFERENT partitions both survive as long as
+either one's read-back sees the other's PUT; the residual loss window
+is both PUT+read-back sequences completing inside each other's blind
+spot — milliseconds, vs. the whole read→PUT span under plain LWW.
+Writers racing on the SAME partition remain last-writer-wins by
+design (no content merge without a real table-format log / conditional
+PUT — PLANS.md §28). Same-key maintenance rewrites (consolidate,
+layout) pass `expected=` so they never clobber a concurrent UPDATE
+with a stale copy: mismatched entries are skipped and the fresh data
+wins.
 
 The local fast path keeps the two-rename swap but hardened (ADVICE
 r4): stale `.old` dirs from a prior crash are recovered on entry, a
@@ -70,6 +79,58 @@ _strip_scheme = strip_scheme  # back-compat alias
 
 MANIFEST = "_manifest.json"
 _VPREFIX = "_manifest.v"
+_LOCK = "_manifest.lock"
+MANIFEST_LOCK_TTL_S = 60.0
+
+
+def _acquire_manifest_lock(
+    fs, root: str, *, ttl: float = MANIFEST_LOCK_TTL_S, timeout: float | None = None
+) -> str:
+    """Advisory store-wide mutex serializing manifest read-modify-writes,
+    taken with the one exclusive primitive each store class has:
+    POSIX O_EXCL locally, Hadoop create(overwrite=false) (atomic on
+    HDFS / hierarchical namespaces; advisory-only on flat object
+    stores, where commit_manifest_entries' read-back merge/retry is
+    the actual safety net). A holder that crashed is detected by age:
+    a lock older than `ttl` (a manifest RMW is sub-second; 60 s is
+    generous) is deleted and re-raced — two stealers both delete, but
+    only one wins the exclusive re-create. Returns the holder token."""
+    path = posixpath.join(root, _LOCK)
+    token = uuid.uuid4().hex
+    wait = timeout if timeout is not None else 2 * ttl
+    deadline = time.monotonic() + wait
+    while True:
+        if time.monotonic() > deadline:
+            # covers live contention outlasting the stale-steal TTL and
+            # a store where create keeps failing for non-lock reasons
+            raise TimeoutError(
+                f"manifest lock on {root!r} not acquired within "
+                f"{wait:.0f}s"
+            )
+        fs.mkdirs(root)
+        if fs.create_exclusive(path, json.dumps({"token": token})):
+            return token
+        try:
+            age = time.time() - fs.mtime(path)
+        except OSError:
+            continue  # holder released between probe and stat: re-race
+        if age > ttl:
+            fs.delete(path)  # crashed holder: steal and re-race
+            continue
+        time.sleep(0.005 + os.urandom(1)[0] / 255 * 0.02)
+
+
+def _release_manifest_lock(fs, root: str, token: str) -> None:
+    """Delete the lock iff we still hold it (a TTL steal may have
+    re-issued it to someone else; the read→delete pair here is not
+    atomic, but a steal needs the holder to be >TTL stale — a live
+    releaser is sub-second, so the window is practically unreachable)."""
+    path = posixpath.join(root, _LOCK)
+    try:
+        if json.loads(fs.read_text(path)).get("token") == token:
+            fs.delete(path)
+    except (OSError, FileNotFoundError, ValueError):
+        pass  # already stolen or swept
 
 
 def _snapshot_entries(fs, root: str) -> list[tuple[int, str]]:
@@ -173,6 +234,90 @@ def _write_manifest(store: str, partitions: dict[str, str], spark=None) -> None:
         body,
     )
     fs.put_text_atomic(posixpath.join(root, MANIFEST), body)
+
+
+def commit_manifest_entries(
+    store: str,
+    entries: dict[str, str] | None = None,
+    *,
+    removals=(),
+    expected: dict[str, str] | None = None,
+    spark=None,
+    max_attempts: int = 8,
+) -> dict[str, str]:
+    """Entry-granular manifest commit with lost-update detection — the
+    single path every manifest read-modify-write takes (committer
+    upserts, expiry removals, consolidation rewrites).
+
+    Plain LWW loses updates whenever two writers' read→PUT spans
+    overlap at all: writer B's manifest body, read before writer A's
+    PUT, silently drops A's entry — and A's generation then looks
+    unreferenced to vacuum. Two layers close that hole:
+
+      1. a store-wide advisory LOCK (`_manifest.lock`, atomic
+         exclusive create + crashed-holder TTL steal) serializes
+         cooperating writers outright — real mutual exclusion on
+         POSIX/HDFS/hierarchical namespaces, where exclusive create is
+         atomic;
+      2. optimistic merge/retry UNDER the lock: read the manifest as
+         LATE as possible, apply our delta, PUT, then read BACK — if
+         the read-back is missing any of our applied entries (or still
+         carries a removal), a non-cooperating or flat-object-store
+         writer's PUT landed inside our span, so merge our delta onto
+         the fresh state and re-PUT. On flat object stores (no
+         conditional PUT through the Hadoop API) the lock is advisory
+         and this detection loop is the actual safety net: a
+         different-partition race is then lost only if BOTH
+         PUT+read-back sequences complete inside each other's blind
+         spot — milliseconds instead of the whole read→PUT span.
+
+    `expected` (maintenance rewrites: consolidate_store,
+    optimize_layout) maps entry -> the generation the rewrite was BUILT
+    from: an entry whose current manifest value no longer matches is
+    dropped from the commit — a concurrent UPDATE landed while we were
+    rewriting stale data, and the update wins (our copy becomes an
+    unreferenced generation for vacuum). Same-key UPDATE races (two
+    tag write-backs) carry no `expected` and stay last-writer-wins.
+
+    Returns the manifest as last read back. Raises RuntimeError when
+    `max_attempts` read-backs in a row saw foreign interference (a
+    pathological same-key ping-pong — never from a finite number of
+    writers on distinct keys)."""
+    goal = dict(entries or {})
+    removals = set(removals)
+    fs, root = get_fs(store, spark)
+    lock = _acquire_manifest_lock(fs, root)
+    try:
+        for attempt in range(max_attempts):
+            cur = load_manifest(store, spark)
+            if expected:
+                # a concurrent commit moved these entries past our read
+                # base: their data is newer than our rewrite — drop ours
+                goal = {
+                    k: v
+                    for k, v in goal.items()
+                    if k not in expected or cur.get(k) == expected[k]
+                }
+            merged = dict(cur)
+            merged.update(goal)
+            for r in removals:
+                merged.pop(r, None)
+            if merged == cur:
+                return cur  # nothing left to change (all skipped / no-op)
+            _write_manifest(store, merged, spark)
+            back = load_manifest(store, spark)
+            if all(back.get(k) == v for k, v in goal.items()) and not (
+                removals & set(back)
+            ):
+                return back
+            time.sleep(0.01 * (attempt + 1) * (0.5 + os.urandom(1)[0] / 255))
+        raise RuntimeError(
+            f"manifest commit on {store!r} kept losing to concurrent "
+            f"writers after {max_attempts} attempts (keys {sorted(goal)}, "
+            f"removals {sorted(removals)})"
+        )
+    finally:
+        _release_manifest_lock(fs, root, lock)
 
 
 def resolve_partitions(
@@ -322,7 +467,14 @@ class PartitionCommitter:
     def staging_dir(self) -> str:
         return self._staging
 
-    def commit(self, partitions: list[str]) -> None:
+    def commit(
+        self, partitions: list[str], *, expected: dict[str, str] | None = None
+    ) -> None:
+        """`expected` (maintenance rewrites only) maps partition name ->
+        the generation the staged rewrite was built FROM; entries whose
+        manifest value moved past that base are skipped so a concurrent
+        update is never clobbered with a stale copy — see
+        commit_manifest_entries."""
         missing = [
             p
             for p in partitions
@@ -334,10 +486,14 @@ class PartitionCommitter:
                 f"{self._staging}"
             )
         if self.manifest_mode:
-            manifest = load_manifest(self.store)
-            for p in partitions:
-                manifest[p] = posixpath.join("_gen", self.token, p)
-            _write_manifest(self.store, manifest)
+            commit_manifest_entries(
+                self.store,
+                {
+                    p: posixpath.join("_gen", self.token, p)
+                    for p in partitions
+                },
+                expected=expected,
+            )
             # superseded generations are now unreachable; they stay on
             # disk for concurrent readers mid-scan on the old manifest
             # and are reclaimed by the explicit vacuum_store call
@@ -567,7 +723,10 @@ def consolidate_store(spark, store: str) -> list[str]:
         .parquet(c.staging_dir())
     )
     parts = sorted(manifest)
-    c.commit(parts)
+    # expected = the generations this rewrite was built from: a
+    # partition a concurrent update moved past that base keeps the
+    # UPDATE (our stale copy becomes an unreferenced gen for vacuum)
+    c.commit(parts, expected=manifest)
     return parts
 
 

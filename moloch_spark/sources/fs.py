@@ -78,6 +78,21 @@ class LocalFS:
             os.fsync(f.fileno())
         os.rename(tmp, p)
 
+    def create_exclusive(self, p: str, text: str) -> bool:
+        """Atomically create `p` with `text` iff it does not already
+        exist (POSIX O_EXCL) — the lock-file primitive. Returns False
+        when another writer holds the name."""
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
@@ -202,6 +217,23 @@ class HadoopFS:
         except Exception:
             self._fs.delete(self._p(tmp), False)  # no residue on failure
             raise
+
+    def create_exclusive(self, p: str, text: str) -> bool:
+        """create(path, overwrite=false): atomic-exclusive on HDFS and
+        hierarchical-namespace stores (the HDFS lease manager / ABFS
+        conditional create reject the second writer); on flat object
+        stores the PUT cannot be conditional through this API, so the
+        "lock" is advisory there — which is why commit_manifest_entries
+        keeps its read-back merge/retry underneath the lock."""
+        try:
+            out = self._fs.create(self._p(p), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._p(src), self._p(dst)):

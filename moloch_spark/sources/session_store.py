@@ -171,7 +171,7 @@ def expire_partitions(
 
     from moloch_spark.sources.commit import (
         ORPHAN_COMMIT_GRACE_S,
-        _write_manifest,
+        commit_manifest_entries,
         load_manifest,
         resolve_partitions,
         snapshot_bodies,
@@ -215,6 +215,7 @@ def expire_partitions(
         for b in snapshot_bodies(path, exclude_names=pruned)
         if b != manifest
     ]
+    popped: list[str] = []
     for name, pdir in sorted(expirable.items()):
         plain = posixpath.join(root, name)
         if name in manifest:
@@ -223,7 +224,7 @@ def expire_partitions(
             ):
                 continue  # deferred: a retained snapshot needs the plain dir
             if not dry_run:
-                manifest.pop(name)
+                popped.append(name)
                 # the stale plain dir (shadowed until now by the
                 # manifest entry) goes inline — no retained snapshot
                 # resolves to it
@@ -232,8 +233,13 @@ def expire_partitions(
         elif not dry_run:
             fs.delete(pdir)
         dropped.append(name)
-    if not dry_run and load_manifest(path) != manifest:
-        _write_manifest(path, manifest)
+    if not dry_run and popped:
+        # removal-based commit: a concurrent tag write-back on a
+        # DIFFERENT partition landing mid-expiry survives (merge/retry,
+        # commit_manifest_entries); one re-committing an EXPIRED name
+        # loses to the removal — retention beats backfill, the same
+        # outcome as the reference's index-wide expiry (db/db.pl)
+        commit_manifest_entries(path, removals=popped)
         vacuum_store(path, retain_s=vacuum_retain_s)
     return dropped
 
@@ -310,11 +316,13 @@ def optimize_layout(
 
     from moloch_spark.sources.commit import (
         PartitionCommitter,
+        load_manifest,
         resolve_partitions,
     )
     from moloch_spark.sources.layout import write_zordered
 
     parts = resolve_partitions(path)
+    base = load_manifest(path)
     if days is None:
         days = sorted(name.rsplit("=", 1)[1] for name in parts)
     committer = PartitionCommitter(path, force_manifest=force_manifest)
@@ -333,7 +341,12 @@ def optimize_layout(
         )
         done.append(name)
     if done:
-        committer.commit(done)
+        # expected = the generations this rewrite read from: a day a
+        # concurrent UPDATE moved past that base keeps the update (our
+        # re-clustered copy of stale data is dropped; re-run later)
+        committer.commit(
+            done, expected={n: base[n] for n in done if n in base}
+        )
     else:
         committer.abort()
     return done
@@ -376,6 +389,7 @@ def compact_partitions(
 
     from moloch_spark.sources.commit import (
         PartitionCommitter,
+        load_manifest,
         resolve_partitions,
     )
     from moloch_spark.sources.fs import get_fs
@@ -390,6 +404,7 @@ def compact_partitions(
         ]
 
     parts = resolve_partitions(path)
+    base = load_manifest(path)
     if days is None:
         days = sorted(name.rsplit("=", 1)[1] for name in parts)
     out: dict[str, int] = {}
@@ -424,7 +439,12 @@ def compact_partitions(
             ).parquet(dst)
         compacted.append(day)
     if compacted:
-        committer.commit([f"{PARTITION_COL}={d}" for d in compacted])
+        names = [f"{PARTITION_COL}={d}" for d in compacted]
+        # expected: never clobber a concurrent update with the
+        # compaction of its superseded generation (see optimize_layout)
+        committer.commit(
+            names, expected={n: base[n] for n in names if n in base}
+        )
         parts = resolve_partitions(path)
         for day in compacted:
             out[day] = len(_parquet_files(parts[f"{PARTITION_COL}={day}"]))

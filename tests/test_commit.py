@@ -10,6 +10,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -816,3 +817,166 @@ def test_vacuum_dry_run_reports_without_deleting(tmp_path):
     assert not os.path.isdir(os.path.join(path, "_gen", "tok1"))
     assert os.path.isdir(os.path.join(path, "_gen", "tok2"))
     assert not os.path.exists(residue)
+
+
+# ---------------------------------------------------------------------------
+# commit_manifest_entries: lost-update detection (merge/retry)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_commit_merges_after_interfering_put(tmp_path, monkeypatch):
+    """The exact LWW lost-update trace: writer B's PUT lands, then a
+    racer's PUT (built from a manifest read BEFORE B's) clobbers it.
+    B's read-back must detect its missing entry, merge onto the
+    racer's state, and re-PUT — final manifest carries BOTH."""
+    import moloch_spark.sources.commit as C
+
+    path = str(tmp_path / "store")
+    real_write = C._write_manifest
+    calls = {"n": 0}
+
+    def interfering_write(store, partitions, spark=None):
+        calls["n"] += 1
+        real_write(store, partitions, spark)
+        if calls["n"] == 1:
+            # the racer: a PUT whose body predates ours lands after it
+            real_write(store, {"day=2024-01-02": "_gen/racer/day=2024-01-02"})
+
+    monkeypatch.setattr(C, "_write_manifest", interfering_write)
+    final = C.commit_manifest_entries(
+        path, {"day=2024-01-01": "_gen/b/day=2024-01-01"}
+    )
+    assert calls["n"] >= 2  # the retry actually happened
+    assert final == load_manifest(path) == {
+        "day=2024-01-01": "_gen/b/day=2024-01-01",
+        "day=2024-01-02": "_gen/racer/day=2024-01-02",
+    }
+
+
+def test_manifest_commit_removal_survives_interference(tmp_path, monkeypatch):
+    """Same trace for a REMOVAL (the expiry path): the racer's stale
+    body resurrects the removed entry; the read-back re-removes it
+    while keeping the racer's own addition."""
+    import moloch_spark.sources.commit as C
+
+    path = str(tmp_path / "store")
+    C.commit_manifest_entries(path, {"day=2023-12-01": "_gen/t0/day=2023-12-01"})
+    stale = load_manifest(path)  # the racer's read base: old entry present
+    real_write = C._write_manifest
+    calls = {"n": 0}
+
+    def interfering_write(store, partitions, spark=None):
+        calls["n"] += 1
+        real_write(store, partitions, spark)
+        if calls["n"] == 1:
+            racer = dict(stale)
+            racer["day=2024-01-05"] = "_gen/racer/day=2024-01-05"
+            real_write(store, racer)
+
+    monkeypatch.setattr(C, "_write_manifest", interfering_write)
+    final = C.commit_manifest_entries(path, removals=["day=2023-12-01"])
+    assert calls["n"] >= 2
+    assert final == load_manifest(path) == {
+        "day=2024-01-05": "_gen/racer/day=2024-01-05",
+    }
+
+
+def test_manifest_commit_expected_skips_moved_entries(tmp_path):
+    """Maintenance-rewrite protection: an entry whose manifest value
+    moved past the rewrite's read base is skipped (the concurrent
+    UPDATE wins); entries still at base apply."""
+    import moloch_spark.sources.commit as C
+
+    path = str(tmp_path / "store")
+    C.commit_manifest_entries(
+        path,
+        {
+            "day=2024-01-01": "_gen/g1/day=2024-01-01",
+            "day=2024-01-02": "_gen/g1/day=2024-01-02",
+        },
+    )
+    base = load_manifest(path)
+    # a concurrent tag update moves day 1 past the base
+    C.commit_manifest_entries(path, {"day=2024-01-01": "_gen/upd/day=2024-01-01"})
+    final = C.commit_manifest_entries(
+        path,
+        {
+            "day=2024-01-01": "_gen/rewrite/day=2024-01-01",
+            "day=2024-01-02": "_gen/rewrite/day=2024-01-02",
+        },
+        expected=base,
+    )
+    assert final == {
+        "day=2024-01-01": "_gen/upd/day=2024-01-01",      # update kept
+        "day=2024-01-02": "_gen/rewrite/day=2024-01-02",  # rewrite applied
+    }
+    # all skipped -> no-op commit, no new snapshot version
+    versions = C.manifest_versions(path)
+    same = C.commit_manifest_entries(
+        path,
+        {"day=2024-01-01": "_gen/rewrite2/day=2024-01-01"},
+        expected=base,
+    )
+    assert same == final and C.manifest_versions(path) == versions
+
+
+def test_manifest_commit_threaded_stress(tmp_path):
+    """Four writers hammering DISTINCT partitions of one store: under
+    merge/retry every writer's LAST value must survive (plain LWW
+    loses some interleaving on most runs)."""
+    import threading
+
+    import moloch_spark.sources.commit as C
+
+    path = str(tmp_path / "store")
+    barrier = threading.Barrier(4)
+    errs: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            for r in range(8):
+                C.commit_manifest_entries(
+                    path, {f"day=2024-0{i+1}-01": f"_gen/w{i}r{r}/p"},
+                    max_attempts=32,
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert load_manifest(path) == {
+        f"day=2024-0{i+1}-01": f"_gen/w{i}r7/p" for i in range(4)
+    }
+
+
+def test_manifest_lock_exclusive_and_ttl_steal(tmp_path):
+    """The lock primitive: second acquire blocks until release; a
+    crashed holder (stale mtime past the TTL) is stolen."""
+    import moloch_spark.sources.commit as C
+    from moloch_spark.sources.fs import get_fs
+
+    root = str(tmp_path / "store")
+    fs, rootp = get_fs(root)
+    t1 = C._acquire_manifest_lock(fs, rootp)
+    # a live holder is NOT stolen: the waiter times out
+    with pytest.raises(TimeoutError):
+        C._acquire_manifest_lock(fs, rootp, timeout=0.2)
+    C._release_manifest_lock(fs, rootp, t1)
+    # releasing someone else's token is a no-op
+    t2 = C._acquire_manifest_lock(fs, rootp)
+    C._release_manifest_lock(fs, rootp, "not-the-token")
+    assert fs.exists(os.path.join(rootp, "_manifest.lock"))
+    # a crashed holder's lock (mtime past the TTL) is stolen
+    os.utime(
+        os.path.join(rootp, "_manifest.lock"),
+        (time.time() - 120, time.time() - 120),
+    )
+    t3 = C._acquire_manifest_lock(fs, rootp, ttl=60.0)
+    assert t3 != t2
+    C._release_manifest_lock(fs, rootp, t3)
+    assert not fs.exists(os.path.join(rootp, "_manifest.lock"))

@@ -228,3 +228,57 @@ def mixture_sample(
         .filter(F.col("_rn") <= F.col("_q"))
         .drop("_q", "_rn", "_key", "_b", "_off")
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cbal:v1",
+) -> DataFrame:
+    """Embedding-cluster diversity quota: assign every row to its
+    nearest centroid and keep a deterministic per-cluster quota — the
+    cluster-then-balance curation step (SemDeDup/DataComp-style
+    pipelines cluster embeddings and cap each cluster so boilerplate-
+    dense regions of embedding space can't dominate the training mix).
+    mixture_sample balances by a LABEL column; this balances by
+    LEARNED structure — fit real centroids with similarity.kmeans_train
+    (model-sized driver transfer) or pass the deterministic
+    ivf_centroids for cross-engine reproducibility.
+
+    Ranking reuses the (partition, 256-bucket) two-phase scheme
+    mixture_sample documents: cell assignment is scan-side (centroid
+    literals, no shuffle), ranking happens in (cell, bucket) slices —
+    a dominant cluster never lands on one reducer — and shifts by a
+    broadcastable (cells x 256)-row offset table. Returns the kept
+    rows as (id, cell, cluster_rank), content-addressed: membership is
+    stable across re-runs, engines, and growth of OTHER clusters."""
+    from moloch_spark.operators.similarity import ivf_assign
+
+    d = (
+        ivf_assign(emb, centroids, vec_col=vec_col)
+        .withColumn("_key", shuffle_key(F.col(id_col), seed))
+        .withColumn("_b", F.conv(F.col("_key").substr(1, 2), 16, 10).cast("int"))
+    )
+    per = d.groupBy("cell", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wb = (
+        Window.partitionBy("cell")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.select(
+        "cell", "_b", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("cell", "_b").orderBy("_key", id_col)
+    return (
+        d.join(F.broadcast(offsets), ["cell", "_b"])
+        .withColumn(
+            "cluster_rank",
+            (F.col("_off") + F.row_number().over(w_rank)).cast("long"),
+        )
+        .filter(F.col("cluster_rank") <= per_cluster)
+        .select(id_col, F.col("cell").cast("int").alias("cell"), "cluster_rank")
+    )

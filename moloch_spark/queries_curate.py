@@ -148,3 +148,66 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"src0": 3.0, "src1": 2.0, "src2": 1.0}, total=60
     )
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def _cbal_sql(
+    n_cells: int = 16, dim: int = 64, per_cluster: int = 20,
+    seed: str = "cbal:v1",
+) -> str:
+    """Oracle for cluster_balanced_sample: the ivf_assign replay (same
+    centroid literals, same rounded |c|^2 - 2 v.c ranking as the ANN
+    oracles) followed by the per-cluster md5 quota rank."""
+    from moloch_spark.operators import similarity as S
+
+    cents = S.ivf_centroids(dim, n_cells)
+    values = ", ".join(
+        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
+    c2_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
+    ) + " END"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    cells(cell, c) AS (VALUES {values}),
+    cell_rank AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
+             ) AS rn
+      FROM b CROSS JOIN cells
+    ),
+    assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, CAST(cell AS INT) AS cell,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS BIGINT) AS cluster_rank
+      FROM assign
+    )
+    SELECT vec_id, cell, cluster_rank FROM ranked
+    WHERE cluster_rank <= {per_cluster}
+    ORDER BY vec_id
+    """
+
+
+@register("curate_cluster_balanced", _cbal_sql())
+def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster diversity quota (curate.cluster_balanced_
+    sample): every vector is assigned to its nearest coarse centroid
+    scan-side, and each cluster keeps a deterministic md5-ranked quota
+    of 20 — the cluster-then-balance curation step that stops dense
+    boilerplate regions of embedding space from dominating a training
+    mix. The gate runs the deterministic ivf_centroids for oracle
+    replay (production fits real ones with similarity.kmeans_train —
+    same assignment path); ranking uses the (cell, 256-bucket)
+    two-phase scheme, so no cluster ever lands on a single reducer."""
+    from moloch_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return C.cluster_balanced_sample(
+        emb, S.ivf_centroids(64, 16), per_cluster=20
+    ).orderBy("vec_id")

@@ -75,3 +75,58 @@ def test_mixture_sample_quotas_and_determinism(spark):
     # quota above availability caps at the domain size
     tiny = mixture_sample(df, {"s0": 1.0}, total=1000)
     assert tiny.count() == 100
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Per-cluster quota: every cluster keeps min(per_cluster, size)
+    rows, ranks are 1..n within each cluster, and membership is
+    content-addressed (re-run identical)."""
+    import numpy as np
+
+    from moloch_spark.operators import curate as C
+    from moloch_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.randn(16)]) for i in range(300)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    cents = S.ivf_centroids(16, 8)
+    kept = C.cluster_balanced_sample(emb, cents, per_cluster=10)
+    rows = kept.collect()
+    sizes = {
+        r["cell"]: r["n"]
+        for r in S.ivf_assign(emb, cents).groupBy("cell")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["cluster_rank"])
+    for cell, ranks in by_cell.items():
+        assert sorted(ranks) == list(range(1, min(10, sizes[cell]) + 1))
+    # every sufficiently-populated cluster hits its quota
+    for cell, n in sizes.items():
+        assert len(by_cell.get(cell, [])) == min(10, n)
+    again = sorted(map(tuple, C.cluster_balanced_sample(
+        emb, cents, per_cluster=10).collect()))
+    assert again == sorted(map(tuple, rows))
+    # membership of cluster A is stable when cluster B grows: keep set
+    # restricted to surviving ids must not change when rows are added
+    emb2 = emb.unionByName(spark.createDataFrame(
+        [(1000 + i, [float(v) for v in rng.randn(16)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    ))
+    kept2 = {
+        (r["vec_id"], r["cell"])
+        for r in C.cluster_balanced_sample(emb2, cents, per_cluster=10)
+        .collect()
+    }
+    old = {(r["vec_id"], r["cell"]) for r in rows}
+    # old members may be displaced only within their own cluster by
+    # new arrivals ranking higher; no cross-cluster interference:
+    # clusters that gained no rows keep the identical member set
+    grown = {c for (v, c) in kept2 if v >= 1000}
+    for v, c in old:
+        if c not in grown:
+            assert (v, c) in kept2

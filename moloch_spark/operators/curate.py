@@ -260,8 +260,14 @@ def cluster_balanced_sample(
 
     d = (
         ivf_assign(emb, centroids, vec_col=vec_col)
+        .select(id_col, "cell")
         .withColumn("_key", shuffle_key(F.col(id_col), seed))
         .withColumn("_b", F.conv(F.col("_key").substr(1, 2), 16, 10).cast("int"))
+        # the assignment matmul is the dominant cost and feeds BOTH the
+        # offset aggregation and the ranked join below — materialize it
+        # once (the build_bm25_index postings pattern) instead of
+        # pushing every vector through the centroid scorer twice
+        .localCheckpoint(eager=True)
     )
     per = d.groupBy("cell", "_b").agg(F.count(F.lit(1)).alias("_n"))
     wb = (

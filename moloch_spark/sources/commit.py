@@ -111,11 +111,31 @@ def _acquire_manifest_lock(
         if fs.create_exclusive(path, json.dumps({"token": token})):
             return token
         try:
-            age = time.time() - fs.mtime(path)
-        except OSError:
+            stale_mtime = fs.mtime(path)
+        except Exception:
             continue  # holder released between probe and stat: re-race
-        if age > ttl:
-            fs.delete(path)  # crashed holder: steal and re-race
+        if time.time() - stale_mtime > ttl:
+            # Steal by RENAME, never blind delete: two waiters that both
+            # saw the lock stale race the rename and exactly one wins
+            # (a blind delete here could remove the FRESH lock the
+            # faster stealer already re-created — two holders). The
+            # winner verifies it claimed the lock it stat'ed (mtime is
+            # rename-preserved; a fresh lock created inside the
+            # stat->rename window is >ttl newer) and restores a
+            # mis-claim instead of deleting it.
+            claim = f"{path}.steal-{token}"
+            try:
+                fs.rename(path, claim)
+            except Exception:
+                continue  # another stealer claimed it first
+            try:
+                claimed_mtime = fs.mtime(claim)
+            except Exception:
+                continue
+            if abs(claimed_mtime - stale_mtime) > 1.0:
+                fs.rename(claim, path)  # mis-claim: put the fresh lock back
+            else:
+                fs.delete(claim)  # the genuine stale lock: reclaimed
             continue
         time.sleep(0.005 + os.urandom(1)[0] / 255 * 0.02)
 
@@ -129,8 +149,10 @@ def _release_manifest_lock(fs, root: str, token: str) -> None:
     try:
         if json.loads(fs.read_text(path)).get("token") == token:
             fs.delete(path)
-    except (OSError, FileNotFoundError, ValueError):
-        pass  # already stolen or swept
+    except Exception:
+        pass  # already stolen or swept (HadoopFS raises Py4J errors
+        # for a vanished file, not OSError — catch broadly, this is a
+        # best-effort cleanup)
 
 
 def _snapshot_entries(fs, root: str) -> list[tuple[int, str]]:
@@ -321,7 +343,11 @@ def commit_manifest_entries(
 
 
 def resolve_partitions(
-    store: str, spark=None, *, version: int | None = None
+    store: str,
+    spark=None,
+    *,
+    version: int | None = None,
+    manifest: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Every live partition of the store: name -> ABSOLUTE data dir.
     Manifest entries override the plain directory of the same name.
@@ -329,7 +355,12 @@ def resolve_partitions(
     the current one (plain, never-manifest-committed partitions read
     at their current state either way — snapshots version the
     COMMITTED updates, which after the first manifest commit is every
-    update thanks to the committer's auto-upgrade)."""
+    update thanks to the committer's auto-upgrade). `manifest` resolves
+    through a manifest the CALLER already loaded: a maintenance rewrite
+    that derives its data dirs and its commit-time `expected=` base
+    from two separate reads would clobber a commit landing in between
+    (the rewrite would read old data but pass the freshness check) —
+    one load must feed both."""
     fs, root = get_fs(store, spark)
     out: dict[str, str] = {}
     if fs.isdir(root):
@@ -338,7 +369,9 @@ def resolve_partitions(
                 continue
             if fs.isdir(posixpath.join(root, name)):
                 out[name] = posixpath.join(root, name)
-    for name, rel in load_manifest(store, spark, version=version).items():
+    if manifest is None:
+        manifest = load_manifest(store, spark, version=version)
+    for name, rel in manifest.items():
         out[name] = posixpath.join(root, rel)
     return out
 
@@ -469,12 +502,18 @@ class PartitionCommitter:
 
     def commit(
         self, partitions: list[str], *, expected: dict[str, str] | None = None
-    ) -> None:
+    ) -> dict[str, str] | None:
         """`expected` (maintenance rewrites only) maps partition name ->
         the generation the staged rewrite was built FROM; entries whose
         manifest value moved past that base are skipped so a concurrent
         update is never clobbered with a stale copy — see
-        commit_manifest_entries."""
+        commit_manifest_entries. Returns the post-commit manifest in
+        manifest mode (callers check which entries actually landed as
+        `_gen/<token>/<name>`), None in rename mode. A non-empty
+        `expected` requires manifest mode (the rename swap has no
+        manifest to check against — and cannot occur from the
+        maintenance callers, whose base is empty exactly when a store
+        has no manifest)."""
         missing = [
             p
             for p in partitions
@@ -486,7 +525,11 @@ class PartitionCommitter:
                 f"{self._staging}"
             )
         if self.manifest_mode:
-            commit_manifest_entries(
+            # superseded generations are now unreachable; they stay on
+            # disk for concurrent readers mid-scan on the old manifest
+            # and are reclaimed by the explicit vacuum_store call
+            # (age-gated MVCC retention — ADVICE r5)
+            return commit_manifest_entries(
                 self.store,
                 {
                     p: posixpath.join("_gen", self.token, p)
@@ -494,17 +537,18 @@ class PartitionCommitter:
                 },
                 expected=expected,
             )
-            # superseded generations are now unreachable; they stay on
-            # disk for concurrent readers mid-scan on the old manifest
-            # and are reclaimed by the explicit vacuum_store call
-            # (age-gated MVCC retention — ADVICE r5)
-        else:
-            for p in partitions:
-                swap_dir(
-                    posixpath.join(self._staging, p),
-                    posixpath.join(self.store, p),
-                )
-            self._fs.delete(self._staging)
+        if expected:
+            raise ValueError(
+                "expected= requires manifest mode: the rename swap has "
+                "no manifest to verify freshness against"
+            )
+        for p in partitions:
+            swap_dir(
+                posixpath.join(self._staging, p),
+                posixpath.join(self.store, p),
+            )
+        self._fs.delete(self._staging)
+        return None
 
     def abort(self) -> None:
         self._fs.delete(self._staging)

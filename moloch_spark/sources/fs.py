@@ -227,8 +227,16 @@ class HadoopFS:
         keeps its read-back merge/retry underneath the lock."""
         try:
             out = self._fs.create(self._p(p), False)
-        except Exception:
-            return False
+        except Exception as e:
+            # only the exists-collision means "lock held" — auth/
+            # network/quota failures must surface, not read as
+            # contention (a swallowed AccessDenied would spin the
+            # acquire loop for its whole timeout and then report a
+            # misleading TimeoutError)
+            msg = str(e)
+            if "AlreadyExists" in msg or "already exists" in msg.lower():
+                return False
+            raise
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:

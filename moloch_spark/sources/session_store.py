@@ -321,8 +321,11 @@ def optimize_layout(
     )
     from moloch_spark.sources.layout import write_zordered
 
-    parts = resolve_partitions(path)
+    # ONE manifest read feeds both the data dirs the rewrite scans and
+    # the commit-time expected= base — two reads would let a commit
+    # landing in between slip past the freshness check (review r7)
     base = load_manifest(path)
+    parts = resolve_partitions(path, manifest=base)
     if days is None:
         days = sorted(name.rsplit("=", 1)[1] for name in parts)
     committer = PartitionCommitter(path, force_manifest=force_manifest)
@@ -344,9 +347,15 @@ def optimize_layout(
         # expected = the generations this rewrite read from: a day a
         # concurrent UPDATE moved past that base keeps the update (our
         # re-clustered copy of stale data is dropped; re-run later)
-        committer.commit(
+        final = committer.commit(
             done, expected={n: base[n] for n in done if n in base}
         )
+        if final is not None:
+            done = [
+                n
+                for n in done
+                if final.get(n) == posixpath.join("_gen", committer.token, n)
+            ]
     else:
         committer.abort()
     return done
@@ -403,8 +412,10 @@ def compact_partitions(
             if n.endswith(".parquet")
         ]
 
-    parts = resolve_partitions(path)
+    # one manifest read feeds both the scanned dirs and the expected=
+    # base (see optimize_layout)
     base = load_manifest(path)
+    parts = resolve_partitions(path, manifest=base)
     if days is None:
         days = sorted(name.rsplit("=", 1)[1] for name in parts)
     out: dict[str, int] = {}
@@ -442,12 +453,19 @@ def compact_partitions(
         names = [f"{PARTITION_COL}={d}" for d in compacted]
         # expected: never clobber a concurrent update with the
         # compaction of its superseded generation (see optimize_layout)
-        committer.commit(
+        final = committer.commit(
             names, expected={n: base[n] for n in names if n in base}
         )
         parts = resolve_partitions(path)
         for day in compacted:
-            out[day] = len(_parquet_files(parts[f"{PARTITION_COL}={day}"]))
+            name = f"{PARTITION_COL}={day}"
+            ours = posixpath.join("_gen", committer.token, name)
+            if (final is None or final.get(name) == ours) and name in parts:
+                out[day] = len(_parquet_files(parts[name]))
+            # else: the day moved (concurrent update) or vanished
+            # (concurrent expiry) mid-compaction — OUR rewrite was
+            # dropped by the expected check, so it was NOT compacted;
+            # leave it out of the result and let the next run see it
     else:
         committer.abort()
     return out

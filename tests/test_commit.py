@@ -980,3 +980,20 @@ def test_manifest_lock_exclusive_and_ttl_steal(tmp_path):
     assert t3 != t2
     C._release_manifest_lock(fs, rootp, t3)
     assert not fs.exists(os.path.join(rootp, "_manifest.lock"))
+
+
+def test_resolve_partitions_through_preloaded_manifest(tmp_path):
+    """resolve_partitions(manifest=...) resolves through the CALLER's
+    snapshot — the one-read discipline maintenance rewrites use so
+    their data dirs and expected= base can never disagree."""
+    import moloch_spark.sources.commit as C
+
+    path = str(tmp_path / "store")
+    C.commit_manifest_entries(path, {"day=2024-01-01": "_gen/a/day=2024-01-01"})
+    snap = load_manifest(path)
+    C.commit_manifest_entries(path, {"day=2024-01-01": "_gen/b/day=2024-01-01"})
+    via_snap = resolve_partitions(path, manifest=snap)
+    assert via_snap["day=2024-01-01"].endswith("_gen/a/day=2024-01-01")
+    assert resolve_partitions(path)["day=2024-01-01"].endswith(
+        "_gen/b/day=2024-01-01"
+    )

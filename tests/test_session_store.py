@@ -689,3 +689,68 @@ def test_expire_dry_run_reports_without_dropping(spark, tmp_path):
     assert {str(r.day) for r in read_store(spark, path, "day").collect()} == {
         "2024-01-12"
     }
+
+
+def test_compaction_yields_to_concurrent_update(spark, tmp_path, monkeypatch):
+    """A day whose manifest entry moved between compaction's read and
+    its commit is NOT clobbered (expected= drops it) and is reported as
+    not-compacted — no KeyError, no stale rewrite (review r7)."""
+    import posixpath
+
+    import moloch_spark.sources.commit as C
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        load_manifest,
+        resolve_partitions,
+    )
+    from moloch_spark.sources.session_store import compact_partitions
+
+    path = str(tmp_path / "store")
+    df = spark.range(2000).selectExpr(
+        "id", "CAST('2024-01-01' AS STRING) AS day"
+    )
+    c = PartitionCommitter(path, force_manifest=True)
+    df.repartition(8).write.partitionBy("day").parquet(c.staging_dir())
+    c.commit(["day=2024-01-01"])
+
+    real = C.commit_manifest_entries
+    hit = {"n": 0}
+
+    def interfering(store, entries=None, **kw):
+        if hit["n"] == 0 and kw.get("expected"):
+            hit["n"] += 1
+            # the concurrent tag update lands first
+            upd = PartitionCommitter(store, force_manifest=True)
+            spark.range(5).selectExpr(
+                "id", "CAST('2024-01-01' AS STRING) AS day"
+            ).write.partitionBy("day").parquet(upd.staging_dir())
+            upd.commit(["day=2024-01-01"])
+        return real(store, entries, **kw)
+
+    monkeypatch.setattr(C, "commit_manifest_entries", interfering)
+    out = compact_partitions(spark, path, force_manifest=True)
+    assert hit["n"] == 1
+    assert "2024-01-01" not in out  # honestly reported as not compacted
+    # the concurrent update's generation survived (5 rows, not 2000)
+    final = resolve_partitions(path)
+    assert (
+        spark.read.parquet(final["day=2024-01-01"]).count() == 5
+    )
+    assert "day=2024-01-01" in load_manifest(path)
+
+
+def test_committer_rejects_expected_in_rename_mode(spark, tmp_path):
+    """expected= cannot be honored by the rename swap — a non-empty map
+    there must fail loudly instead of silently skipping the check."""
+    import pytest
+
+    from moloch_spark.sources.commit import PartitionCommitter
+
+    path = str(tmp_path / "store")
+    c = PartitionCommitter(path)  # plain local store: rename mode
+    assert not c.manifest_mode
+    spark.range(10).selectExpr(
+        "id", "CAST('2024-01-01' AS STRING) AS day"
+    ).write.partitionBy("day").parquet(c.staging_dir())
+    with pytest.raises(ValueError, match="manifest mode"):
+        c.commit(["day=2024-01-01"], expected={"day=2024-01-01": "_gen/x/y"})

@@ -466,6 +466,7 @@ def build_ann_index(
     dim: int = 64,
     buckets: int = 16,
     centroids: list[list[float]] | None = None,
+    scale: float | None = None,
 ) -> None:
     """Write the DURABLE ANN serving index — the IVF+SQ8 layout a
     100 TB vector corpus queries without re-deriving the model per
@@ -493,7 +494,12 @@ def build_ann_index(
     (the steady-state path) touch only the codes table and are safe
     against concurrent reads."""
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
-    scale = int8_quant_model(emb, vec_col=vec_col)
+    if scale is None:
+        # derived from THIS build's rows; pass an explicit scale to pin
+        # the quant model across incremental builds (a build on a
+        # corpus slice followed by appends must quantize in the same
+        # space the serving comparisons assume)
+        scale = int8_quant_model(emb, vec_col=vec_col)
     scorer = _cell_scores_udf(cents)
     vec = F.col(vec_col).cast("array<double>")
     codes = emb.select(

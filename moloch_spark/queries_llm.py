@@ -837,6 +837,73 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+_ANN_STREAM_CACHE: dict[str, str] = {}
+
+
+def _ann_streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    """ANN index maintained THROUGH Structured Streaming: even vec_ids
+    at build, odd vec_ids arriving as two availableNow micro-batches
+    through append_ann_index_stream (foreachBatch behind the
+    exactly-once epoch ledger). The quant scale is pinned to the full
+    corpus at build (build_ann_index's scale=) so the incremental
+    build quantizes in the same space as the one-shot oracle — the
+    production rebuild-with-pinned-model discipline."""
+
+    def build(prefix: str, path: str) -> None:
+        import tempfile as _tf
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        S.build_ann_index(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            prefix,
+            path,
+            scale=S.int8_quant_model(emb),
+        )
+        inbox = _tf.mkdtemp(prefix="anns_inbox_")
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        for part in (1, 3):  # two files -> two micro-batches/epochs
+            odd.filter(F.col("vec_id") % 4 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(inbox)
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        q = (
+            S.append_ann_index_stream(
+                spark, stream, prefix, _tf.mkdtemp(prefix="anns_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    return _memoized_index(
+        spark, sf_dir, _ANN_STREAM_CACHE, "annst", build, check_table="codes"
+    )
+
+
+@register("ann_stream_append_serve", _ivf_int8_sql())
+def q_ann_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN maintenance END-TO-END (the bm25_stream_append_
+    serve counterpart): half the vectors are indexed at build, the
+    other half arrive through Structured Streaming — each micro-batch
+    encoded with the PERSISTED model and folded as a bucketed append
+    behind the checkpoint-dir epoch ledger — and the query serves FROM
+    the streamed-into index, bucket-pruned. Must hash-match the same
+    one-shot oracle as ann_ivf_int8_topk/ann_indexed_topk: streaming
+    ingestion changes nothing about the result."""
+    prefix = _ann_streamed_index(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.ann_index_search(
+        spark, emb.filter(F.col("vec_id") < 5), prefix
+    ).orderBy("qid", "rank")
+
+
 # ---------------------------------------------------------------------------
 # multimodal (real decode/resize/frame-sample — see operators.multimodal)
 # ---------------------------------------------------------------------------

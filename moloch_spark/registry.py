@@ -46,18 +46,19 @@ def _load_registrants() -> None:
 #   (a) gates NEW in r7 (driver-row them the round they land),
 #   (b) the 4-gate r2 tail the r6 window cut at position 50,
 #   (c) the 50-query block whose latest row is r4 (the oldest signal),
-#       oldest-registered-first — the ~50 cap lands after 41 of them
-#       (the two rows it cut, quality_classifier_filter rows-only and
-#       ppl_lang_buckets, lead the r8 tail),
-#   (d) past the cap: the 9-query r4 tail, then the r5-rowed and
+#       oldest-registered-first — the ~50 cap lands after 40 of them
+#       (the three rows it cut lead the r8 tail; two of the three are
+#       rows-only, whose driver row carries the least signal),
+#   (d) past the cap: the 10-query r4 tail, then the r5-rowed and
 #       r6-rowed gates in registration order — all hash-green at their
 #       latest driver row and pytest-oracle-green locally.
 # ROUND-8 NOTE: next head = any r7 reds, any new r8 gates, then the
-# 9-gate r4 tail of (d) (quality_classifier_filter, ppl_lang_buckets,
-# embedding_pca_whiten, pq_encode_codes, ccnet_pipeline_e2e,
-# warc_ingest_roundtrip, hybrid_rrf_search, hunt_job_control,
-# streaming_state_cap), then the 50-gate r5 block (next-oldest
-# signal). After r8 no query's latest row should be older than r6.
+# 10-gate r4 tail of (d) (bpe_train_and_apply,
+# quality_classifier_filter, ppl_lang_buckets, embedding_pca_whiten,
+# pq_encode_codes, ccnet_pipeline_e2e, warc_ingest_roundtrip,
+# hybrid_rrf_search, hunt_job_control, streaming_state_cap), then the
+# 50-gate r5 block (next-oldest signal). After r8 no query's latest
+# row should be older than r6.
 _CHECK_PRIORITY = (
     # --- (a) new in r7 ---
     "zorder_store_search",      # optimize_layout z-order rewrite through the store
@@ -65,6 +66,7 @@ _CHECK_PRIORITY = (
     "decontaminate_semantic",   # embedding-cosine eval decontamination
     "bm25_stream_append_serve",  # ledgered stream-fold -> indexed serve
     "curate_cluster_balanced",   # embedding-cluster diversity quota
+    "ann_stream_append_serve",   # ledgered ANN stream-fold -> indexed serve
     # --- (b) latest driver row is r2: the tail the r6 window cut (4) ---
     "tunnel_decap_roundtrip", "unique_multivalue_session_types",
     "x509_cert_fields", "yara_scan_documents",
@@ -84,11 +86,11 @@ _CHECK_PRIORITY = (
     "dsir_importance_select", "dedup_incremental_lsh",
     "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
     "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
-    "bm25_topk_search", "bpe_train_and_apply",
+    "bm25_topk_search",
     # --- (d) past the ~50 cap: the r4 tail (next head per the
     #     ROUND-8 NOTE); unlisted gates (all r5/r6-rowed) follow in
     #     registration order ---
-    "quality_classifier_filter", "ppl_lang_buckets",
+    "bpe_train_and_apply", "quality_classifier_filter", "ppl_lang_buckets",
     "embedding_pca_whiten", "pq_encode_codes", "ccnet_pipeline_e2e",
     "warc_ingest_roundtrip", "hybrid_rrf_search", "hunt_job_control",
     "streaming_state_cap",

@@ -201,32 +201,42 @@ def mixture_sample(
             F.col(domain_col) == dom, q
         )
     quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
-    # per-domain rank via the same bucket-prefix two-phase scheme as
-    # global_shuffle, with the domain as an extra partition key: a
-    # single Window.partitionBy(domain) would move a dominant domain
-    # (the 90%-of-the-web case) to ONE partition; here ranking happens
-    # in (domain, 256-bucket) slices and shifts by a broadcastable
-    # (domains x 256)-row offset table. The md5 bucket is a PREFIX of
-    # the sort key, so offset + local rank == the per-domain rank.
+    return (
+        _partitioned_rank(df, domain_col, id_col, seed)
+        .withColumn("_q", quota)
+        .filter(F.col("_rn") <= F.col("_q"))
+        .drop("_q", "_rn", "_key", "_b", "_off")
+    )
+
+
+def _partitioned_rank(
+    df: DataFrame, part_col: str, id_col: str, seed: str
+) -> DataFrame:
+    """Per-group md5 rank via the bucket-prefix two-phase scheme (the
+    partitioned sibling of _two_phase_rank, shared by mixture_sample
+    and cluster_balanced_sample): a single Window.partitionBy(group)
+    would move a dominant group (the 90%-of-the-web domain, the
+    boilerplate embedding cluster) to ONE partition; here ranking
+    happens in (group, 256-bucket) slices and shifts by a broadcastable
+    (groups x 256)-row offset table. The md5 bucket is a PREFIX of the
+    sort key, so offset + local rank == the per-group rank. Adds `_rn`
+    (1-based rank within part_col in seeded-md5 order) plus the
+    scratch columns _key/_b/_off for the caller to drop."""
     d = df.withColumn("_key", shuffle_key(F.col(id_col), seed)).withColumn(
         "_b", F.conv(F.col("_key").substr(1, 2), 16, 10).cast("int")
     )
-    per = d.groupBy(domain_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    per = d.groupBy(part_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
     wb = (
-        Window.partitionBy(domain_col)
+        Window.partitionBy(part_col)
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = per.select(
-        domain_col, "_b", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off")
+        part_col, "_b", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off")
     )
-    w_rank = Window.partitionBy(domain_col, "_b").orderBy("_key", id_col)
-    return (
-        d.join(F.broadcast(offsets), [domain_col, "_b"])
-        .withColumn("_q", quota)
-        .withColumn("_rn", F.col("_off") + F.row_number().over(w_rank))
-        .filter(F.col("_rn") <= F.col("_q"))
-        .drop("_q", "_rn", "_key", "_b", "_off")
+    w_rank = Window.partitionBy(part_col, "_b").orderBy("_key", id_col)
+    return d.join(F.broadcast(offsets), [part_col, "_b"]).withColumn(
+        "_rn", F.col("_off") + F.row_number().over(w_rank)
     )
 
 
@@ -249,42 +259,26 @@ def cluster_balanced_sample(
     (model-sized driver transfer) or pass the deterministic
     ivf_centroids for cross-engine reproducibility.
 
-    Ranking reuses the (partition, 256-bucket) two-phase scheme
-    mixture_sample documents: cell assignment is scan-side (centroid
-    literals, no shuffle), ranking happens in (cell, bucket) slices —
-    a dominant cluster never lands on one reducer — and shifts by a
-    broadcastable (cells x 256)-row offset table. Returns the kept
-    rows as (id, cell, cluster_rank), content-addressed: membership is
-    stable across re-runs, engines, and growth of OTHER clusters."""
+    Ranking goes through _partitioned_rank (the scheme mixture_sample
+    uses): cell assignment is scan-side (centroid literals, no
+    shuffle), ranking happens in (cell, bucket) slices — a dominant
+    cluster never lands on one reducer. Returns the kept rows as
+    (id, cell, cluster_rank), content-addressed: membership is stable
+    across re-runs, engines, and growth of OTHER clusters."""
     from moloch_spark.operators.similarity import ivf_assign
 
-    d = (
+    assigned = (
         ivf_assign(emb, centroids, vec_col=vec_col)
         .select(id_col, "cell")
-        .withColumn("_key", shuffle_key(F.col(id_col), seed))
-        .withColumn("_b", F.conv(F.col("_key").substr(1, 2), 16, 10).cast("int"))
         # the assignment matmul is the dominant cost and feeds BOTH the
-        # offset aggregation and the ranked join below — materialize it
-        # once (the build_bm25_index postings pattern) instead of
-        # pushing every vector through the centroid scorer twice
+        # offset aggregation and the ranked join in _partitioned_rank —
+        # materialize it once (the build_bm25_index postings pattern)
+        # instead of pushing every vector through the scorer twice
         .localCheckpoint(eager=True)
     )
-    per = d.groupBy("cell", "_b").agg(F.count(F.lit(1)).alias("_n"))
-    wb = (
-        Window.partitionBy("cell")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = per.select(
-        "cell", "_b", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off")
-    )
-    w_rank = Window.partitionBy("cell", "_b").orderBy("_key", id_col)
     return (
-        d.join(F.broadcast(offsets), ["cell", "_b"])
-        .withColumn(
-            "cluster_rank",
-            (F.col("_off") + F.row_number().over(w_rank)).cast("long"),
-        )
+        _partitioned_rank(assigned, "cell", id_col, seed)
+        .withColumn("cluster_rank", F.col("_rn").cast("long"))
         .filter(F.col("cluster_rank") <= per_cluster)
         .select(id_col, F.col("cell").cast("int").alias("cell"), "cluster_rank")
     )

@@ -154,31 +154,15 @@ def _cbal_sql(
     n_cells: int = 16, dim: int = 64, per_cluster: int = 20,
     seed: str = "cbal:v1",
 ) -> str:
-    """Oracle for cluster_balanced_sample: the ivf_assign replay (same
-    centroid literals, same rounded |c|^2 - 2 v.c ranking as the ANN
-    oracles) followed by the per-cluster md5 quota rank."""
-    from moloch_spark.operators import similarity as S
+    """Oracle for cluster_balanced_sample: the SHARED ivf_assign replay
+    (queries_llm._ivf_cell_rank_ctes — one definition of the
+    assignment oracle across the ANN gates and this one) followed by
+    the per-cluster md5 quota rank."""
+    from moloch_spark.queries_llm import _ivf_cell_rank_ctes
 
-    cents = S.ivf_centroids(dim, n_cells)
-    values = ", ".join(
-        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
-    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
-    c2_case = "CASE cell " + " ".join(
-        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
-    ) + " END"
     return f"""
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-    cells(cell, c) AS (VALUES {values}),
-    cell_rank AS (
-      SELECT vec_id, cell,
-             ROW_NUMBER() OVER (
-               PARTITION BY vec_id
-               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
-             ) AS rn
-      FROM b CROSS JOIN cells
-    ),
+    {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
     ranked AS (
       SELECT vec_id, CAST(cell AS INT) AS cell,

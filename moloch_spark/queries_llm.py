@@ -636,20 +636,23 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+def _ivf_cell_rank_ctes(n_cells: int, dim: int) -> str:
+    """`cells` + `cell_rank` CTE text replaying ivf_assign over a `b`
+    CTE of (vec_id, ed) — the ONE definition of the assignment oracle
+    (same centroid literals, same |c|^2 - 2 v.c score rounded to 6
+    decimals like _cell_scores_udf), composed by every IVF oracle and
+    by queries_curate's cluster-balanced gate. Editing the assignment
+    replay in one gate and not the others would silently fork them."""
     cents = S.ivf_centroids(dim, n_cells)
     values = ", ".join(
         f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
         for i, c in enumerate(cents)
     )
-    # same ranking score as ivf_assign: |c|^2 - 2 v.c, rounded identically
     c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
     c2_case = "CASE cell " + " ".join(
         f"WHEN {i} THEN {v!r}" for i, v in c2.items()
     ) + " END"
-    return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-    cells(cell, c) AS (VALUES {values}),
+    return f"""cells(cell, c) AS (VALUES {values}),
     cell_rank AS (
       SELECT vec_id, ed, cell,
              ROW_NUMBER() OVER (
@@ -657,7 +660,13 @@ def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
                ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
              ) AS rn
       FROM b CROSS JOIN cells
-    ),
+    )"""
+
+
+def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, ed, cell FROM cell_rank WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, ed AS qe, cell
                FROM cell_rank WHERE vec_id < 5 AND rn <= {nprobe}),
@@ -687,18 +696,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_int8_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
     """IVF probe pruning (full-precision coarse assignment, replayed
-    from _ivf_ann_sql's cell_rank) composed with int8 in-cell scoring
-    (the codes CTE of the ann_int8 oracle): assignment on `ed`,
-    candidate cosine on integer codes."""
-    cents = S.ivf_centroids(dim, n_cells)
-    values = ", ".join(
-        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
-    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
-    c2_case = "CASE cell " + " ".join(
-        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
-    ) + " END"
+    from the shared _ivf_cell_rank_ctes) composed with int8 in-cell
+    scoring (the codes CTE of the ann_int8 oracle): assignment on
+    `ed`, candidate cosine on integer codes."""
     return f"""
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
     model AS (
@@ -713,15 +713,7 @@ def _ivf_int8_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
                  CAST(FLOOR(x * sc + 0.5) AS INT)))) AS code
       FROM b, model
     ),
-    cells(cell, c) AS (VALUES {values}),
-    cell_rank AS (
-      SELECT vec_id, cell,
-             ROW_NUMBER() OVER (
-               PARTITION BY vec_id
-               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
-             ) AS rn
-      FROM b CROSS JOIN cells
-    ),
+    {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, cell
                FROM cell_rank WHERE vec_id < 5 AND rn <= {nprobe}),
@@ -2238,26 +2230,9 @@ def _ivf_pq_sql(
     n_cells: int = 16, nprobe: int = 4,
 ) -> str:
     sub = dim // m
-    cents = S.ivf_centroids(dim, n_cells)
-    cvalues = ", ".join(
-        f"({i}, [" + ", ".join(f"{x!r}" for x in c) + "]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
-    c2 = {i: sum(x * x for x in c) for i, c in enumerate(cents)}
-    c2_case = "CASE cell " + " ".join(
-        f"WHEN {i} THEN {v!r}" for i, v in c2.items()
-    ) + " END"
     return f"""
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-    cells(cell, c) AS (VALUES {cvalues}),
-    cell_rank AS (
-      SELECT vec_id, ed, cell,
-             ROW_NUMBER() OVER (
-               PARTITION BY vec_id
-               ORDER BY ROUND({c2_case} - 2*list_dot_product(ed, c), 6), cell
-             ) AS rn
-      FROM b CROSS JOIN cells
-    ),
+    {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, cell
                FROM cell_rank WHERE vec_id < {nq} AND rn <= {nprobe}),

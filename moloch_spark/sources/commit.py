@@ -99,6 +99,7 @@ def _acquire_manifest_lock(
     token = uuid.uuid4().hex
     wait = timeout if timeout is not None else 2 * ttl
     deadline = time.monotonic() + wait
+    fs.mkdirs(root)
     while True:
         if time.monotonic() > deadline:
             # covers live contention outlasting the stale-steal TTL and
@@ -107,7 +108,6 @@ def _acquire_manifest_lock(
                 f"manifest lock on {root!r} not acquired within "
                 f"{wait:.0f}s"
             )
-        fs.mkdirs(root)
         if fs.create_exclusive(path, json.dumps({"token": token})):
             return token
         try:
@@ -122,7 +122,12 @@ def _acquire_manifest_lock(
             # winner verifies it claimed the lock it stat'ed (mtime is
             # rename-preserved; a fresh lock created inside the
             # stat->rename window is >ttl newer) and restores a
-            # mis-claim instead of deleting it.
+            # mis-claim via EXCLUSIVE create with the claimed content —
+            # a rename restore could clobber a third waiter's new lock;
+            # if the name was retaken in the meantime the restore is
+            # abandoned (the mis-claimed holder's session is already
+            # broken; the merge/retry read-back is the residual net).
+            # Crash-orphaned .steal- claims are swept by vacuum_store.
             claim = f"{path}.steal-{token}"
             try:
                 fs.rename(path, claim)
@@ -133,9 +138,11 @@ def _acquire_manifest_lock(
             except Exception:
                 continue
             if abs(claimed_mtime - stale_mtime) > 1.0:
-                fs.rename(claim, path)  # mis-claim: put the fresh lock back
-            else:
-                fs.delete(claim)  # the genuine stale lock: reclaimed
+                try:  # mis-claim: put the fresh lock back if still free
+                    fs.create_exclusive(path, fs.read_text(claim))
+                except Exception:
+                    pass
+            fs.delete(claim)
             continue
         time.sleep(0.005 + os.urandom(1)[0] / 255 * 0.02)
 
@@ -263,7 +270,7 @@ def commit_manifest_entries(
     entries: dict[str, str] | None = None,
     *,
     removals=(),
-    expected: dict[str, str] | None = None,
+    expected: dict[str, str | None] | None = None,
     spark=None,
     max_attempts: int = 8,
 ) -> dict[str, str]:
@@ -295,11 +302,16 @@ def commit_manifest_entries(
 
     `expected` (maintenance rewrites: consolidate_store,
     optimize_layout) maps entry -> the generation the rewrite was BUILT
-    from: an entry whose current manifest value no longer matches is
-    dropped from the commit — a concurrent UPDATE landed while we were
-    rewriting stale data, and the update wins (our copy becomes an
-    unreferenced generation for vacuum). Same-key UPDATE races (two
-    tag write-backs) carry no `expected` and stay last-writer-wins.
+    from, with None meaning "resolved from the PLAIN tree — the entry
+    must still be absent at commit time": an entry whose current
+    manifest value no longer matches is dropped from the commit — a
+    concurrent UPDATE landed while we were rewriting stale data, and
+    the update wins (our copy becomes an unreferenced generation for
+    vacuum). Without the None form, a rewrite of a never-committed
+    plain partition would pass unconditionally and clobber an update
+    that manifest-committed that name mid-rewrite. Same-key UPDATE
+    races (two tag write-backs) carry no `expected` and stay
+    last-writer-wins.
 
     Returns the manifest as last read back. Raises RuntimeError when
     `max_attempts` read-backs in a row saw foreign interference (a
@@ -678,9 +690,13 @@ def vacuum_store(
     # residue forever)
     if fs.isdir(root):
         for name in fs.listdir(root):
-            if (".tmp-" in name or name.endswith(".tmp")) and not fs.isdir(
-                posixpath.join(root, name)
-            ):
+            residue = (
+                ".tmp-" in name
+                or name.endswith(".tmp")
+                # crash-orphaned lock-steal claims (_manifest.lock.steal-*)
+                or ".steal-" in name
+            )
+            if residue and not fs.isdir(posixpath.join(root, name)):
                 p = posixpath.join(root, name)
                 if now - fs.mtime(p) >= max(retain_s, ORPHAN_COMMIT_GRACE_S):
                     _delete(p)
@@ -770,8 +786,14 @@ def consolidate_store(spark, store: str) -> list[str]:
     # expected = the generations this rewrite was built from: a
     # partition a concurrent update moved past that base keeps the
     # UPDATE (our stale copy becomes an unreferenced gen for vacuum)
-    c.commit(parts, expected=manifest)
-    return parts
+    final = c.commit(parts, expected=manifest)
+    # report only what actually consolidated — a skipped entry still
+    # lives in its own (newer) generation token
+    return [
+        p
+        for p in parts
+        if final.get(p) == posixpath.join("_gen", c.token, p)
+    ]
 
 
 # ---------------------------------------------------------------------------

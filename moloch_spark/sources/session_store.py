@@ -344,11 +344,18 @@ def optimize_layout(
         )
         done.append(name)
     if done:
-        # expected = the generations this rewrite read from: a day a
-        # concurrent UPDATE moved past that base keeps the update (our
-        # re-clustered copy of stale data is dropped; re-run later)
+        # expected = the generations this rewrite read from (None for
+        # a day resolved from the PLAIN tree: it must still be
+        # uncommitted at commit time): a day a concurrent UPDATE moved
+        # past that base keeps the update (our re-clustered copy of
+        # stale data is dropped; re-run later)
         final = committer.commit(
-            done, expected={n: base[n] for n in done if n in base}
+            done,
+            expected=(
+                {n: base.get(n) for n in done}
+                if committer.manifest_mode
+                else None  # offline local rewrite: no manifest to check
+            ),
         )
         if final is not None:
             done = [
@@ -452,9 +459,16 @@ def compact_partitions(
     if compacted:
         names = [f"{PARTITION_COL}={d}" for d in compacted]
         # expected: never clobber a concurrent update with the
-        # compaction of its superseded generation (see optimize_layout)
+        # compaction of its superseded generation; None = the day was
+        # plain at read time and must still be uncommitted (see
+        # optimize_layout)
         final = committer.commit(
-            names, expected={n: base[n] for n in names if n in base}
+            names,
+            expected=(
+                {n: base.get(n) for n in names}
+                if committer.manifest_mode
+                else None  # offline local rewrite: no manifest to check
+            ),
         )
         parts = resolve_partitions(path)
         for day in compacted:

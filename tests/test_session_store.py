@@ -754,3 +754,44 @@ def test_committer_rejects_expected_in_rename_mode(spark, tmp_path):
     ).write.partitionBy("day").parquet(c.staging_dir())
     with pytest.raises(ValueError, match="manifest mode"):
         c.commit(["day=2024-01-01"], expected={"day=2024-01-01": "_gen/x/y"})
+
+
+def test_compaction_yields_when_plain_day_gets_committed(
+    spark, tmp_path, monkeypatch
+):
+    """The expected-absent form (review r7 #2): a day resolved from the
+    PLAIN tree at compaction start that a concurrent writer
+    manifest-commits mid-rewrite is NOT clobbered — expected={name:
+    None} detects the appearance."""
+    import moloch_spark.sources.commit as C
+    from moloch_spark.sources.commit import (
+        PartitionCommitter,
+        resolve_partitions,
+    )
+    from moloch_spark.sources.session_store import compact_partitions
+
+    path = str(tmp_path / "store")
+    spark.range(2000).selectExpr(
+        "id", "CAST('2024-01-01' AS STRING) AS day"
+    ).repartition(8).write.partitionBy("day").parquet(path)  # plain tree
+
+    real = C.commit_manifest_entries
+    hit = {"n": 0}
+
+    def interfering(store, entries=None, **kw):
+        exp = kw.get("expected") or {}
+        if hit["n"] == 0 and None in exp.values():
+            hit["n"] += 1
+            upd = PartitionCommitter(store, force_manifest=True)
+            spark.range(7).selectExpr(
+                "id", "CAST('2024-01-01' AS STRING) AS day"
+            ).write.partitionBy("day").parquet(upd.staging_dir())
+            upd.commit(["day=2024-01-01"])
+        return real(store, entries, **kw)
+
+    monkeypatch.setattr(C, "commit_manifest_entries", interfering)
+    out = compact_partitions(spark, path, force_manifest=True)
+    assert hit["n"] == 1
+    assert "2024-01-01" not in out
+    final = resolve_partitions(path)
+    assert spark.read.parquet(final["day=2024-01-01"]).count() == 7

@@ -997,3 +997,59 @@ def test_resolve_partitions_through_preloaded_manifest(tmp_path):
     assert resolve_partitions(path)["day=2024-01-01"].endswith(
         "_gen/b/day=2024-01-01"
     )
+
+
+@pytest.mark.parametrize("seed", [3, 77, 20260816])
+def test_entry_commit_randomized_model_check(tmp_path, seed):
+    """Seeded random sequences of commit_manifest_entries ops — plain
+    upserts, removals, and expected-guarded rewrites (fresh base
+    applies, moved base is dropped, and the None 'must still be
+    absent' form for plain-tree names) — against a pure-dict model.
+    After every op: the on-disk manifest equals the model, the
+    returned map equals the model, and the lock was released."""
+    import random
+
+    import moloch_spark.sources.commit as C
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "mc")
+    model: dict[str, str] = {}
+    names = [f"day=2024-03-{i:02d}" for i in range(1, 7)]
+    tok = 0
+    for _step in range(50):
+        op = rng.random()
+        if op < 0.4:
+            tok += 1
+            ent = {
+                n: f"_gen/t{tok}/{n}"
+                for n in rng.sample(names, rng.randint(1, 3))
+            }
+            got = C.commit_manifest_entries(path, ent)
+            model.update(ent)
+            assert got == model
+        elif op < 0.6 and model:
+            rm = rng.sample(sorted(model), rng.randint(1, len(model)))
+            got = C.commit_manifest_entries(path, removals=rm)
+            for n in rm:
+                model.pop(n)
+            assert got == model
+        else:
+            # a rewrite whose base is fresh for some entries (applies;
+            # None = was absent and still is) and moved for others
+            # (dropped — the concurrent update wins)
+            tok += 1
+            expected: dict[str, str | None] = {}
+            ent: dict[str, str] = {}
+            applied: dict[str, str] = {}
+            for n in rng.sample(names, rng.randint(1, 3)):
+                ent[n] = f"_gen/t{tok}/{n}"
+                if rng.random() < 0.5:
+                    expected[n] = model.get(n)
+                    applied[n] = ent[n]
+                else:
+                    expected[n] = "_gen/moved/x"
+            got = C.commit_manifest_entries(path, ent, expected=expected)
+            model.update(applied)
+            assert got == model
+        assert load_manifest(path) == model
+        assert not os.path.exists(os.path.join(path, "_manifest.lock"))

@@ -772,3 +772,52 @@ def kmeans_train(
             new[r.cell][r.pos] = r.m
         cents = new
     return cents
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_max_id: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Weak labeling by nearest-neighbor vote — the label-densification
+    step semi-supervised curation pipelines run (label a large corpus
+    from a labeled seed set by majority vote of each point's k nearest
+    labeled neighbors; also the standard kNN probe for embedding-space
+    quality). Each query vector's prediction is the majority label
+    among its k exact-cosine nearest neighbors (self excluded); vote
+    ties break to the smaller label. Emits (qid, pred_label, votes,
+    confidence = votes/k).
+
+    Scale shape: the top-k comes from brute_force_topk's gate form
+    (bounded query batch broadcast against one corpus scan); the
+    |queries| x k candidate set is then BROADCAST against the corpus
+    labels, so the vote adds no corpus shuffle. At 100 TB serve the
+    neighbors from the persisted IVF+SQ8 index (ann_index_search) and
+    keep the same vote tail."""
+    top = brute_force_topk(
+        emb, id_col=id_col, vec_col=vec_col,
+        query_max_id=query_max_id, k=k,
+    )
+    labels = emb.select(F.col(id_col).alias("did"), F.col(label_col))
+    votes = (
+        labels.join(F.broadcast(top), "did")
+        .groupBy("qid", label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "qid",
+            F.col(label_col).cast("int").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            F.round(F.col("votes") / F.lit(float(k)), 4).alias("confidence"),
+        )
+    )

@@ -829,6 +829,50 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+@register(
+    "knn_label_vote",
+    f"""
+    WITH {_COSINE_SQL},
+    ranked AS (
+      SELECT qid, did, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, did ASC) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT r.qid, e.label, COUNT(*) AS votes
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.did
+      WHERE r.rank <= 10
+      GROUP BY r.qid, e.label
+    ),
+    best AS (
+      SELECT qid, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    )
+    SELECT qid, CAST(label AS INT) AS pred_label,
+           CAST(votes AS BIGINT) AS votes,
+           ROUND(votes / 10.0, 4) AS confidence
+    FROM best WHERE rn = 1
+    ORDER BY qid
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak labeling by nearest-neighbor vote (similarity.
+    knn_label_vote): each query vector takes the majority label of its
+    10 exact-cosine nearest neighbors (self excluded, vote ties to the
+    smaller label), with confidence = votes/k — the label-densification
+    step semi-supervised curation runs from a labeled seed set, and the
+    standard kNN probe of embedding-space quality. The |q| x k
+    candidate set is broadcast against the corpus labels, so the vote
+    tail adds no corpus shuffle; at 100 TB the neighbor source swaps to
+    the persisted IVF+SQ8 index with the same tail."""
+    return S.knn_label_vote(load_table(spark, "embeddings", sf_dir)).orderBy(
+        "qid"
+    )
+
+
 _ANN_STREAM_CACHE: dict[str, str] = {}
 
 

@@ -46,14 +46,16 @@ def _load_registrants() -> None:
 #   (a) gates NEW in r7 (driver-row them the round they land),
 #   (b) the 4-gate r2 tail the r6 window cut at position 50,
 #   (c) the 50-query block whose latest row is r4 (the oldest signal),
-#       oldest-registered-first — the ~50 cap lands after 40 of them
-#       (the three rows it cut lead the r8 tail; two of the three are
-#       rows-only, whose driver row carries the least signal),
-#   (d) past the cap: the 10-query r4 tail, then the r5-rowed and
+#       oldest-registered-first — the ~50 cap lands after 39 of them
+#       (the four rows it cut lead the r8 tail; two of the four are
+#       rows-only, whose driver row carries the least signal, and
+#       bm25_topk_search's oracle is re-proven this round through
+#       bm25_stream_append_serve),
+#   (d) past the cap: the 11-query r4 tail, then the r5-rowed and
 #       r6-rowed gates in registration order — all hash-green at their
 #       latest driver row and pytest-oracle-green locally.
 # ROUND-8 NOTE: next head = any r7 reds, any new r8 gates, then the
-# 10-gate r4 tail of (d) (bpe_train_and_apply,
+# 11-gate r4 tail of (d) (bm25_topk_search, bpe_train_and_apply,
 # quality_classifier_filter, ppl_lang_buckets, embedding_pca_whiten,
 # pq_encode_codes, ccnet_pipeline_e2e, warc_ingest_roundtrip,
 # hybrid_rrf_search, hunt_job_control, streaming_state_cap), then the
@@ -67,6 +69,7 @@ _CHECK_PRIORITY = (
     "bm25_stream_append_serve",  # ledgered stream-fold -> indexed serve
     "curate_cluster_balanced",   # embedding-cluster diversity quota
     "ann_stream_append_serve",   # ledgered ANN stream-fold -> indexed serve
+    "knn_label_vote",            # weak labeling by neighbor vote
     # --- (b) latest driver row is r2: the tail the r6 window cut (4) ---
     "tunnel_decap_roundtrip", "unique_multivalue_session_types",
     "x509_cert_fields", "yara_scan_documents",
@@ -87,10 +90,12 @@ _CHECK_PRIORITY = (
     "dsir_importance_select", "dedup_incremental_lsh",
     "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
     "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
-    "bm25_topk_search",
     # --- (d) past the ~50 cap: the r4 tail (next head per the
     #     ROUND-8 NOTE); unlisted gates (all r5/r6-rowed) follow in
-    #     registration order ---
+    #     registration order. bm25_topk_search's oracle is shared
+    #     verbatim by bm25_stream_append_serve (in this head), so its
+    #     slip to the tail costs no oracle signal this round. ---
+    "bm25_topk_search",
     "bpe_train_and_apply", "quality_classifier_filter", "ppl_lang_buckets",
     "embedding_pca_whiten", "pq_encode_codes", "ccnet_pipeline_e2e",
     "warc_ingest_roundtrip", "hybrid_rrf_search", "hunt_job_control",

@@ -18,6 +18,10 @@ SF = "/root/testdata/sf0.001"
 INTENTIONAL_NESTED_LOOP = {
     "ann_brute_force_topk",
     "embedding_near_dups",
+    # kNN label vote's neighbor source IS brute_force_topk (bounded
+    # query set broadcast, one corpus scan); the vote tail adds only a
+    # broadcast of the |q| x k candidate rows
+    "knn_label_vote",
     # semantic decontamination: the model-sized EVAL embedding set
     # broadcast against one train scan (per-row max, no train shuffle)
     "decontaminate_semantic",

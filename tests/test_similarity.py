@@ -465,3 +465,37 @@ def test_repair_ann_index_restores_uniqueness(spark, tmp_path):
         for p in (clean, dup, fixed):
             for t in ("codes", "model"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_knn_label_vote_matches_python_reference(spark):
+    """knn_label_vote == a plain-Python kNN majority vote on the same
+    vectors: exact cosine neighbors (self excluded, rounded ties to
+    smaller did), majority label with ties to the smaller label."""
+    import numpy as np
+
+    from moloch_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(80, 8)
+    labels = [int(i % 3) for i in range(80)]
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], labels[i]) for i in range(80)],
+        ["vec_id", "embedding", "label"],
+    ).repartition(4)
+    got = {
+        r["qid"]: (r["pred_label"], r["votes"], r["confidence"])
+        for r in S.knn_label_vote(emb, query_max_id=5, k=7).collect()
+    }
+    for q in range(5):
+        scores = []
+        for d in range(80):
+            if d == q:
+                continue
+            c = X[q] @ X[d] / (np.linalg.norm(X[q]) * np.linalg.norm(X[d]))
+            scores.append((round(float(c), 4), d))
+        top = sorted(scores, key=lambda t: (-t[0], t[1]))[:7]
+        counts: dict[int, int] = {}
+        for _, d in top:
+            counts[labels[d]] = counts.get(labels[d], 0) + 1
+        pred = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[q] == (pred[0], pred[1], round(pred[1] / 7.0, 4)), q

@@ -1028,3 +1028,69 @@ def test_repair_bm25_index_restores_uniqueness(spark, tmp_path):
         for p in (clean, dup, fixed):
             for t in ("postings", "dl", "stats"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_bm25_crash_inside_fold_recovery_story(spark, tmp_path):
+    """The documented crash-inside-fold recovery, end-to-end: a fold
+    dies BETWEEN the postings append and the dl append (the torn-middle
+    shape — each table's parquet job is atomic but the pair is two
+    jobs). The epoch was never recorded, so the restarted fold re-runs
+    it (postings now duplicated, dl landed once), and repair_bm25_index
+    restores an index that serves exactly what an uncorrupted one-shot
+    build serves."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.streaming import ledger
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha shared term{i % 7} body {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(900, "alpha"), (900, "term3"), (901, "shared")],
+        ["query_id", "qterm"],
+    )
+    clean, broken, fixed = (
+        "bm25idx_test_cr_clean", "bm25idx_test_cr_broken", "bm25idx_test_cr_fix"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        R.build_bm25_index(spark, corpus, clean, str(tmp_path / "c"),
+                           buckets=8)
+        R.build_bm25_index(spark, corpus.filter("doc_id < 30"), broken,
+                           str(tmp_path / "b"), buckets=8)
+        batch = corpus.filter("doc_id >= 30")
+        # the crash: ONLY the postings append of the fold completes
+        (
+            R.postings(batch)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(8, "term")
+            .sortBy("term")
+            .saveAsTable(f"{broken}_postings")
+        )
+        assert ledger.committed_epoch(ckpt, broken) == -1  # never recorded
+        # restart: the fold re-runs the SAME epoch in full
+        fold = R.bm25_stream_fold(spark, broken, ckpt, buckets=8)
+        fold(batch, 0)
+        assert ledger.committed_epoch(ckpt, broken) == 0
+        # torn state: batch postings twice, dl once, stats correct
+        dup = spark.table(f"{broken}_postings").groupBy(
+            "term", "doc_id"
+        ).count().filter(F.col("count") > 1)
+        assert dup.count() > 0
+        assert spark.table(f"{broken}_dl").count() == 40
+        # the repair restores key uniqueness and exact serving
+        R.repair_bm25_index(spark, broken, fixed, str(tmp_path / "f"),
+                            buckets=8)
+        want = sorted(map(tuple, R.bm25_topk_indexed(
+            spark, clean, queries, exclude_self=False).collect()))
+        got = sorted(map(tuple, R.bm25_topk_indexed(
+            spark, fixed, queries, exclude_self=False).collect()))
+        assert got == want
+        assert spark.table(f"{fixed}_stats").first()["n_docs"] == 40
+    finally:
+        for p in (clean, broken, fixed):
+            for t in ("postings", "dl", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

@@ -109,3 +109,46 @@ def test_pq_encode_fuzz(spark, vecs):
     for i in range(n):
         assert got[i] == got[i + n]
         assert all(0 <= c < 4 for c in got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    per_cluster=st.integers(min_value=1, max_value=5),
+)
+def test_cluster_balanced_fuzz_invariants(spark, vecs, per_cluster):
+    """cluster_balanced_sample invariants on arbitrary vectors: ranks
+    are 1..n within each kept cluster, every cluster keeps exactly
+    min(per_cluster, cluster size) rows, and total kept == sum of the
+    per-cluster caps."""
+    from moloch_spark.operators import curate as C
+    from moloch_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(8, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    ).repartition(3)
+    kept = C.cluster_balanced_sample(
+        df, cents, per_cluster=per_cluster
+    ).collect()
+    sizes: dict[int, int] = {}
+    for r in ivf_assign(df, cents).collect():
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    by_cell: dict[int, list[int]] = {}
+    for r in kept:
+        by_cell.setdefault(r["cell"], []).append(r["cluster_rank"])
+    for cell, n in sizes.items():
+        want = min(per_cluster, n)
+        assert sorted(by_cell.get(cell, [])) == list(range(1, want + 1))
+    assert len(kept) == sum(min(per_cluster, n) for n in sizes.values())

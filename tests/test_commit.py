@@ -664,18 +664,22 @@ def test_vacuum_sweeps_local_atomic_put_residue(tmp_path):
     _write_manifest(path, {"day=2024-01-01": "_gen/tok1/day=2024-01-01"})
     local_residue = os.path.join(path, "._manifest.json.deadbeef.tmp")
     hadoop_residue = os.path.join(path, "_manifest.json.tmp-deadbeef")
-    for p in (local_residue, hadoop_residue):
+    steal_residue = os.path.join(path, "_manifest.lock.steal-deadbeef")
+    for p in (local_residue, hadoop_residue, steal_residue):
         with open(p, "w") as f:
             f.write("{}")
     assert vacuum_store(path) == []                  # young: protected
     old = _time.time() - 7200
-    for p in (local_residue, hadoop_residue):
+    for p in (local_residue, hadoop_residue, steal_residue):
         os.utime(p, (old, old))
     removed = vacuum_store(path)
     assert os.path.basename(local_residue) in removed
     assert os.path.basename(hadoop_residue) in removed
+    # a crash-orphaned lock-steal claim is residue too
+    assert os.path.basename(steal_residue) in removed
     assert not os.path.exists(local_residue)
     assert not os.path.exists(hadoop_residue)
+    assert not os.path.exists(steal_residue)
     # committed state untouched
     assert load_manifest(path) == {"day=2024-01-01": "_gen/tok1/day=2024-01-01"}
 

@@ -33,28 +33,41 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_max_id: int = 5,
     k: int = 10,
+    corpus: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact cosine top-k for each query vector (id < query_max_id).
 
     Deterministic ranking: score rounded to 4 decimals, ties broken by
-    corpus id ascending.
-    """
+    corpus id ascending. `corpus` restricts the NEIGHBOR side to a
+    different frame (queries still come from `emb`) and `carry_cols`
+    passes corpus columns through to the result — so a consumer that
+    needs per-neighbor attributes (knn_label_vote's labels) gets them
+    from the ONE scoring scan instead of re-scanning the corpus."""
     q = emb.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
+    src = corpus if corpus is not None else emb
     scored = (
-        emb.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+        src.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
         .select(
             "qid",
             F.col(id_col).alias("did"),
             cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+            *carry_cols,
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("did").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "did", "cosine", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "qid",
+            "did",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+            *carry_cols,
+        )
     )
 
 
@@ -788,25 +801,26 @@ def knn_label_vote(
     from a labeled seed set by majority vote of each point's k nearest
     labeled neighbors; also the standard kNN probe for embedding-space
     quality). Each query vector's prediction is the majority label
-    among its k exact-cosine nearest neighbors (self excluded); vote
-    ties break to the smaller label. Emits (qid, pred_label, votes,
+    among its k exact-cosine nearest LABELED neighbors (self and
+    NULL-label rows excluded — unlabeled rows are the ones being
+    labeled, so they neither vote nor consume top-k slots); vote ties
+    break to the smaller label. Emits (qid, pred_label, votes,
     confidence = votes/k).
 
     Scale shape: the top-k comes from brute_force_topk's gate form
-    (bounded query batch broadcast against one corpus scan); the
-    |queries| x k candidate set is then BROADCAST against the corpus
-    labels, so the vote adds no corpus shuffle. At 100 TB serve the
-    neighbors from the persisted IVF+SQ8 index (ann_index_search) and
-    keep the same vote tail."""
+    (bounded query batch broadcast against ONE corpus scan restricted
+    to labeled rows, the labels carried through that same scan — no
+    second corpus pass for the vote). At 100 TB serve the neighbors
+    from the persisted IVF+SQ8 index (ann_index_search over labeled
+    rows) and keep the same vote tail."""
     top = brute_force_topk(
         emb, id_col=id_col, vec_col=vec_col,
         query_max_id=query_max_id, k=k,
+        corpus=emb.filter(F.col(label_col).isNotNull()),
+        carry_cols=(label_col,),
     )
-    labels = emb.select(F.col(id_col).alias("did"), F.col(label_col))
-    votes = (
-        labels.join(F.broadcast(top), "did")
-        .groupBy("qid", label_col)
-        .agg(F.count(F.lit(1)).alias("votes"))
+    votes = top.groupBy("qid", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("votes").desc(), F.col(label_col).asc()

@@ -831,19 +831,31 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_label_vote",
-    f"""
-    WITH {_COSINE_SQL},
+    """
+    WITH scored AS (
+      SELECT q.qid, e.vec_id AS did, e.label,
+             ROUND(
+               list_dot_product(q.qe, e.ed)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(e.ed, e.ed))),
+             4) AS cosine
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS ed, label
+            FROM embeddings WHERE label IS NOT NULL) e,
+           (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 5) q
+      WHERE e.vec_id <> q.qid
+    ),
     ranked AS (
-      SELECT qid, did, cosine,
+      SELECT qid, did, label, cosine,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY cosine DESC, did ASC) AS rank
       FROM scored
     ),
     votes AS (
-      SELECT r.qid, e.label, COUNT(*) AS votes
-      FROM ranked r JOIN embeddings e ON e.vec_id = r.did
-      WHERE r.rank <= 10
-      GROUP BY r.qid, e.label
+      SELECT qid, label, COUNT(*) AS votes
+      FROM ranked
+      WHERE rank <= 10
+      GROUP BY qid, label
     ),
     best AS (
       SELECT qid, label, votes,
@@ -861,13 +873,14 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak labeling by nearest-neighbor vote (similarity.
     knn_label_vote): each query vector takes the majority label of its
-    10 exact-cosine nearest neighbors (self excluded, vote ties to the
-    smaller label), with confidence = votes/k — the label-densification
-    step semi-supervised curation runs from a labeled seed set, and the
-    standard kNN probe of embedding-space quality. The |q| x k
-    candidate set is broadcast against the corpus labels, so the vote
-    tail adds no corpus shuffle; at 100 TB the neighbor source swaps to
-    the persisted IVF+SQ8 index with the same tail."""
+    10 exact-cosine nearest LABELED neighbors (self and NULL-label
+    rows excluded, vote ties to the smaller label), with confidence =
+    votes/k — the label-densification step semi-supervised curation
+    runs from a labeled seed set, and the standard kNN probe of
+    embedding-space quality. Labels ride the single scoring scan
+    (brute_force_topk carry_cols) so the vote tail adds no second
+    corpus pass; at 100 TB the neighbor source swaps to the persisted
+    IVF+SQ8 index over labeled rows with the same tail."""
     return S.knn_label_vote(load_table(spark, "embeddings", sf_dir)).orderBy(
         "qid"
     )

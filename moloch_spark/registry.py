@@ -73,8 +73,8 @@ _CHECK_PRIORITY = (
     # --- (b) latest driver row is r2: the tail the r6 window cut (4) ---
     "tunnel_decap_roundtrip", "unique_multivalue_session_types",
     "x509_cert_fields", "yara_scan_documents",
-    # --- (c) latest driver row is r4 (40 here; the cap lands exactly
-    #     after them — the 10-gate r4 tail is in (d) below) ---
+    # --- (c) latest driver row is r4 (39 here; the cap lands exactly
+    #     after them — the 11-gate r4 tail is in (d) below) ---
     "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
     "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
     "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",

@@ -499,3 +499,27 @@ def test_knn_label_vote_matches_python_reference(spark):
             counts[labels[d]] = counts.get(labels[d], 0) + 1
         pred = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[q] == (pred[0], pred[1], round(pred[1] / 7.0, 4)), q
+
+
+def test_knn_label_vote_ignores_unlabeled_rows(spark):
+    """Unlabeled rows are the ones being labeled: they neither vote nor
+    consume top-k slots — even when they are the closest vectors."""
+    from moloch_spark.operators import similarity as S
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, base, None)]  # the unlabeled query
+    # 5 unlabeled near-duplicates of the query: nearest by construction
+    rows += [(10 + i, [1.0, 0.001 * (i + 1), 0.0, 0.0], None)
+             for i in range(5)]
+    # labeled rows, slightly farther: 3 of label 7, 2 of label 2
+    rows += [(20 + i, [1.0, 0.2, 0.01 * i, 0.0], 7) for i in range(3)]
+    rows += [(30 + i, [1.0, 0.3, 0.01 * i, 0.0], 2) for i in range(2)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = S.knn_label_vote(emb, query_max_id=1, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # all 5 labeled rows vote (the 5 closer unlabeled rows don't count)
+    assert (r["qid"], r["pred_label"], r["votes"]) == (0, 7, 3)
+    assert r["confidence"] == 0.6

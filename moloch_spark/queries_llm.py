@@ -929,7 +929,12 @@ def _ann_streamed_index(spark: SparkSession, sf_dir: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # fail LOUD on a stream-drain timeout (ADVICE r7): proceeding on
+        # a False return would memoize a half-streamed index for the
+        # whole process and fail later as an opaque hash mismatch
+        from moloch_spark.queries_stream import _await_stream
+
+        _await_stream(q)
 
     return _memoized_index(
         spark, sf_dir, _ANN_STREAM_CACHE, "annst", build, check_table="codes"

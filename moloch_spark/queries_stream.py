@@ -20,6 +20,21 @@ from moloch_spark.streaming.cron import CronQuery, CronRunner
 from moloch_spark.streaming.sessionizer import streaming_sessionize
 
 
+def _await_stream(q, timeout_s: float = 300.0) -> None:
+    """awaitTermination that FAILS LOUD on timeout (ADVICE r7): the
+    availableNow fixtures here feed memory-sink gates and
+    process-memoized durable indexes — silently proceeding on a False
+    return would serve a half-streamed result, and for the
+    `_memoized_index` fixtures would poison the cache for the whole
+    process, surfacing later as an unrelated-looking hash mismatch."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {q.name or q.id} did not drain within {timeout_s:.0f}s; "
+            "aborting instead of serving a partial fold"
+        )
+
+
 def _state_path(name: str = "state.json") -> str:
     """Fresh per-call checkpoint/state file path inside a private
     mkdtemp dir — race-free (unlike the deprecated tempfile.mktemp)
@@ -383,7 +398,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     # driver canonicalizer can't sort array columns -> CSV-join, same as
     # the other array-emitting gates (queries_stream.py:72, queries_api.py)
     return spark.table(name).select(
@@ -561,7 +576,7 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return (
         spark.table(name)
         .groupBy("doc_id")
@@ -624,7 +639,7 @@ def _bm25_streamed_index(spark: SparkSession, sf_dir: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
 
     return _memoized_index(
         spark, sf_dir, _BM25_STREAM_CACHE, "bm25st", build

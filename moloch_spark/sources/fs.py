@@ -236,6 +236,16 @@ class HadoopFS:
             msg = str(e)
             if "AlreadyExists" in msg or "already exists" in msg.lower():
                 return False
+            # ADVICE r7: some connectors wrap or localize the collision
+            # error (RemoteException rendering, translated messages) —
+            # before surfacing, probe the path: if it EXISTS this was
+            # routine lock contention, not a store failure, and raising
+            # would turn every contended commit into a hard error
+            try:
+                if self.exists(p):
+                    return False
+            except Exception:
+                pass  # probe failed too: surface the original error
             raise
         try:
             out.write(bytearray(text.encode("utf-8")))

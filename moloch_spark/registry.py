@@ -41,65 +41,62 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# ROUND-7 rotation (the r6 verdict's ask #2 / the r6 ROUND-7 NOTE,
-# executed as written — there were no r6 reds):
-#   (a) gates NEW in r7 (driver-row them the round they land),
-#   (b) the 4-gate r2 tail the r6 window cut at position 50,
-#   (c) the 50-query block whose latest row is r4 (the oldest signal),
-#       oldest-registered-first — the ~50 cap lands after 39 of them
-#       (the four rows it cut lead the r8 tail; two of the four are
-#       rows-only, whose driver row carries the least signal, and
-#       bm25_topk_search's oracle is re-proven this round through
-#       bm25_stream_append_serve),
-#   (d) past the cap: the 11-query r4 tail, then the r5-rowed and
-#       r6-rowed gates in registration order — all hash-green at their
-#       latest driver row and pytest-oracle-green locally.
-# ROUND-8 NOTE: next head = any r7 reds, any new r8 gates, then the
-# 11-gate r4 tail of (d) (bm25_topk_search, bpe_train_and_apply,
-# quality_classifier_filter, ppl_lang_buckets, embedding_pca_whiten,
-# pq_encode_codes, ccnet_pipeline_e2e, warc_ingest_roundtrip,
-# hybrid_rrf_search, hunt_job_control, streaming_state_cap), then the
-# 50-gate r5 block (next-oldest signal). After r8 no query's latest
-# row should be older than r6.
+# ROUND-8 rotation (the r7 verdict's ask #1 / the r7 ROUND-8 NOTE,
+# executed as written — there were no r7 reds):
+#   (a) gates NEW in r8 (driver-row them the round they land),
+#   (b) the 11-query r4 tail the r7 window cut at position 50 (incl.
+#       the three rows-only iterative-training gates),
+#   (c) the 50-query block whose latest row is r5 (next-oldest
+#       signal), in its r5 check order — the ~50 cap lands after 38
+#       of them,
+#   (d) past the cap: the 12 remaining r5-rowed gates (the r9 head),
+#       then the r6/r7-rowed gates in registration order — all
+#       hash-green at their latest driver row and pytest-oracle-green
+#       locally.
+# ROUND-9 NOTE: next head = any r8 reds, any new r9 gates, then the
+# 12-gate r5 tail of (d) (ann_ivf_pq_topk, cron_forward_exactly_once,
+# semdedup_prune, chunk_documents_sliding, cms_ngram_counts,
+# remove_duplicate_spans, hunt_node_fanout, session_tag_update_prebuilt,
+# c4_line_filter, bm25_topk_indexed_search, ann_int8_topk,
+# bm25_index_append_search), then the oldest of the r6-rowed block.
+# After r9 no query's latest row should be older than r6.
 _CHECK_PRIORITY = (
-    # --- (a) new in r7 ---
-    "zorder_store_search",      # optimize_layout z-order rewrite through the store
-    "ann_indexed_topk",         # IVF+SQ8 served from the persisted codes table
-    "decontaminate_semantic",   # embedding-cosine eval decontamination
-    "bm25_stream_append_serve",  # ledgered stream-fold -> indexed serve
-    "curate_cluster_balanced",   # embedding-cluster diversity quota
-    "ann_stream_append_serve",   # ledgered ANN stream-fold -> indexed serve
-    "knn_label_vote",            # weak labeling by neighbor vote
-    # --- (b) latest driver row is r2: the tail the r6 window cut (4) ---
-    "tunnel_decap_roundtrip", "unique_multivalue_session_types",
-    "x509_cert_fields", "yara_scan_documents",
-    # --- (c) latest driver row is r4 (39 here; the cap lands exactly
-    #     after them — the 11-gate r4 tail is in (d) below) ---
-    "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
-    "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
-    "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
-    "bgp_parse_fields", "http2_parse_fields", "quic_parse_fields",
-    "pcap_over_ip_reframe", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_audio", "pii_scan", "repetition_signals",
-    "gopher_quality_flags", "quality_char_entropy", "curate_mixture_sample",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_part_supply_nation",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    "streaming_sessionize_closed", "dedup_ngram_jaccard",
-    "embedding_near_dups", "embedding_near_dup_pairs_lsh",
-    "duplicate_spans_13gram", "quic_v1_initial_fields", "line_dedup_corpus",
-    "dsir_importance_select", "dedup_incremental_lsh",
-    "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
-    "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
-    # --- (d) past the ~50 cap: the r4 tail (next head per the
-    #     ROUND-8 NOTE); unlisted gates (all r5/r6-rowed) follow in
-    #     registration order. bm25_topk_search's oracle is shared
-    #     verbatim by bm25_stream_append_serve (in this head), so its
-    #     slip to the tail costs no oracle signal this round. ---
+    # --- (a) new in r8 ---
+    "knn_label_vote_indexed",   # labeler served from the persisted
+                                # labeled-row IVF+SQ8 index (r7 ask #2)
+    # --- (b) the 11-gate r4 tail the r7 window cut ---
     "bm25_topk_search",
     "bpe_train_and_apply", "quality_classifier_filter", "ppl_lang_buckets",
     "embedding_pca_whiten", "pq_encode_codes", "ccnet_pipeline_e2e",
     "warc_ingest_roundtrip", "hybrid_rrf_search", "hunt_job_control",
     "streaming_state_cap",
+    # --- (c) latest driver row is r5 (38 here; the cap lands exactly
+    #     after them — the 12-gate r5 tail is in (d) below) ---
+    "tpch_q1_pricing_summary", "sessions_search_events",
+    "timeline_events_hourly", "timeline_events_dense",
+    "cardinality_fields", "multiunique_user_event", "spiview_events",
+    "spigraph_sum_metric_rank", "spigraph_event_type_daily",
+    "spigraph_hierarchy_orders", "connections_nation_graph",
+    "connections_baseline_events", "expr_bool_and_list",
+    "expr_ne_null_semantics", "expr_wildcard_date_range",
+    "expr_textfield_phrase", "expr_shortcut_semijoin",
+    "connections_components", "session_tag_update",
+    "multies_scatter_gather", "dstats_derived_rates",
+    "sessions_page_offset", "curate_split_assign",
+    "curate_global_shuffle", "curate_pack_sequences",
+    "curate_weighted_sample", "enrich_region_rollup", "drophash_filter",
+    "asof_feed_enrich", "text_stats", "lang_id", "token_counts",
+    "doc_fingerprint", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_lsh_candidates", "dedup_simhash", "ann_pq_adc_topk",
+    # --- (d) past the ~50 cap: the 12-gate r5 tail (next head per the
+    #     ROUND-9 NOTE); unlisted gates (all r6/r7-rowed) follow in
+    #     registration order. ---
+    "ann_ivf_pq_topk", "cron_forward_exactly_once", "semdedup_prune",
+    "chunk_documents_sliding", "cms_ngram_counts",
+    "remove_duplicate_spans", "hunt_node_fanout",
+    "session_tag_update_prebuilt", "c4_line_filter",
+    "bm25_topk_indexed_search", "ann_int8_topk",
+    "bm25_index_append_search",
 )
 
 

@@ -1094,3 +1094,70 @@ def test_bm25_crash_inside_fold_recovery_story(spark, tmp_path):
         for p in (clean, broken, fixed):
             for t in ("postings", "dl", "stats"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_decontaminate_semantic_lsh_equivalent_and_no_cartesian(spark):
+    """VERDICT r7 ask #6: the LSH-bucketed semantic decontamination for
+    beyond-broadcast eval sets. On a planted near-dup fixture at a
+    near-dup threshold it must agree with the broadcast path (flags
+    everywhere; max cosine + nearest eval id on flagged rows — exact
+    candidate cosines make false positives impossible by construction),
+    and its plan must contain NO cartesian/broadcast-nested-loop join.
+    The eval_broadcast_limit auto-switch routes oversized eval sets to
+    the LSH path."""
+    import numpy as np
+    from moloch_spark.operators import dedup as D
+
+    rng = np.random.RandomState(23)
+    dim = 16
+    train_rows = [(i, rng.randn(dim)) for i in range(200)]
+    # eval = noisy near-copies of 10 train vectors (cos ~0.99) + 5
+    # unrelated vectors that should flag nothing
+    eval_rows = [
+        (1000 + j, train_rows[j * 17][1] + rng.randn(dim) * 0.05)
+        for j in range(10)
+    ] + [(2000 + j, rng.randn(dim)) for j in range(5)]
+    to_df = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    train, ev = to_df(train_rows), to_df(eval_rows)
+
+    want = {
+        r.vec_id: (r.contaminated, r.max_eval_cosine, r.nearest_eval_id)
+        for r in D.decontaminate_semantic(
+            train, ev, threshold=0.8
+        ).collect()
+    }
+    lsh_df = D.decontaminate_semantic_lsh(train, ev, threshold=0.8, dim=dim)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {
+        r.vec_id: (r.contaminated, r.max_eval_cosine, r.nearest_eval_id)
+        for r in lsh_df.collect()
+    }
+    assert set(got) == set(want) == set(range(200))
+    flagged = {i for i, v in want.items() if v[0]}
+    assert flagged == {j * 17 for j in range(10)}      # the planted dups
+    assert {i for i, v in got.items() if v[0]} == flagged
+    for i in flagged:  # exact same winner + cosine on flagged rows
+        assert got[i] == want[i], i
+
+    # the auto-switch: a 15-row eval set over a 10-row limit routes to
+    # the LSH path (plan shows the token equi-join, no nested loop)
+    routed = D.decontaminate_semantic(
+        train, ev, threshold=0.8, eval_broadcast_limit=10, dim=dim
+    )
+    rplan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in rplan
+    assert {
+        i for r in routed.collect() if r.contaminated for i in [r.vec_id]
+    } == flagged
+    # under the limit the broadcast path is kept
+    kept = D.decontaminate_semantic(
+        train, ev, threshold=0.8, eval_broadcast_limit=100, dim=dim
+    )
+    assert "BroadcastNestedLoopJoin" in (
+        kept._jdf.queryExecution().executedPlan().toString()
+    )

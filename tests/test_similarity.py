@@ -523,3 +523,63 @@ def test_knn_label_vote_ignores_unlabeled_rows(spark):
     # all 5 labeled rows vote (the 5 closer unlabeled rows don't count)
     assert (r["qid"], r["pred_label"], r["votes"]) == (0, 7, 3)
     assert r["confidence"] == 0.6
+
+
+def test_knn_label_vote_indexed_agrees_with_brute(spark, tmp_path):
+    """VERDICT r7 ask #2: the indexed labeler (persisted IVF+SQ8 over
+    labeled rows, label as a carry column, ann_index_search neighbors,
+    shared vote tail) must agree with the brute-force labeler on a
+    separable fixture — the recall/agreement pin the gate's oracle
+    can't express."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(3, 16) * 4.0      # well-separated clusters
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.randn(16) * 0.5
+        label = None if i < 5 or i % 7 == 0 else c  # queries + holdout
+        rows.append((i, [float(x) for x in v], label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).repartition(4)
+    brute = {
+        r.qid: r.pred_label
+        for r in S.knn_label_vote(emb, query_max_id=5).collect()
+    }
+    try:
+        S.build_ann_index(
+            spark,
+            emb.filter(F.col("label").isNotNull()),
+            "t_annlabel",
+            str(tmp_path / "annlb"),
+            n_cells=8,
+            dim=16,
+            buckets=8,
+            carry_cols=("label",),
+        )
+        # the carry column rides the pruned codes scan
+        assert "label" in spark.table("t_annlabel_codes").columns
+        top = S.ann_index_search(
+            spark, emb.filter("vec_id < 5"), "t_annlabel",
+            nprobe=3, carry_cols=("label",),
+        )
+        assert top.columns == ["qid", "did", "qcosine", "rank", "label"]
+        idx = {
+            r.qid: r.pred_label
+            for r in S.knn_label_vote_indexed(
+                spark, emb.filter("vec_id < 5"), "t_annlabel", nprobe=3
+            ).collect()
+        }
+    finally:
+        for t in ("codes", "model"):
+            spark.sql(f"DROP TABLE IF EXISTS t_annlabel_{t}")
+    assert set(idx) == set(brute) == {0, 1, 2, 3, 4}
+    # separable clusters: the indexed prediction must match brute
+    # exactly (each query's true cluster label)
+    assert idx == brute
+    assert brute == {q: q % 3 for q in range(5)}

@@ -807,7 +807,11 @@ def decontaminate_semantic_lsh(
     sides are exploded ×L scan-side (the classic LSH space trade), the
     candidate join is a (token) EQUI-join — never a cartesian, never
     n² — followed by a bounded candidate dedup and the per-id reduce.
-    No side is broadcast, so neither corpus size is a memory bound."""
+    No side is broadcast, so neither corpus size is a memory bound.
+    The schema-parity left join back onto train ids costs one extra
+    train scan COLUMN-PRUNED to the id alone (parquet reads one
+    column); callers that only need the flagged set can use `cand`'s
+    aggregation directly and skip it."""
     from moloch_spark.operators.similarity import (
         _hyperplanes,
         _lsh_tokens_udf,

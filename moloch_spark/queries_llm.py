@@ -2131,6 +2131,56 @@ def _memoized_index(
     )
 
 
+_BM25_ALIAS_CACHE: dict[str, str] = {}
+
+
+def _bm25_alias_index(spark: SparkSession, sf_dir: str) -> str:
+    """Alias-routed BM25 fixture: generation 1 is built on HALF the
+    corpus, then a REBUILD on the full corpus lands in a fresh
+    generation prefix and swaps the alias — the paved-road lifecycle.
+    Returns the ALIAS path (not a prefix); the gate serves through it.
+    Memoized per (process, sf_dir) like _memoized_index."""
+    import hashlib
+    import re
+    import tempfile
+
+    from moloch_spark.fixture_cache import memoized_fixture
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.sources.alias import resolve_index_alias
+
+    def build() -> str:
+        base = (
+            "bm25al_"
+            + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+            + "_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        tmp = tempfile.mkdtemp(prefix="bm25al_")
+        alias = f"{tmp}/idx.alias"
+        docs = load_table_spread(spark, "documents", sf_dir)
+        R.build_bm25_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            base,
+            f"{tmp}/t",
+            alias_path=alias,
+        )
+        # the rebuild: full corpus into a FRESH generation, one
+        # atomic alias PUT — the serve below must see g2 wholly
+        R.build_bm25_index(spark, docs, base, f"{tmp}/t", alias_path=alias)
+        return alias
+
+    def exists(alias: str) -> bool:
+        try:
+            return spark.catalog.tableExists(
+                f"{resolve_index_alias(alias)}_postings"
+            )
+        except Exception:
+            return False
+
+    return memoized_fixture(_BM25_ALIAS_CACHE, sf_dir, exists, build)
+
+
 _BM25_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2166,6 +2216,27 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs)).orderBy(
         "query_id", "rank"
     )
+
+
+@register("bm25_alias_rebuild_serve", _BM25_TOPK_SQL)
+def q_bm25_alias_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alias paved road END-TO-END under the driver (VERDICT r7
+    Missing #3's serving-shape proof): generation 1 indexes half the
+    corpus, a full-corpus REBUILD lands in a fresh generation prefix
+    and swaps the alias with one atomic PUT, and the query serves
+    THROUGH the alias (resolved once). Hash-matching the one-shot
+    full-corpus oracle is the mixed-generation detector: stats or
+    postings left at generation 1 would shift every BM25 score (wrong
+    n_docs/avgdl/df), so a green row proves the reader saw the g2
+    family wholly. Racing-swap isolation is pinned in test_alias; this
+    gate pins the lifecycle's result correctness."""
+    from moloch_spark.operators import retrieval as R
+
+    alias = _bm25_alias_index(spark, sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
+    return R.bm25_topk_indexed(
+        spark, None, R.corpus_queries(docs), alias_path=alias
+    ).orderBy("query_id", "rank")
 
 
 _BM25_APPEND_CACHE: dict[str, str] = {}

@@ -28,22 +28,40 @@ Typical rebuild:
 
 A reader that resolved "idx_g1" mid-flight finishes on the g1 tables
 (they are not dropped by the swap — MVCC retention, same contract as
-the session store's superseded generations); drop the g1 family once
-in-flight queries have drained.
+the session store's superseded generations); the swap RECORDS the
+superseded prefix in the alias body, and vacuum_index_alias reclaims
+drained generations past an age gate (round 8 — previously a manual
+"drop g1 once drained" step).
 """
 
 from __future__ import annotations
 
 import json
+import time
 
 from moloch_spark.sources.fs import get_fs
 
 
 def set_index_alias(alias_path: str, prefix: str, spark=None) -> None:
     """Atomically repoint the alias at `prefix` (one PUT — the commit
-    point of an index rebuild)."""
+    point of an index rebuild). The superseded prefix is RECORDED in
+    the alias body with its supersession time (the session store's
+    MVCC bookkeeping, one object instead of snapshot files) so
+    vacuum_index_alias can later reclaim drained generations without a
+    side registry; re-pointing at the current prefix is a no-op."""
     fs, p = get_fs(alias_path, spark)
-    fs.put_text_atomic(p, json.dumps({"prefix": prefix}))
+    history: list[dict] = []
+    if fs.exists(p):
+        body = json.loads(fs.read_text(p))
+        old = body.get("prefix")
+        if old == prefix:
+            return
+        history = body.get("superseded", [])
+        if old is not None:
+            history = history + [{"prefix": old, "at": time.time()}]
+    fs.put_text_atomic(
+        p, json.dumps({"prefix": prefix, "superseded": history})
+    )
 
 
 def resolve_index_alias(alias_path: str, spark=None) -> str:
@@ -52,3 +70,62 @@ def resolve_index_alias(alias_path: str, spark=None) -> str:
     per-table would reintroduce the mixed-generation read."""
     fs, p = get_fs(alias_path, spark)
     return json.loads(fs.read_text(p))["prefix"]
+
+
+def superseded_index_prefixes(
+    alias_path: str, spark=None, *, older_than_s: float = 0.0
+) -> list[str]:
+    """Prefixes the alias superseded at least `older_than_s` seconds
+    ago — the drained-generation audit list (a reader that resolved
+    before a swap finishes on the old family; age-gate with your
+    longest query, like vacuum_store retention)."""
+    fs, p = get_fs(alias_path, spark)
+    if not fs.exists(p):
+        return []
+    now = time.time()
+    return [
+        h["prefix"]
+        for h in json.loads(fs.read_text(p)).get("superseded", [])
+        if now - h["at"] >= older_than_s
+    ]
+
+
+def vacuum_index_alias(
+    alias_path: str,
+    spark,
+    tables: tuple[str, ...],
+    *,
+    retain_s: float = 900.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Reclaim index-family generations the alias superseded more than
+    `retain_s` ago — the vacuum_store analog that closes the alias
+    docstring's manual "drop the g1 family once in-flight queries have
+    drained" step. `tables` is the family's suffix set (("postings",
+    "dl", "stats") for BM25, ("codes", "model") for ANN). Drops the
+    catalog tables (which also removes their external data via the
+    paths they own only when managed; external parquet dirs are left
+    to the warehouse reaper — same contract as the in-place rebuild's
+    DROP TABLE) and rewrites the alias without the reclaimed entries
+    in ONE atomic PUT. Never touches the CURRENT prefix. Returns the
+    reclaimed prefixes; `dry_run` audits without dropping."""
+    fs, p = get_fs(alias_path, spark)
+    if not fs.exists(p):
+        return []
+    body = json.loads(fs.read_text(p))
+    now = time.time()
+    keep, reclaim = [], []
+    for h in body.get("superseded", []):
+        if now - h["at"] >= retain_s and h["prefix"] != body.get("prefix"):
+            reclaim.append(h["prefix"])
+        else:
+            keep.append(h)
+    if dry_run or not reclaim:
+        return reclaim
+    for prefix in reclaim:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    fs.put_text_atomic(
+        p, json.dumps({"prefix": body.get("prefix"), "superseded": keep})
+    )
+    return reclaim

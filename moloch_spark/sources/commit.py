@@ -176,6 +176,17 @@ def _acquire_manifest_lock(
             # vacuum_store.
             claim = f"{path}.steal-{token}"
             try:
+                # re-verify IMMEDIATELY before the rename: the store-
+                # clock probe above takes real I/O, and a faster
+                # stealer may have completed its whole steal-and-
+                # re-acquire inside our window — renaming then would
+                # hijack the NEW holder's fresh lock (the restore
+                # below nets it, but through a brief name-absent
+                # window a third waiter can slip into; see the chaos
+                # test). An mtime that moved since our observation
+                # means the lock we judged stale is gone: re-race.
+                if fs.mtime(path) != stale_mtime:
+                    continue
                 fs.rename(path, claim)
             except Exception:
                 continue  # another stealer claimed it first

@@ -233,3 +233,63 @@ def test_ann_paved_road_alias_build_and_serve(spark, tmp_path):
             if p:
                 for t in ("codes", "model"):
                     spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_alias_records_history_and_vacuums_drained_generations(
+    spark, tmp_path
+):
+    """Round 8: the swap records superseded prefixes in the alias body;
+    vacuum_index_alias age-gates reclaim (never the current prefix),
+    dry_run audits, and a re-point at the current prefix is a no-op."""
+    import json
+    import os
+    import time
+
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.sources.alias import (
+        superseded_index_prefixes,
+        vacuum_index_alias,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 5} common body") for i in range(20)], ["doc_id", "text"]
+    )
+    a = str(tmp_path / "i.alias")
+    g1 = g2 = None
+    try:
+        g1 = R.build_bm25_index(spark, corpus, "t_vac", str(tmp_path / "v"),
+                                buckets=4, alias_path=a)
+        g2 = R.build_bm25_index(spark, corpus, "t_vac", str(tmp_path / "v"),
+                                buckets=4, alias_path=a)
+        assert superseded_index_prefixes(a) == [g1]
+        assert superseded_index_prefixes(a, older_than_s=3600) == []
+        # young: retained (a reader may still be on g1)
+        assert vacuum_index_alias(a, spark, ("postings", "dl", "stats")) == []
+        assert spark.catalog.tableExists(f"{g1}_postings")
+        # age the supersession out, audit, then reclaim
+        body = json.loads(open(a).read())
+        body["superseded"][0]["at"] = time.time() - 7200
+        with open(a, "w") as f:
+            json.dump(body, f)
+        planned = vacuum_index_alias(
+            a, spark, ("postings", "dl", "stats"), dry_run=True
+        )
+        assert planned == [g1]
+        assert spark.catalog.tableExists(f"{g1}_postings")  # audit only
+        assert vacuum_index_alias(a, spark, ("postings", "dl", "stats")) == [g1]
+        assert not spark.catalog.tableExists(f"{g1}_postings")
+        assert spark.catalog.tableExists(f"{g2}_postings")   # current kept
+        assert superseded_index_prefixes(a) == []            # history rewritten
+        # idempotent + no-op re-point
+        assert vacuum_index_alias(a, spark, ("postings", "dl", "stats")) == []
+        from moloch_spark.sources.alias import resolve_index_alias, set_index_alias
+
+        set_index_alias(a, g2)
+        assert resolve_index_alias(a) == g2
+        assert superseded_index_prefixes(a) == []
+        assert os.path.exists(a)
+    finally:
+        for p in (g1, g2):
+            if p:
+                for t in ("postings", "dl", "stats"):
+                    spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

@@ -442,3 +442,188 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 def frame_sample_stub(media: DataFrame, every_n: int) -> DataFrame:
     """Back-compat alias from when frame sampling was stubbed — now real."""
     return frame_sample(media, every_n)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (the LAION-style image-native dedup rung:
+# ref analog is content dedup generally — moloch has no image corpus —
+# and the published dHash/aHash dedup every image-crawl pipeline runs)
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("dhash", T.StringType(), True),
+        T.StructField("dhash64", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame, *, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Difference hash over REAL pixel decode: grayscale the image
+    (channel mean; alpha ignored), block-mean downsample to
+    (hash_h × hash_w+1) cells — integer block boundaries, so the hash
+    is deterministic and, for block-constant synthetic images,
+    analytically predictable by a SQL oracle — then one bit per
+    horizontally adjacent cell pair (right > left), packed row-major
+    MSB-first. Emits the hash both as a 16-hex string (grouping key)
+    and as a signed long `dhash64` (bit_count-able for Hamming
+    distance). Undecodable rows emit NULLs.
+
+    Scale shape: one mapInPandas scan, zero shuffle — the hash is the
+    64-bit surrogate the dedup joins run on, so the image BYTES never
+    shuffle. dHash is translation/scale-robust enough for re-encoded
+    and resized duplicates (the common crawl-dup case); rotation/crop
+    robustness needs embedding-cosine dedup (already covered by the
+    embedding near-dup family)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                dec = _decode_pixels(
+                    bytes(data) if data is not None else None
+                )
+                if dec is None:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                fmt, arr = dec
+                a = arr.astype(np.float64)
+                if a.ndim == 3:
+                    c = a.shape[2]
+                    a = a[:, :, :3].mean(axis=2) if c >= 3 else a[:, :, 0]
+                h, w = a.shape
+                ys = [h * i // hash_h for i in range(hash_h + 1)]
+                xs = [w * j // (hash_w + 1) for j in range(hash_w + 2)]
+                cells = np.empty((hash_h, hash_w + 1))
+                for i in range(hash_h):
+                    y1 = max(ys[i + 1], ys[i] + 1)
+                    for j in range(hash_w + 1):
+                        x1 = max(xs[j + 1], xs[j] + 1)
+                        cells[i, j] = a[ys[i]:y1, xs[j]:x1].mean()
+                bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                signed = v - (1 << 64) if v >= (1 << 63) else v
+                rows.append((int(mid), fmt, f"{v:016x}", signed))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA]
+            )
+
+    return media.mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+def image_dup_groups(hashes: DataFrame) -> DataFrame:
+    """Exact perceptual-dup grouping: rows sharing a dHash collapse to
+    the smallest media_id (the canonical copy a dedup pass keeps).
+    One hash-key shuffle of (id, hash) pairs — image bytes never move.
+    Undecodable (NULL-hash) rows pass through as their own canonicals:
+    a dedup pass must not silently drop what it could not decode."""
+    g = (
+        hashes.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(F.min("media_id").alias("dup_of"))
+    )
+    return (
+        hashes.join(g, "dhash", "left")
+        .select(
+            "media_id",
+            "dhash",
+            F.coalesce(F.col("dup_of"), F.col("media_id")).alias("dup_of"),
+            (
+                F.coalesce(F.col("dup_of"), F.col("media_id"))
+                == F.col("media_id")
+            ).alias("is_canonical"),
+        )
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, *, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join — the LSH
+    shape of the dedup family applied to the 64-bit dHash: split the
+    hash into `bands` byte-bands; by pigeonhole, any pair within
+    Hamming distance < `bands` shares at least one identical band, so
+    the candidate join is a (band_index, band_value) EQUI-join (never
+    n²) and exact `bit_count(a XOR b)` filters candidates to
+    `<= max_hamming`. With the default 8 bands recall is exact for
+    max_hamming <= 7. Output: (id_a, id_b, hamming), id_a < id_b."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded recall is only exact for max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("dhash64").isNotNull())
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col("dhash64"), j * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("val"),
+            )
+            for j in range(bands)
+        ]
+    )
+    e = h.select("media_id", "dhash64", F.explode(bands_col).alias("b"))
+    a = e.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash64").alias("h_a"),
+        F.col("b.band").alias("band"),
+        F.col("b.val").alias("val"),
+    )
+    b = e.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash64").alias("h_b"),
+        F.col("b.band").alias("band"),
+        F.col("b.val").alias("val"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def synth_striped_png_media(docs: DataFrame) -> DataFrame:
+    """Per-row VALID grayscale PNG of 9 vertical stripes (18×8 px, 2-px
+    stripes) whose brightness pattern is the low 9 bits of doc_id —
+    each dHash cell is exactly one constant stripe, so the hash is
+    predictable by pure integer arithmetic in a SQL oracle (the
+    multimodal gate-synthesis pattern). Used by the image_dhash_dedup
+    gate and tests."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = did % 512
+                arr = np.empty((8, 18), np.uint8)
+                for j in range(9):
+                    arr[:, 2 * j : 2 * j + 2] = 255 * ((p >> j) & 1)
+                rows.append((did, "image", MC.png_encode(arr), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    ids = docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)

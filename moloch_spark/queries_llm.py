@@ -1227,6 +1227,50 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_dhash_sql() -> str:
+    """dHash oracle for the striped synthetic: stripe j's brightness is
+    bit j of doc_id%512, each hash cell is exactly one stripe, so hash
+    byte bit (7-j) = bit(j+1) > bit(j) — pure integer arithmetic, and
+    all 8 hash rows repeat the same byte."""
+    cases = " + ".join(
+        f"(CASE WHEN ((p>>{j + 1})&1) > ((p>>{j})&1) "
+        f"THEN {1 << (7 - j)} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id AS media_id,
+                      CAST(doc_id % 512 AS INT) AS p
+               FROM documents),
+    h AS (SELECT media_id, {cases} AS b FROM d),
+    hh AS (SELECT media_id, repeat(printf('%02x', b), 8) AS dhash FROM h)
+    SELECT media_id, dhash,
+           MIN(media_id) OVER (PARTITION BY dhash) AS dup_of,
+           media_id = MIN(media_id) OVER (PARTITION BY dhash)
+             AS is_canonical
+    FROM hh ORDER BY media_id
+    """
+
+
+@register("image_dhash_dedup", _image_dhash_sql())
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-native dedup end-to-end (the LAION-style perceptual-hash
+    pass): synthesize a VALID 9-stripe grayscale PNG per document
+    (stripe pattern = low 9 bits of doc_id), run the REAL pipeline —
+    PNG pixel decode, block-mean downsample, dHash bit-pack
+    (multimodal.image_dhash), exact-dup grouping to the smallest
+    media_id — and the oracle predicts every hash analytically from
+    the stripe arithmetic. The image bytes never shuffle (only the
+    64-bit hash + id do); banded Hamming near-dup pairing over the
+    same hashes is pinned in test_multimodal."""
+    docs = load_table_spread(spark, "documents", sf_dir)
+    media = M.synth_striped_png_media(docs)
+    return (
+        M.image_dup_groups(M.image_dhash(media))
+        .select("media_id", "dhash", "dup_of", "is_canonical")
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination (n-gram collision, the published 13-gram method)
 # ---------------------------------------------------------------------------

@@ -552,52 +552,15 @@ def image_near_dup_pairs(
     the candidate join is a (band_index, band_value) EQUI-join (never
     n²) and exact `bit_count(a XOR b)` filters candidates to
     `<= max_hamming`. With the default 8 bands recall is exact for
-    max_hamming <= 7. Output: (id_a, id_b, hamming), id_a < id_b."""
-    if max_hamming >= bands:
-        raise ValueError(
-            f"banded recall is only exact for max_hamming < bands "
-            f"({max_hamming} >= {bands})"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = hashes.filter(F.col("dhash64").isNotNull())
-    bands_col = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                (
-                    F.shiftrightunsigned(F.col("dhash64"), j * width)
-                    .bitwiseAND(F.lit(mask))
-                ).alias("val"),
-            )
-            for j in range(bands)
-        ]
-    )
-    e = h.select("media_id", "dhash64", F.explode(bands_col).alias("b"))
-    a = e.select(
-        F.col("media_id").alias("id_a"),
-        F.col("dhash64").alias("h_a"),
-        F.col("b.band").alias("band"),
-        F.col("b.val").alias("val"),
-    )
-    b = e.select(
-        F.col("media_id").alias("id_b"),
-        F.col("dhash64").alias("h_b"),
-        F.col("b.band").alias("band"),
-        F.col("b.val").alias("val"),
-    )
-    return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(
-                F.col("h_a").bitwiseXOR(F.col("h_b"))
-            ).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    max_hamming <= 7. Output: (id_a, id_b, hamming), id_a < id_b.
+    Thin wrapper over banded_hamming_pairs (the shared generator the
+    audio fingerprint uses too)."""
+    return banded_hamming_pairs(
+        hashes,
+        id_col="media_id",
+        hash_col="dhash64",
+        max_hamming=max_hamming,
+        bands=bands,
     )
 
 
@@ -627,3 +590,200 @@ def synth_striped_png_media(docs: DataFrame) -> DataFrame:
         docs.sparkSession.sparkContext.defaultParallelism
     )
     return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash64",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Generic banded Hamming join over any 64-bit signature column —
+    the one LSH-shaped candidate generator behind image dHash AND the
+    audio fingerprint (forking it per modality would fork the recall
+    math): split the 64-bit value into `bands` equal bit-bands; by
+    pigeonhole any pair within Hamming distance < `bands` shares an
+    identical band, so candidates come from a (band, value) EQUI-join
+    (never n²) and exact bit_count(a XOR b) filters them. Output
+    (id_a, id_b, hamming) with id_a < id_b."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded recall is only exact for max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col(hash_col).isNotNull())
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col(hash_col), j * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("val"),
+            )
+            for j in range(bands)
+        ]
+    )
+    e = h.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(bands_col).alias("b"),
+    )
+    a = e.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
+        F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+    )
+    b = e.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+        F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("afp", T.StringType(), True),
+        T.StructField("afp64", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame, *, n_frames: int = 9, n_bands: int = 8
+) -> DataFrame:
+    """Acoustic fingerprint over REAL WAV decode — the Haitsma-Kalker
+    bit derivation every audio-dedup pipeline uses: mono-mix, split
+    the clip into `n_frames` equal windows, per-window spectral energy
+    in `n_bands` rFFT bands, one bit per (window t>0, band): energy
+    rose vs the previous window. (n_frames-1) × n_bands = 64 bits,
+    packed window-major MSB-first as hex string + bit_countable long.
+
+    The sign-of-difference derivation is exactly stable under
+    anything that preserves the decoded waveform (re-containering,
+    bit-identical copies) and NEARLY stable under volume scaling: the
+    float math is scale-invariant, but a scaled copy was re-quantized
+    to int16, and in near-silent bands the comparison sign rides that
+    quantization noise — so, as in Haitsma-Kalker matching, dup
+    detection over lossy copies is a SMALL-Hamming-distance question
+    (banded_hamming_pairs), with exact-hash grouping reserved for
+    bit-identical waveforms. Time reordering or different content
+    flips bands wholesale. Clips shorter than n_frames samples, or
+    undecodable bytes, emit NULLs. Same scale
+    shape as image_dhash: one mapInPandas scan; dedup joins move the
+    64-bit surrogate, never audio bytes (pair them with
+    hash_dup_groups / banded_hamming_pairs on `afp`/`afp64`)."""
+    n_bits = (n_frames - 1) * n_bands
+    if n_bits != 64:
+        raise ValueError(
+            f"(n_frames-1)*n_bands must be 64, got {n_bits}"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    rate, samples = MC.wav_decode(
+                        bytes(data) if data else b""
+                    )
+                except ValueError:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono) // n_frames
+                if n == 0:
+                    rows.append((int(mid), int(rate), None, None))
+                    continue
+                windows = mono[: n * n_frames].reshape(n_frames, n)
+                spec = np.abs(np.fft.rfft(windows, axis=1)) ** 2
+                nb = spec.shape[1]
+                edges = [nb * b // n_bands for b in range(n_bands + 1)]
+                E = np.empty((n_frames, n_bands))
+                for b in range(n_bands):
+                    hi = max(edges[b + 1], edges[b] + 1)
+                    E[:, b] = spec[:, edges[b]:hi].sum(axis=1)
+                bits = (E[1:] > E[:-1]).ravel()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                signed = v - (1 << 64) if v >= (1 << 63) else v
+                rows.append((int(mid), int(rate), f"{v:016x}", signed))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA]
+            )
+
+    return media.mapInPandas(fn, schema=AUDIO_FP_SCHEMA)
+
+
+def hash_dup_groups(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """image_dup_groups generalized to any (id, signature) frame —
+    exact-collision grouping to the smallest id; NULL-signature rows
+    stay their own canonicals (never silently dropped)."""
+    g = (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .groupBy(hash_col)
+        .agg(F.min(id_col).alias("dup_of"))
+    )
+    return (
+        hashes.join(g, hash_col, "left")
+        .select(
+            id_col,
+            hash_col,
+            F.coalesce(F.col("dup_of"), F.col(id_col)).alias("dup_of"),
+            (
+                F.coalesce(F.col("dup_of"), F.col(id_col))
+                == F.col(id_col)
+            ).alias("is_canonical"),
+        )
+    )
+
+
+def video_frame_dhash(
+    media: DataFrame, *, every_n: int = 1, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Video near-dup signature: frame-sample the Y4M stream
+    (frame_sample) and dHash every sampled frame's luma plane through
+    the SAME image pipeline — (media_id, frame_index, dhash, dhash64),
+    one row per sampled frame. Re-encoded or re-containered copies of
+    a clip produce identical per-frame hash sequences; join on
+    (frame_index, dhash) or fold to a per-clip signature downstream.
+    Contract: frame_index < 2^20 (the composite-id packing used to
+    ride image_dhash's single-key schema)."""
+    frames = frame_sample(media, every_n)
+    packed = frames.select(
+        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_index")).alias(
+            "media_id"
+        ),
+        F.col("frame_png").alias("data"),
+    )
+    h = image_dhash(packed, hash_w=hash_w, hash_h=hash_h)
+    comp = F.col("media_id")
+    return h.select(
+        F.floor(comp / F.lit(1 << 20)).cast("long").alias("media_id"),
+        F.pmod(comp, F.lit(1 << 20)).cast("long").alias("frame_index"),
+        "dhash",
+        "dhash64",
+    )

@@ -94,3 +94,113 @@ def test_image_dhash_robust_to_reencode_and_scale(spark):
     }
     assert g[11].dup_of == 10 and not g[11].is_canonical
     assert g[12].dup_of == 12 and g[12].is_canonical
+
+
+def test_audio_fingerprint_volume_invariant_and_groups(spark):
+    """The acoustic fingerprint's reason to exist: a volume-scaled
+    re-encode of the same clip fingerprints IDENTICALLY (sign-of-
+    energy-difference is scale-invariant), time-reordered content does
+    not; short/undecodable clips emit NULLs; the banded Hamming join
+    and dup grouping run off the same 64-bit surrogate."""
+    from moloch_spark.operators import media_codec as MC
+    from moloch_spark.operators import multimodal as M
+
+    rate = 8000
+
+    def broadband(order):
+        """9 windows x all 8 bands, with a per-window amplitude RANKING
+        (adjacent windows always differ per band) — broadband like real
+        audio, so energy-difference signs ride 4x+ energy ratios, not
+        quantization noise."""
+        tau = np.arange(rate // 10) / rate  # 100ms per window
+        segs = []
+        for t in order:
+            sig = sum(
+                (1 + (t * 3 + b * 5) % 7)
+                * np.sin(2 * np.pi * (250 + 500 * b) * tau)
+                for b in range(8)
+            )
+            segs.append(sig)
+        sig = np.concatenate(segs)
+        return (sig * 32767 / (np.abs(sig).max() * 1.2)).astype(np.int16)
+
+    clip = broadband(range(9))
+    quiet = (clip * 0.25).astype(np.int16)          # volume-scaled copy
+    reordered = broadband(reversed(range(9)))       # different content
+    media = spark.createDataFrame(
+        [
+            (0, "audio", MC.wav_encode(clip, rate), None),
+            (1, "audio", MC.wav_encode(quiet, rate), None),
+            (2, "audio", MC.wav_encode(reordered, rate), None),
+            (3, "audio", b"RIFFxxxx", None),                 # undecodable
+            (4, "audio", MC.wav_encode(clip[:4], rate), None),  # too short
+            (5, "audio", MC.wav_encode(clip, rate), None),   # exact copy
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    fp = M.audio_fingerprint(media)
+    got = {r.media_id: r for r in fp.collect()}
+    assert got[0].afp is not None and got[0].sample_rate == rate
+    # a volume-scaled copy was RE-QUANTIZED to int16: near-silent
+    # bands ride that noise, so dup detection is a small-Hamming
+    # question (the Haitsma-Kalker matching model), not equality
+    ham01 = bin((got[0].afp64 ^ got[1].afp64) & ((1 << 64) - 1)).count("1")
+    ham02 = bin((got[0].afp64 ^ got[2].afp64) & ((1 << 64) - 1)).count("1")
+    assert ham01 <= 7, ham01                        # scaled copy: near
+    assert ham02 > 7, ham02                         # reordered: far
+    assert got[5].afp == got[0].afp                 # bit-identical copy
+    assert got[3].afp is None and got[3].sample_rate is None
+    assert got[4].afp is None and got[4].sample_rate == rate
+
+    groups = {
+        r.media_id: r
+        for r in M.hash_dup_groups(fp, hash_col="afp").collect()
+    }
+    assert groups[5].dup_of == 0 and not groups[5].is_canonical
+    assert groups[2].is_canonical
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.banded_hamming_pairs(
+            fp, hash_col="afp64", max_hamming=7
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == ham01               # banding catches it
+    assert (0, 2) not in pairs
+    # the config guard
+    with pytest.raises(ValueError):
+        M.audio_fingerprint(media, n_frames=5, n_bands=8)
+
+
+def test_video_frame_dhash_reencode_stable(spark):
+    """Frame-level video near-dup: two Y4M containers of the SAME
+    frames (one re-encoded via the codec roundtrip) hash identically
+    frame-for-frame through frame_sample -> image_dhash; a clip with a
+    different pattern does not. Also pins the every_n composition."""
+    from moloch_spark.operators import media_codec as MC
+    from moloch_spark.operators import multimodal as M
+
+    frames = [
+        ((np.indices((8, 16)).sum(axis=0) + k) % 2 * 255).astype(np.uint8)
+        for k in range(4)
+    ]
+    shifted = [255 - f for f in frames]
+    y1 = MC.y4m_encode(frames)
+    y2 = MC.y4m_encode(frames)        # an independent re-encode
+    y3 = MC.y4m_encode(shifted)
+    media = spark.createDataFrame(
+        [(0, "video", y1, None), (1, "video", y2, None),
+         (2, "video", y3, None)],
+        M.MEDIA_SCHEMA,
+    )
+    h = M.video_frame_dhash(media, every_n=1)
+    rows = {(r.media_id, r.frame_index): r.dhash for r in h.collect()}
+    assert sorted(i for m, i in rows if m == 0) == [0, 1, 2, 3]
+    for i in range(4):
+        assert rows[(0, i)] == rows[(1, i)]      # re-encode stable
+    assert rows[(0, 0)] != rows[(2, 0)]          # different content
+    # every_n composition samples the expected frames
+    h2 = M.video_frame_dhash(media, every_n=2)
+    assert sorted(
+        i for m, i in ((r.media_id, r.frame_index) for r in h2.collect())
+        if m == 0
+    ) == [0, 2]

@@ -37,9 +37,33 @@ drained generations past an age gate (round 8 — previously a manual
 from __future__ import annotations
 
 import json
+import posixpath
 import time
+from contextlib import contextmanager
 
 from moloch_spark.sources.fs import get_fs
+
+
+@contextmanager
+def _alias_mutation_lock(fs, p: str):
+    """Serialize alias read-modify-writes (`<alias>.lock`, the
+    manifest-lock protocol: exclusive create, content-verified TTL
+    steal, store-clock staleness). Without it, vacuum_index_alias's
+    rewrite racing a rebuild's swap could restore a STALE current
+    pointer — the alias-level lost update. Swaps are rebuild-rate
+    (rare), so two extra fs ops per mutation are free; resolve stays
+    lock-free (a single read of one atomic object)."""
+    from moloch_spark.sources.commit import (
+        _acquire_manifest_lock,
+        _release_manifest_lock,
+    )
+
+    root, name = posixpath.split(p)
+    token = _acquire_manifest_lock(fs, root or ".", name=f"{name}.lock")
+    try:
+        yield
+    finally:
+        _release_manifest_lock(fs, root or ".", token, name=f"{name}.lock")
 
 
 def set_index_alias(alias_path: str, prefix: str, spark=None) -> None:
@@ -48,20 +72,23 @@ def set_index_alias(alias_path: str, prefix: str, spark=None) -> None:
     the alias body with its supersession time (the session store's
     MVCC bookkeeping, one object instead of snapshot files) so
     vacuum_index_alias can later reclaim drained generations without a
-    side registry; re-pointing at the current prefix is a no-op."""
+    side registry; re-pointing at the current prefix is a no-op. The
+    read-modify-write is serialized against other swaps and against
+    vacuum_index_alias by `<alias>.lock`."""
     fs, p = get_fs(alias_path, spark)
-    history: list[dict] = []
-    if fs.exists(p):
-        body = json.loads(fs.read_text(p))
-        old = body.get("prefix")
-        if old == prefix:
-            return
-        history = body.get("superseded", [])
-        if old is not None:
-            history = history + [{"prefix": old, "at": time.time()}]
-    fs.put_text_atomic(
-        p, json.dumps({"prefix": prefix, "superseded": history})
-    )
+    with _alias_mutation_lock(fs, p):
+        history: list[dict] = []
+        if fs.exists(p):
+            body = json.loads(fs.read_text(p))
+            old = body.get("prefix")
+            if old == prefix:
+                return
+            history = body.get("superseded", [])
+            if old is not None:
+                history = history + [{"prefix": old, "at": time.time()}]
+        fs.put_text_atomic(
+            p, json.dumps({"prefix": prefix, "superseded": history})
+        )
 
 
 def resolve_index_alias(alias_path: str, spark=None) -> str:
@@ -107,25 +134,39 @@ def vacuum_index_alias(
     paths they own only when managed; external parquet dirs are left
     to the warehouse reaper — same contract as the in-place rebuild's
     DROP TABLE) and rewrites the alias without the reclaimed entries
-    in ONE atomic PUT. Never touches the CURRENT prefix. Returns the
-    reclaimed prefixes; `dry_run` audits without dropping."""
+    in ONE atomic PUT, all under `<alias>.lock` so a rebuild swap
+    racing the rewrite can never be clobbered back to a stale current
+    pointer. Never touches the CURRENT prefix. Returns the reclaimed
+    prefixes; `dry_run` audits without dropping (and without the
+    lock)."""
     fs, p = get_fs(alias_path, spark)
     if not fs.exists(p):
         return []
-    body = json.loads(fs.read_text(p))
-    now = time.time()
-    keep, reclaim = [], []
-    for h in body.get("superseded", []):
-        if now - h["at"] >= retain_s and h["prefix"] != body.get("prefix"):
-            reclaim.append(h["prefix"])
-        else:
-            keep.append(h)
-    if dry_run or not reclaim:
-        return reclaim
-    for prefix in reclaim:
-        for t in tables:
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
-    fs.put_text_atomic(
-        p, json.dumps({"prefix": body.get("prefix"), "superseded": keep})
-    )
+
+    def plan(body):
+        now = time.time()
+        keep, reclaim = [], []
+        for h in body.get("superseded", []):
+            if (
+                now - h["at"] >= retain_s
+                and h["prefix"] != body.get("prefix")
+            ):
+                reclaim.append(h["prefix"])
+            else:
+                keep.append(h)
+        return keep, reclaim
+
+    if dry_run:
+        return plan(json.loads(fs.read_text(p)))[1]
+    with _alias_mutation_lock(fs, p):
+        body = json.loads(fs.read_text(p))
+        keep, reclaim = plan(body)
+        if not reclaim:
+            return []
+        for prefix in reclaim:
+            for t in tables:
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        fs.put_text_atomic(
+            p, json.dumps({"prefix": body.get("prefix"), "superseded": keep})
+        )
     return reclaim

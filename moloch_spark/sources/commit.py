@@ -107,7 +107,12 @@ def _store_clock(fs, root: str) -> float:
 
 
 def _acquire_manifest_lock(
-    fs, root: str, *, ttl: float = MANIFEST_LOCK_TTL_S, timeout: float | None = None
+    fs,
+    root: str,
+    *,
+    ttl: float = MANIFEST_LOCK_TTL_S,
+    timeout: float | None = None,
+    name: str = _LOCK,
 ) -> str:
     """Advisory store-wide mutex serializing manifest read-modify-writes,
     taken with the one exclusive primitive each store class has:
@@ -117,8 +122,11 @@ def _acquire_manifest_lock(
     the actual safety net). A holder that crashed is detected by age:
     a lock older than `ttl` (a manifest RMW is sub-second; 60 s is
     generous) is deleted and re-raced — two stealers both delete, but
-    only one wins the exclusive re-create. Returns the holder token."""
-    path = posixpath.join(root, _LOCK)
+    only one wins the exclusive re-create. Returns the holder token.
+    `name` overrides the lock filename — sources/alias.py serializes
+    alias read-modify-writes through this same protocol under
+    `<alias>.lock`."""
+    path = posixpath.join(root, name)
     token = uuid.uuid4().hex
     wait = timeout if timeout is not None else 2 * ttl
     deadline = time.monotonic() + wait
@@ -204,12 +212,14 @@ def _acquire_manifest_lock(
         time.sleep(0.005 + os.urandom(1)[0] / 255 * 0.02)
 
 
-def _release_manifest_lock(fs, root: str, token: str) -> None:
+def _release_manifest_lock(
+    fs, root: str, token: str, *, name: str = _LOCK
+) -> None:
     """Delete the lock iff we still hold it (a TTL steal may have
     re-issued it to someone else; the read→delete pair here is not
     atomic, but a steal needs the holder to be >TTL stale — a live
     releaser is sub-second, so the window is practically unreachable)."""
-    path = posixpath.join(root, _LOCK)
+    path = posixpath.join(root, name)
     try:
         if json.loads(fs.read_text(path)).get("token") == token:
             fs.delete(path)

@@ -293,3 +293,34 @@ def test_alias_records_history_and_vacuums_drained_generations(
             if p:
                 for t in ("postings", "dl", "stats"):
                     spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_alias_mutations_serialized_by_lock(tmp_path):
+    """Round-8 self-review fix: alias read-modify-writes (swap AND
+    vacuum rewrite) serialize on `<alias>.lock` — without it a vacuum
+    rewrite racing a rebuild swap could clobber the current pointer
+    back to a stale generation. A mutation blocks behind a held lock
+    and applies only after release; the lock never leaks."""
+    import os
+    import threading
+
+    import moloch_spark.sources.commit as C
+    from moloch_spark.sources.alias import superseded_index_prefixes
+    from moloch_spark.sources.fs import get_fs
+
+    a = str(tmp_path / "x.alias")
+    set_index_alias(a, "g1")
+    assert not os.path.exists(a + ".lock")          # released after swap
+    fs, root = get_fs(str(tmp_path))
+    tok = C._acquire_manifest_lock(fs, root, name="x.alias.lock")
+    t = threading.Thread(target=set_index_alias, args=(a, "g2"))
+    t.start()
+    t.join(0.7)
+    assert t.is_alive()                              # blocked on the lock
+    assert resolve_index_alias(a) == "g1"            # pointer untouched
+    C._release_manifest_lock(fs, root, tok, name="x.alias.lock")
+    t.join(30)
+    assert not t.is_alive()
+    assert resolve_index_alias(a) == "g2"            # applied after release
+    assert superseded_index_prefixes(a) == ["g1"]
+    assert not os.path.exists(a + ".lock")

@@ -204,3 +204,68 @@ def test_video_frame_dhash_reencode_stable(spark):
         i for m, i in ((r.media_id, r.frame_index) for r in h2.collect())
         if m == 0
     ) == [0, 2]
+
+
+def test_image_dhash_matches_numpy_reference_on_random_images(spark):
+    """Independent reimplementation pin over NON-block-aligned random
+    images (the gate's analytic oracle only covers block-constant
+    synthetics): a from-scratch numpy dHash with the same spec —
+    channel-mean grayscale, integer block boundaries
+    [d*i//n, d*(i+1)//n) clamped to >=1 px, right>left strict, row-
+    major MSB-first — must agree bit-for-bit with the Spark operator
+    on awkward sizes (non-multiples, tiny, wide, tall)."""
+    rng = np.random.RandomState(42)
+    sizes = [(8, 9), (17, 23), (5, 40), (64, 7), (9, 9), (100, 100)]
+    rows, want = [], {}
+    for i, (h, w) in enumerate(sizes):
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, "image", MC.png_encode(arr), None))
+        g = arr.astype(np.float64).mean(axis=2)
+        ys = [h * r // 8 for r in range(9)]
+        xs = [w * c // 9 for c in range(10)]
+        cells = np.empty((8, 9))
+        for r in range(8):
+            y1 = max(ys[r + 1], ys[r] + 1)
+            for c in range(9):
+                x1 = max(xs[c + 1], xs[c] + 1)
+                cells[r, c] = g[ys[r]:y1, xs[c]:x1].mean()
+        v = 0
+        for bit in (cells[:, 1:] > cells[:, :-1]).ravel():
+            v = (v << 1) | int(bit)
+        want[i] = f"{v:016x}"
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: r.dhash for r in M.image_dhash(media).collect()}
+    assert got == want
+
+
+def test_audio_fingerprint_matches_numpy_reference(spark):
+    """Same pin for the acoustic fingerprint: a loop-written numpy
+    reference (per-window rfft, band energy sums over integer band
+    edges, energy-rose bit per (window, band)) agrees bit-for-bit on
+    random int16 clips, including a non-multiple-of-9 length whose
+    tail samples are trimmed."""
+    rng = np.random.RandomState(7)
+    rows, want = [], {}
+    for i, n in enumerate((900, 1234, 9, 4096)):
+        clip = rng.randint(-30000, 30000, size=n, dtype=np.int16)
+        rows.append((i, "audio", MC.wav_encode(clip, 8000), None))
+        mono = clip.astype(np.float64)
+        win = len(mono) // 9
+        E = []
+        for t in range(9):
+            spec = np.abs(np.fft.rfft(mono[t * win : (t + 1) * win])) ** 2
+            nb = len(spec)
+            bandE = []
+            for b in range(8):
+                lo = nb * b // 8
+                hi = max(nb * (b + 1) // 8, lo + 1)
+                bandE.append(spec[lo:hi].sum())
+            E.append(bandE)
+        v = 0
+        for t in range(1, 9):
+            for b in range(8):
+                v = (v << 1) | int(E[t][b] > E[t - 1][b])
+        want[i] = f"{v:016x}"
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: r.afp for r in M.audio_fingerprint(media).collect()}
+    assert got == want

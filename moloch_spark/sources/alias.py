@@ -129,16 +129,18 @@ def vacuum_index_alias(
     `retain_s` ago — the vacuum_store analog that closes the alias
     docstring's manual "drop the g1 family once in-flight queries have
     drained" step. `tables` is the family's suffix set (("postings",
-    "dl", "stats") for BM25, ("codes", "model") for ANN). Drops the
-    catalog tables (which also removes their external data via the
-    paths they own only when managed; external parquet dirs are left
-    to the warehouse reaper — same contract as the in-place rebuild's
-    DROP TABLE) and rewrites the alias without the reclaimed entries
-    in ONE atomic PUT, all under `<alias>.lock` so a rebuild swap
-    racing the rewrite can never be clobbered back to a stale current
-    pointer. Never touches the CURRENT prefix. Returns the reclaimed
-    prefixes; `dry_run` audits without dropping (and without the
-    lock)."""
+    "dl", "stats") for BM25, ("codes", "model") for ANN). For each
+    reclaimed generation the table's storage LOCATION is resolved
+    FIRST, the catalog entry dropped, then the data dir deleted
+    through the fs adapter — index tables are EXTERNAL (built with
+    .option("path")), so DROP TABLE alone would reclaim only catalog
+    rows and leak the parquet (the bulk of what a vacuum exists to
+    reclaim). Finally the alias is rewritten without the reclaimed
+    entries in ONE atomic PUT, all under `<alias>.lock` so a rebuild
+    swap racing the rewrite can never be clobbered back to a stale
+    current pointer. Never touches the CURRENT prefix. Returns the
+    reclaimed prefixes; `dry_run` audits without dropping (and
+    without the lock)."""
     fs, p = get_fs(alias_path, spark)
     if not fs.exists(p):
         return []
@@ -165,8 +167,36 @@ def vacuum_index_alias(
             return []
         for prefix in reclaim:
             for t in tables:
+                loc = _table_location(spark, f"{prefix}_{t}")
                 spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+                if loc is not None:
+                    dfs, dp = get_fs(loc, spark)
+                    dfs.delete(dp)
         fs.put_text_atomic(
             p, json.dumps({"prefix": body.get("prefix"), "superseded": keep})
         )
     return reclaim
+
+
+def _table_location(spark, table: str) -> str | None:
+    """Storage location of a catalog table, normalized for the fs
+    adapter (Hadoop renders local URIs as `file:/x`, which is neither
+    a bare path nor the `file://` form get_fs recognizes), or None for
+    a missing table — the caller then has nothing to delete."""
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    except Exception:
+        return None
+    loc = next(
+        (
+            r["data_type"].strip()
+            for r in rows
+            if (r["col_name"] or "").strip() == "Location"
+        ),
+        None,
+    )
+    if loc is None:
+        return None
+    if loc.startswith("file:") and not loc.startswith("file://"):
+        return loc[len("file:"):]
+    return loc

@@ -276,9 +276,15 @@ def test_alias_records_history_and_vacuums_drained_generations(
         )
         assert planned == [g1]
         assert spark.catalog.tableExists(f"{g1}_postings")  # audit only
+        g1_data = tmp_path / f"v_g{g1.split('_g')[-1]}_postings"
+        g2_data = tmp_path / f"v_g{g2.split('_g')[-1]}_postings"
+        assert g1_data.is_dir() and g2_data.is_dir()
         assert vacuum_index_alias(a, spark, ("postings", "dl", "stats")) == [g1]
         assert not spark.catalog.tableExists(f"{g1}_postings")
         assert spark.catalog.tableExists(f"{g2}_postings")   # current kept
+        # the EXTERNAL parquet is reclaimed too, not just catalog rows
+        assert not g1_data.exists()
+        assert g2_data.is_dir()
         assert superseded_index_prefixes(a) == []            # history rewritten
         # idempotent + no-op re-point
         assert vacuum_index_alias(a, spark, ("postings", "dl", "stats")) == []

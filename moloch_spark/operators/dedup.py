@@ -832,12 +832,17 @@ def decontaminate_semantic_lsh(
     cand = (
         tr.join(ev, "token")
         .filter(F.col(id_col) != F.col("eval_id"))
-        .dropDuplicates([id_col, "eval_id"])
+        # cosine BEFORE the candidate dedup: the pair is deterministic,
+        # so dedup-after is equivalent, and the dedup exchange then
+        # moves 3 scalars per candidate instead of two full embedding
+        # vectors (~40x fewer bytes at dim 64 — this operator exists
+        # precisely for the beyond-broadcast scale)
         .select(
             F.col(id_col),
             "eval_id",
             cosine_expr(F.col(vec_col), F.col("eval_vec")).alias("cos"),
         )
+        .dropDuplicates([id_col, "eval_id"])
     )
     best = cand.groupBy(id_col).agg(
         F.max("cos").alias("max_eval_cosine"),

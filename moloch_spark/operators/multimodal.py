@@ -479,6 +479,11 @@ def image_dhash(
     and resized duplicates (the common crawl-dup case); rotation/crop
     robustness needs embedding-cosine dedup (already covered by the
     embedding near-dup family)."""
+    if hash_w * hash_h != 64:
+        raise ValueError(
+            f"hash_w*hash_h must be 64 (the dhash64/hex16/banded "
+            f"contract), got {hash_w * hash_h}"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -522,24 +527,11 @@ def image_dup_groups(hashes: DataFrame) -> DataFrame:
     the smallest media_id (the canonical copy a dedup pass keeps).
     One hash-key shuffle of (id, hash) pairs — image bytes never move.
     Undecodable (NULL-hash) rows pass through as their own canonicals:
-    a dedup pass must not silently drop what it could not decode."""
-    g = (
-        hashes.filter(F.col("dhash").isNotNull())
-        .groupBy("dhash")
-        .agg(F.min("media_id").alias("dup_of"))
-    )
-    return (
-        hashes.join(g, "dhash", "left")
-        .select(
-            "media_id",
-            "dhash",
-            F.coalesce(F.col("dup_of"), F.col("media_id")).alias("dup_of"),
-            (
-                F.coalesce(F.col("dup_of"), F.col("media_id"))
-                == F.col("media_id")
-            ).alias("is_canonical"),
-        )
-    )
+    a dedup pass must not silently drop what it could not decode.
+    Thin wrapper over hash_dup_groups (the generic form the audio
+    fingerprint shares — one grouping semantics, no per-modality
+    fork)."""
+    return hash_dup_groups(hashes, id_col="media_id", hash_col="dhash")
 
 
 def image_near_dup_pairs(
@@ -770,20 +762,36 @@ def video_frame_dhash(
     one row per sampled frame. Re-encoded or re-containered copies of
     a clip produce identical per-frame hash sequences; join on
     (frame_index, dhash) or fold to a per-clip signature downstream.
-    Contract: frame_index < 2^20 (the composite-id packing used to
-    ride image_dhash's single-key schema)."""
+    Contract: 0 <= media_id < 2^43 and frame_index < 2^20 (the
+    composite-id packing used to ride image_dhash's single-key
+    schema; enforced with assert_true — a silent long overflow or a
+    double-division round-off would misattribute frames across
+    videos). Pack and unpack are pure integer shifts, never
+    double-precision division."""
     frames = frame_sample(media, every_n)
     packed = frames.select(
-        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_index")).alias(
-            "media_id"
-        ),
+        (
+            F.shiftleft(
+                F.assert_true(
+                    (F.col("media_id") >= 0)
+                    & (F.col("media_id") < F.lit(1 << 43)),
+                    "video_frame_dhash: media_id out of the 2^43 "
+                    "composite-id range",
+                ).isNull()  # assert_true returns NULL: harness it
+                .cast("long") * F.lit(0) + F.col("media_id"),
+                20,
+            )
+            + F.col("frame_index")
+        ).alias("media_id"),
         F.col("frame_png").alias("data"),
     )
     h = image_dhash(packed, hash_w=hash_w, hash_h=hash_h)
     comp = F.col("media_id")
     return h.select(
-        F.floor(comp / F.lit(1 << 20)).cast("long").alias("media_id"),
-        F.pmod(comp, F.lit(1 << 20)).cast("long").alias("frame_index"),
+        F.shiftright(comp, 20).cast("long").alias("media_id"),
+        comp.bitwiseAND(F.lit((1 << 20) - 1)).cast("long").alias(
+            "frame_index"
+        ),
         "dhash",
         "dhash64",
     )

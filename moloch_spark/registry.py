@@ -47,9 +47,9 @@ def _load_registrants() -> None:
 #   (b) the 11-query r4 tail the r7 window cut at position 50 (incl.
 #       the three rows-only iterative-training gates),
 #   (c) the 50-query block whose latest row is r5 (next-oldest
-#       signal), in its r5 check order — the ~50 cap lands after 38
-#       of them,
-#   (d) past the cap: the 12 remaining r5-rowed gates (the r9 head),
+#       signal), in its r5 check order — with the three r8 gates in
+#       (a) the ~50 cap lands after 36 of them,
+#   (d) past the cap: the 14 remaining r5-rowed gates (the r9 head),
 #       then the r6/r7-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import json
 import posixpath
-import time
 from contextlib import contextmanager
 
 from moloch_spark.sources.fs import get_fs
@@ -66,6 +65,16 @@ def _alias_mutation_lock(fs, p: str):
         _release_manifest_lock(fs, root or ".", token, name=f"{name}.lock")
 
 
+def _now(fs, p: str) -> float:
+    """Store-side "now" for supersession stamps and retention gates
+    (one probe object via commit._store_clock; local-clock fallback) —
+    both sides of every age comparison in this module use the same
+    clock source."""
+    from moloch_spark.sources.commit import _store_clock
+
+    return _store_clock(fs, posixpath.split(p)[0] or ".")
+
+
 def set_index_alias(alias_path: str, prefix: str, spark=None) -> None:
     """Atomically repoint the alias at `prefix` (one PUT — the commit
     point of an index rebuild). The superseded prefix is RECORDED in
@@ -85,7 +94,14 @@ def set_index_alias(alias_path: str, prefix: str, spark=None) -> None:
                 return
             history = body.get("superseded", [])
             if old is not None:
-                history = history + [{"prefix": old, "at": time.time()}]
+                # supersession time from the STORE's clock, same as the
+                # lock staleness check (commit._store_clock): vacuum's
+                # retain_s gate compares against this stamp, and a
+                # maintenance host with a fast local clock must not see
+                # a just-superseded generation as already drained
+                history = history + [
+                    {"prefix": old, "at": _now(fs, p)}
+                ]
         fs.put_text_atomic(
             p, json.dumps({"prefix": prefix, "superseded": history})
         )
@@ -109,12 +125,27 @@ def superseded_index_prefixes(
     fs, p = get_fs(alias_path, spark)
     if not fs.exists(p):
         return []
-    now = time.time()
-    return [
-        h["prefix"]
-        for h in json.loads(fs.read_text(p)).get("superseded", [])
-        if now - h["at"] >= older_than_s
-    ]
+    body = json.loads(fs.read_text(p))
+    latest = _latest_supersessions(body)
+    now = _now(fs, p)
+    return sorted(
+        pre for pre, at in latest.items() if now - at >= older_than_s
+    )
+
+
+def _latest_supersessions(body: dict) -> dict[str, float]:
+    """prefix -> LATEST supersession time, current prefix excluded. A
+    prefix can appear in the history several times (rollback, then
+    superseded again); age decisions must key on the newest entry or a
+    rolled-back-to generation gets reclaimed through its stale first
+    entry while readers are still draining off it."""
+    latest: dict[str, float] = {}
+    for h in body.get("superseded", []):
+        if h["prefix"] != body.get("prefix"):
+            latest[h["prefix"]] = max(
+                latest.get(h["prefix"], 0.0), h["at"]
+            )
+    return latest
 
 
 def vacuum_index_alias(
@@ -135,47 +166,126 @@ def vacuum_index_alias(
     through the fs adapter — index tables are EXTERNAL (built with
     .option("path")), so DROP TABLE alone would reclaim only catalog
     rows and leak the parquet (the bulk of what a vacuum exists to
-    reclaim). Finally the alias is rewritten without the reclaimed
-    entries in ONE atomic PUT, all under `<alias>.lock` so a rebuild
-    swap racing the rewrite can never be clobbered back to a stale
-    current pointer. Never touches the CURRENT prefix. Returns the
-    reclaimed prefixes; `dry_run` audits without dropping (and
-    without the lock)."""
+    reclaim).
+
+    Age decisions key on each prefix's LATEST supersession entry
+    (rollback-safe — see _latest_supersessions) against the STORE's
+    clock, and reclaimed prefixes have ALL their history entries
+    removed. The `<alias>.lock` is held ONLY for the fast
+    read-plan-rewrite of the alias body (the sub-second RMW the lock
+    protocol assumes); the catalog drops and recursive data deletes —
+    unbounded I/O on an object store — run AFTER release, so a
+    rebuild can never TTL-steal the lock mid-vacuum and have its swap
+    clobbered by our rewrite. A crash between the rewrite and the
+    drops leaks unreferenced generation tables, the same residue as a
+    build that died before its alias PUT — both are reclaimed by
+    sweep_orphan_index_generations. Never touches the CURRENT prefix.
+    Returns the reclaimed prefixes; `dry_run` audits without dropping
+    (and without the lock)."""
     fs, p = get_fs(alias_path, spark)
     if not fs.exists(p):
         return []
 
     def plan(body):
-        now = time.time()
-        keep, reclaim = [], []
-        for h in body.get("superseded", []):
-            if (
-                now - h["at"] >= retain_s
-                and h["prefix"] != body.get("prefix")
-            ):
-                reclaim.append(h["prefix"])
-            else:
-                keep.append(h)
+        now = _now(fs, p)
+        latest = _latest_supersessions(body)
+        reclaim = sorted(
+            pre for pre, at in latest.items() if now - at >= retain_s
+        )
+        keep = [
+            h
+            for h in body.get("superseded", [])
+            if h["prefix"] not in reclaim
+        ]
         return keep, reclaim
 
     if dry_run:
         return plan(json.loads(fs.read_text(p)))[1]
     with _alias_mutation_lock(fs, p):
+        # fast RMW only under the lock: the expensive deletes below
+        # must not outlive the lock TTL
         body = json.loads(fs.read_text(p))
         keep, reclaim = plan(body)
         if not reclaim:
             return []
-        for prefix in reclaim:
-            for t in tables:
-                loc = _table_location(spark, f"{prefix}_{t}")
-                spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
-                if loc is not None:
-                    dfs, dp = get_fs(loc, spark)
-                    dfs.delete(dp)
         fs.put_text_atomic(
             p, json.dumps({"prefix": body.get("prefix"), "superseded": keep})
         )
+    for prefix in reclaim:
+        _drop_generation(spark, prefix, tables)
     return reclaim
+
+
+def _drop_generation(spark, prefix: str, tables: tuple[str, ...]) -> None:
+    """Drop one generation's catalog tables AND their external data
+    dirs (location resolved before the drop)."""
+    for t in tables:
+        loc = _table_location(spark, f"{prefix}_{t}")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        if loc is not None:
+            dfs, dp = get_fs(loc, spark)
+            dfs.delete(dp)
+
+
+def sweep_orphan_index_generations(
+    spark,
+    alias_path: str,
+    table_prefix: str,
+    tables: tuple[str, ...],
+    *,
+    retain_s: float = 900.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Reclaim `{table_prefix}_g<token>` generations the alias knows
+    NOTHING about — the residue of a build that crashed before its
+    set_index_alias commit point, or of a vacuum that crashed between
+    its history rewrite and its drops. Those generations appear in
+    neither the current pointer nor the superseded history, so
+    vacuum_index_alias can never see them; this sweep lists the
+    catalog for the family's naming pattern instead. Age-gated on the
+    first resolvable table location's mtime with `retain_s` (default
+    = the orphan-commit grace: a young orphan may be a build IN
+    FLIGHT between its table writes and its alias PUT — deleting
+    under it is the vacuum_store in-flight-writer bug all over
+    again). Returns the reclaimed prefixes; dry_run audits."""
+    known = set()
+    fs, p = get_fs(alias_path, spark)
+    if fs.exists(p):
+        body = json.loads(fs.read_text(p))
+        if body.get("prefix"):
+            known.add(body["prefix"])
+        known |= {h["prefix"] for h in body.get("superseded", [])}
+    pat = f"{table_prefix}_g"
+    gens: set[str] = set()
+    for t in spark.catalog.listTables():
+        name = t.name
+        if not name.startswith(pat):
+            continue
+        for suffix in tables:
+            if name.endswith(f"_{suffix}"):
+                gens.add(name[: -len(suffix) - 1])
+                break
+    reclaimed = []
+    for prefix in sorted(gens - known):
+        loc = next(
+            (
+                _table_location(spark, f"{prefix}_{t}")
+                for t in tables
+                if _table_location(spark, f"{prefix}_{t}") is not None
+            ),
+            None,
+        )
+        if loc is not None:
+            try:
+                dfs, dp = get_fs(loc, spark)
+                if _now(dfs, dp) - dfs.mtime(dp) < retain_s:
+                    continue  # possibly a build in flight: protected
+            except Exception:
+                continue  # cannot age it: leave for the next sweep
+        if not dry_run:
+            _drop_generation(spark, prefix, tables)
+        reclaimed.append(prefix)
+    return reclaimed
 
 
 def _table_location(spark, table: str) -> str | None:

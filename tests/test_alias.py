@@ -330,3 +330,89 @@ def test_alias_mutations_serialized_by_lock(tmp_path):
     assert resolve_index_alias(a) == "g2"            # applied after release
     assert superseded_index_prefixes(a) == ["g1"]
     assert not os.path.exists(a + ".lock")
+
+
+def test_vacuum_rollback_reclaim_keys_on_latest_supersession(tmp_path):
+    """Code-review r8: a prefix rolled back to and superseded AGAIN has
+    two history entries; the age gate must key on the LATEST one, or
+    the generation serving until seconds ago is reclaimed through its
+    stale first entry while readers are still draining off it."""
+    import json
+    import time
+
+    from moloch_spark.sources.alias import (
+        superseded_index_prefixes,
+        vacuum_index_alias,
+    )
+
+    a = str(tmp_path / "r.alias")
+    set_index_alias(a, "genA")
+    set_index_alias(a, "genB")   # A superseded (t1)
+    set_index_alias(a, "genA")   # rollback: B superseded (t2)
+    set_index_alias(a, "genC")   # A superseded AGAIN (t3)
+    body = json.loads(open(a).read())
+    assert [h["prefix"] for h in body["superseded"]] == [
+        "genA", "genB", "genA",
+    ]
+    # age t1 and t2 out; t3 (A's LATEST) stays fresh
+    body["superseded"][0]["at"] = time.time() - 7200
+    body["superseded"][1]["at"] = time.time() - 7200
+    with open(a, "w") as f:
+        json.dump(body, f)
+    # A is NOT drained (latest entry fresh); B is
+    assert superseded_index_prefixes(a, older_than_s=900) == ["genB"]
+    assert vacuum_index_alias(a, None, (), dry_run=True) == ["genB"]
+    assert vacuum_index_alias(a, None, ()) == ["genB"]
+    after = json.loads(open(a).read())
+    assert after["prefix"] == "genC"
+    assert [h["prefix"] for h in after["superseded"]] == ["genA", "genA"]
+
+
+def test_sweep_orphan_index_generations(spark, tmp_path):
+    """A build that crashes before its alias PUT leaves a generation
+    the alias never learns about; the sweep finds it by the family's
+    catalog naming pattern, age-gates it (a young orphan may be a
+    build in flight), and reclaims tables AND external data. Known
+    generations (current + superseded) are never touched."""
+    import os
+
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.sources.alias import sweep_orphan_index_generations
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 5} body") for i in range(20)], ["doc_id", "text"]
+    )
+    a = str(tmp_path / "o.alias")
+    g1 = orphan = None
+    try:
+        g1 = R.build_bm25_index(spark, corpus, "t_orphfam",
+                                str(tmp_path / "f"), buckets=4, alias_path=a)
+        # forge the crashed build: a fresh generation, no alias PUT
+        orphan = R.build_bm25_index(
+            spark, corpus, "t_orphfam_gdead00", str(tmp_path / "f_gdead00"),
+            buckets=4,
+        )
+        assert orphan == "t_orphfam_gdead00"
+        fam = ("postings", "dl", "stats")
+        # young: protected (may be an in-flight build)
+        assert sweep_orphan_index_generations(
+            spark, a, "t_orphfam", fam, retain_s=3600
+        ) == []
+        assert spark.catalog.tableExists("t_orphfam_gdead00_postings")
+        # audit, then reclaim past the grace
+        assert sweep_orphan_index_generations(
+            spark, a, "t_orphfam", fam, retain_s=0, dry_run=True
+        ) == [orphan]
+        assert spark.catalog.tableExists(f"{orphan}_postings")
+        assert sweep_orphan_index_generations(
+            spark, a, "t_orphfam", fam, retain_s=0
+        ) == [orphan]
+        assert not spark.catalog.tableExists(f"{orphan}_postings")
+        assert not os.path.exists(str(tmp_path / "f_gdead00_postings"))
+        # the alias-known generation survives at retain_s=0
+        assert spark.catalog.tableExists(f"{g1}_postings")
+    finally:
+        for p in (g1, orphan):
+            if p:
+                for t in ("postings", "dl", "stats"):
+                    spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

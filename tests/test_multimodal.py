@@ -70,6 +70,10 @@ def test_image_dhash_near_dup_banding(spark):
 
     with pytest.raises(ValueError):
         M.image_near_dup_pairs(h, max_hamming=8, bands=8)
+    # the 64-bit pack contract guard (code-review r8): a non-64-bit
+    # grid would overflow dhash64 / break the hex16+banding contract
+    with pytest.raises(ValueError):
+        M.image_dhash(media, hash_w=16)
 
 
 def test_image_dhash_robust_to_reencode_and_scale(spark):

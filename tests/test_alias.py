@@ -416,3 +416,66 @@ def test_sweep_orphan_index_generations(spark, tmp_path):
             if p:
                 for t in ("postings", "dl", "stats"):
                     spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+@pytest.mark.parametrize("seed", [5, 99, 20260816])
+def test_alias_lifecycle_randomized_model_check(tmp_path, seed):
+    """Seeded random sequences of swap / rollback / no-op re-point /
+    vacuum (zero and infinite retention) against a pure-Python model
+    of the documented semantics. Invariants after every op: resolve
+    returns the model's current prefix; the drained-prefix audit
+    equals the model's distinct non-current history; a zero-retention
+    vacuum reclaims exactly the model's distinct non-current prefixes
+    and empties their history; an infinite-retention vacuum reclaims
+    nothing. Pure fs level (tables=() — catalog reclaim is pinned by
+    the dedicated tests), so 60 ops run in milliseconds."""
+    import random
+
+    from moloch_spark.sources.alias import (
+        superseded_index_prefixes,
+        vacuum_index_alias,
+    )
+
+    rng = random.Random(seed)
+    a = str(tmp_path / "m.alias")
+    current = "g0000"
+    history: list[str] = []          # entry prefixes, in order
+    seen = ["g0000"]                 # every prefix ever created
+    set_index_alias(a, current)
+
+    def check():
+        assert resolve_index_alias(a) == current
+        want_drained = sorted({p for p in history if p != current})
+        assert superseded_index_prefixes(a) == want_drained
+        assert (
+            vacuum_index_alias(a, None, (), retain_s=10**9, dry_run=True)
+            == []
+        )
+        assert (
+            vacuum_index_alias(a, None, (), dry_run=True, retain_s=0)
+            == want_drained
+        )
+
+    for step in range(60):
+        op = rng.random()
+        if op < 0.45:                       # swap to a NEW generation
+            new = f"g{step + 1:04d}"
+            seen.append(new)
+            history.append(current)
+            current = new
+            set_index_alias(a, current)
+        elif op < 0.6:                      # rollback to a past prefix
+            target = rng.choice(seen)
+            if target != current:
+                history.append(current)
+                current = target
+            set_index_alias(a, target)      # no-op when target==current
+        elif op < 0.7:                      # no-op re-point
+            set_index_alias(a, current)
+        elif op < 0.85:                     # infinite retention: no-op
+            assert vacuum_index_alias(a, None, (), retain_s=10**9) == []
+        else:                               # drain everything reclaimable
+            want = sorted({p for p in history if p != current})
+            assert vacuum_index_alias(a, None, (), retain_s=0) == want
+            history = [p for p in history if p == current]
+        check()

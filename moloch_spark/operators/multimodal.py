@@ -795,3 +795,50 @@ def video_frame_dhash(
         "dhash",
         "dhash64",
     )
+
+
+def _afp_pattern(n: int = 80) -> np.ndarray:
+    """Fixed deterministic broadband +-1000 int16 pattern (md5-seeded,
+    engine/run-stable) for synth_patterned_wav_media: every rFFT band
+    of this pattern carries nonzero energy (pinned in tests), so a
+    window playing the pattern at integer amplitude a has band
+    energies EXACTLY proportional to a^2 and every energy-rose
+    comparison reduces to comparing the amplitudes."""
+    vals = []
+    for i in range(n):
+        h = hashlib.md5(f"afp:{i}".encode()).digest()
+        vals.append(1000 if h[0] & 1 else -1000)
+    return np.asarray(vals, dtype=np.int16)
+
+
+def synth_patterned_wav_media(docs: DataFrame, *, rate: int = 8000) -> DataFrame:
+    """Per-row VALID WAV of 9 windows, each the SAME fixed broadband
+    pattern at integer amplitude 1 + (doc_id*3 + t) % 7 — so
+    audio_fingerprint's 64 bits are analytically predictable from
+    doc_id alone (bit block t = [amp(t) > amp(t-1)] across all 8
+    bands; consecutive amplitudes differ by >= a 7:8 ratio, orders of
+    magnitude above FFT float noise, and never tie since the step is
+    +3 mod 7). The audio gate-synthesis pattern, mirroring
+    synth_striped_png_media."""
+    pat = _afp_pattern()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                clip = np.concatenate(
+                    [
+                        (1 + (did * 3 + t) % 7) * pat.astype(np.int32)
+                        for t in range(9)
+                    ]
+                ).astype(np.int16)  # max |7*1000| < 2^15: no wrap
+                rows.append((did, "audio", MC.wav_encode(clip, rate), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    ids = docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)

@@ -1271,6 +1271,51 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_fp_sql() -> str:
+    """Fingerprint oracle for the patterned synthetic: window t plays
+    a fixed broadband pattern at amplitude 1+(doc_id*3+t)%7, so every
+    band's energy comparison reduces to the integer amplitude
+    comparison and transition t's byte is 0xff iff
+    (doc*3+t)%7 > (doc*3+t-1)%7 — pure integer arithmetic."""
+    bytes_sql = ", ".join(
+        f"(CASE WHEN (b3+{t})%7 > (b3+{t - 1})%7 THEN 'ff' ELSE '00' END)"
+        for t in range(1, 9)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id AS media_id,
+                      CAST(doc_id * 3 AS BIGINT) AS b3
+               FROM documents),
+    h AS (SELECT media_id, concat({bytes_sql}) AS afp FROM d)
+    SELECT media_id, afp,
+           MIN(media_id) OVER (PARTITION BY afp) AS dup_of,
+           media_id = MIN(media_id) OVER (PARTITION BY afp)
+             AS is_canonical
+    FROM h ORDER BY media_id
+    """
+
+
+@register("audio_fingerprint_dedup", _audio_fp_sql())
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-native dedup end-to-end, the image gate's acoustic
+    sibling: synthesize a VALID 9-window WAV per document (one fixed
+    broadband pattern, per-window integer amplitude derived from
+    doc_id), run the REAL pipeline — RIFF/PCM decode, per-window rFFT
+    band energies, Haitsma-Kalker energy-rose bit pack
+    (multimodal.audio_fingerprint), exact-hash grouping — while the
+    oracle predicts every fingerprint byte by integer arithmetic
+    (band energies scale EXACTLY with amplitude^2, consecutive
+    amplitudes never tie, and the >=7:8 amplitude ratios sit orders
+    of magnitude above FFT float noise). Banded-Hamming near-dup over
+    the same signatures is pinned in test_multimodal."""
+    docs = load_table_spread(spark, "documents", sf_dir)
+    media = M.synth_patterned_wav_media(docs)
+    return (
+        M.hash_dup_groups(M.audio_fingerprint(media), hash_col="afp")
+        .select("media_id", "afp", "dup_of", "is_canonical")
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination (n-gram collision, the published 13-gram method)
 # ---------------------------------------------------------------------------

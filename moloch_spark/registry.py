@@ -47,14 +47,14 @@ def _load_registrants() -> None:
 #   (b) the 11-query r4 tail the r7 window cut at position 50 (incl.
 #       the three rows-only iterative-training gates),
 #   (c) the 50-query block whose latest row is r5 (next-oldest
-#       signal), in its r5 check order — with the three r8 gates in
-#       (a) the ~50 cap lands after 36 of them,
-#   (d) past the cap: the 14 remaining r5-rowed gates (the r9 head),
+#       signal), in its r5 check order — with the four r8 gates in
+#       (a) the ~50 cap lands after 35 of them,
+#   (d) past the cap: the 15 remaining r5-rowed gates (the r9 head),
 #       then the r6/r7-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
 # ROUND-9 NOTE: next head = any r8 reds, any new r9 gates, then the
-# 14-gate r5 tail of (d) (dedup_simhash, ann_pq_adc_topk,
+# 15-gate r5 tail of (d) (dedup_lsh_candidates, dedup_simhash, ann_pq_adc_topk,
 # ann_ivf_pq_topk, cron_forward_exactly_once, semdedup_prune,
 # chunk_documents_sliding, cms_ngram_counts, remove_duplicate_spans,
 # hunt_node_fanout, session_tag_update_prebuilt, c4_line_filter,
@@ -69,14 +69,16 @@ _CHECK_PRIORITY = (
                                  # driver (r7 ask #3)
     "image_dhash_dedup",         # perceptual-hash image dedup over the
                                  # real PNG decode path
+    "audio_fingerprint_dedup",   # acoustic-fingerprint dedup over the
+                                 # real WAV decode path
     # --- (b) the 11-gate r4 tail the r7 window cut ---
     "bm25_topk_search",
     "bpe_train_and_apply", "quality_classifier_filter", "ppl_lang_buckets",
     "embedding_pca_whiten", "pq_encode_codes", "ccnet_pipeline_e2e",
     "warc_ingest_roundtrip", "hybrid_rrf_search", "hunt_job_control",
     "streaming_state_cap",
-    # --- (c) latest driver row is r5 (36 here; the cap lands exactly
-    #     after them — the 14-gate r5 tail is in (d) below) ---
+    # --- (c) latest driver row is r5 (35 here; the cap lands exactly
+    #     after them — the 15-gate r5 tail is in (d) below) ---
     "tpch_q1_pricing_summary", "sessions_search_events",
     "timeline_events_hourly", "timeline_events_dense",
     "cardinality_fields", "multiunique_user_event", "spiview_events",
@@ -92,11 +94,10 @@ _CHECK_PRIORITY = (
     "curate_weighted_sample", "enrich_region_rollup", "drophash_filter",
     "asof_feed_enrich", "text_stats", "lang_id", "token_counts",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    # --- (d) past the ~50 cap: the 14-gate r5 tail (next head per the
+    # --- (d) past the ~50 cap: the 15-gate r5 tail (next head per the
     #     ROUND-9 NOTE); unlisted gates (all r6/r7-rowed) follow in
     #     registration order. ---
-    "dedup_simhash", "ann_pq_adc_topk",
+    "dedup_lsh_candidates", "dedup_simhash", "ann_pq_adc_topk",
     "ann_ivf_pq_topk", "cron_forward_exactly_once", "semdedup_prune",
     "chunk_documents_sliding", "cms_ngram_counts",
     "remove_duplicate_spans", "hunt_node_fanout",

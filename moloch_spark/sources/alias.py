@@ -269,9 +269,10 @@ def sweep_orphan_index_generations(
     for prefix in sorted(gens - known):
         loc = next(
             (
-                _table_location(spark, f"{prefix}_{t}")
+                found
                 for t in tables
-                if _table_location(spark, f"{prefix}_{t}") is not None
+                if (found := _table_location(spark, f"{prefix}_{t}"))
+                is not None
             ),
             None,
         )

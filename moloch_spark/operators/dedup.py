@@ -764,11 +764,25 @@ def decontaminate_semantic(
             "eval_id", F.struct(F.col("cos"), (-F.col("eval_id")).alias("t"))
         ).alias("nearest_eval_id"),
     )
-    return best.select(
-        F.col(id_col),
-        F.col("max_eval_cosine"),
-        F.col("nearest_eval_id"),
-        (F.col("max_eval_cosine") >= F.lit(threshold)).alias("contaminated"),
+    # schema-parity left join onto the train ids (ADVICE r8): BOTH
+    # routes of this call must emit the same row universe — every
+    # train id, with (NULL, NULL, false) when nothing scored against
+    # it (an empty eval set, or a 1-row eval set sharing the train
+    # row's id). Without it the broadcast path's inner aggregation
+    # silently drops those rows while the LSH route keeps them, and
+    # the same call returns different row sets depending on eval size.
+    # Cost: one extra train scan column-pruned to the id alone.
+    return (
+        train_emb.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("max_eval_cosine"),
+            F.col("nearest_eval_id"),
+            F.coalesce(
+                F.col("max_eval_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
     )
 
 

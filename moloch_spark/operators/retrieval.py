@@ -473,6 +473,10 @@ def bm25_topk_indexed(
         from moloch_spark.sources.alias import resolve_index_alias
 
         table_prefix = resolve_index_alias(alias_path, spark)
+    if table_prefix is None:
+        raise ValueError(
+            "bm25_topk_indexed: pass table_prefix or alias_path"
+        )
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),

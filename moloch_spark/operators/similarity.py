@@ -766,6 +766,10 @@ def ann_index_search(
         from moloch_spark.sources.alias import resolve_index_alias
 
         table_prefix = resolve_index_alias(alias_path, spark)
+    if table_prefix is None:
+        raise ValueError(
+            "ann_index_search: pass table_prefix or alias_path"
+        )
     m = spark.table(f"{table_prefix}_model").first()
     scale = float(m["scale"])
     cents = [list(c) for c in m["centroids"]]

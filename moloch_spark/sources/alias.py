@@ -243,11 +243,19 @@ def sweep_orphan_index_generations(
     neither the current pointer nor the superseded history, so
     vacuum_index_alias can never see them; this sweep lists the
     catalog for the family's naming pattern instead. Age-gated on the
-    first resolvable table location's mtime with `retain_s` (default
-    = the orphan-commit grace: a young orphan may be a build IN
-    FLIGHT between its table writes and its alias PUT — deleting
-    under it is the vacuum_store in-flight-writer bug all over
-    again). Returns the reclaimed prefixes; dry_run audits."""
+    NEWEST mtime across ALL resolvable family table locations with
+    `retain_s` (default = the orphan-commit grace: a young orphan may
+    be a build IN FLIGHT between its table writes and its alias PUT —
+    deleting under it is the vacuum_store in-flight-writer bug all
+    over again). The newest-activity gate matters for multi-table
+    families: a large build that wrote its first table > retain_s ago
+    but is still writing its second must NOT look aged (gating on the
+    first table alone is exactly the in-flight-writer bug one level
+    up). A generation none of whose locations can be aged — every
+    DESCRIBE/mtime probe failed, e.g. transiently — is DEFERRED to the
+    next sweep, never dropped blind. `retain_s` must therefore exceed
+    the longest plausible build duration, not the longest query.
+    Returns the reclaimed prefixes; dry_run audits."""
     known = set()
     fs, p = get_fs(alias_path, spark)
     if fs.exists(p):
@@ -267,22 +275,26 @@ def sweep_orphan_index_generations(
                 break
     reclaimed = []
     for prefix in sorted(gens - known):
-        loc = next(
-            (
-                found
-                for t in tables
-                if (found := _table_location(spark, f"{prefix}_{t}"))
-                is not None
-            ),
-            None,
-        )
-        if loc is not None:
+        # age on the NEWEST activity across the whole family: one
+        # young table means the build may still be writing, even if
+        # an earlier table has already aged past retain_s
+        ages: list[float] = []
+        for t in tables:
+            loc = _table_location(spark, f"{prefix}_{t}")
+            if loc is None:
+                continue  # table never written (crashed early) or
+                # DESCRIBE failed — other tables still gate the age
             try:
                 dfs, dp = get_fs(loc, spark)
-                if _now(dfs, dp) - dfs.mtime(dp) < retain_s:
-                    continue  # possibly a build in flight: protected
+                ages.append(_now(dfs, dp) - dfs.mtime(dp))
             except Exception:
-                continue  # cannot age it: leave for the next sweep
+                ages.append(float("-inf"))  # unageable table: treat
+                # as "possibly just written" so the family is kept
+        if not ages:
+            continue  # nothing resolvable: defer to the next sweep,
+            # never drop blind (fail-safe, not fail-unsafe)
+        if min(ages) < retain_s:
+            continue  # possibly a build in flight: protected
         if not dry_run:
             _drop_generation(spark, prefix, tables)
         reclaimed.append(prefix)

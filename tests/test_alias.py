@@ -418,6 +418,105 @@ def test_sweep_orphan_index_generations(spark, tmp_path):
                     spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
 
 
+def test_serving_requires_prefix_or_alias(spark):
+    """ADVICE r8: both indexed serving functions fail FAST with a clear
+    contract error when neither table_prefix nor alias_path is given,
+    instead of an opaque 'Table None_postings not found' later."""
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.operators import similarity as S
+
+    q = spark.createDataFrame([(1, "w")], ["query_id", "qterm"])
+    with pytest.raises(ValueError, match="table_prefix or alias_path"):
+        R.bm25_topk_indexed(spark, None, q)
+    qe = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="table_prefix or alias_path"):
+        S.ann_index_search(spark, qe, None)
+
+
+def test_sweep_orphan_ages_on_newest_family_activity(spark, tmp_path):
+    """The in-flight-build grace gates on the NEWEST mtime across ALL
+    family tables (ADVICE r8): a build whose postings table aged past
+    retain_s but whose dl/stats are still being written must be
+    protected — gating on the first resolvable table alone is the
+    vacuum_store in-flight-writer bug one level up. Once EVERY table
+    has aged, the orphan is reclaimed."""
+    import os
+    import time as _time
+
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.sources.alias import sweep_orphan_index_generations
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 5} body") for i in range(20)], ["doc_id", "text"]
+    )
+    a = str(tmp_path / "o.alias")
+    fam = ("postings", "dl", "stats")
+    g1 = orphan = None
+    try:
+        g1 = R.build_bm25_index(spark, corpus, "t_agefam",
+                                str(tmp_path / "f"), buckets=4, alias_path=a)
+        orphan = R.build_bm25_index(
+            spark, corpus, "t_agefam_gmid00", str(tmp_path / "f_gmid00"),
+            buckets=4,
+        )
+        old = _time.time() - 7200
+        # postings aged 2h ago, dl/stats fresh: the family's newest
+        # activity is NOW, so a 1h grace must protect it
+        os.utime(str(tmp_path / "f_gmid00_postings"), (old, old))
+        assert sweep_orphan_index_generations(
+            spark, a, "t_agefam", fam, retain_s=3600
+        ) == []
+        assert spark.catalog.tableExists(f"{orphan}_postings")
+        # every table aged: reclaimable
+        for t in fam:
+            os.utime(str(tmp_path / f"f_gmid00_{t}"), (old, old))
+        assert sweep_orphan_index_generations(
+            spark, a, "t_agefam", fam, retain_s=3600
+        ) == [orphan]
+        assert not spark.catalog.tableExists(f"{orphan}_postings")
+    finally:
+        for p in (g1, orphan):
+            if p:
+                for t in fam:
+                    spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
+def test_sweep_orphan_defers_when_unageable(spark, tmp_path, monkeypatch):
+    """When NO family table location resolves (e.g. DESCRIBE FORMATTED
+    failed transiently for every table), the sweep must DEFER the
+    generation to the next sweep — dropping blind would delete an
+    in-flight build's catalog entries, the exact fail-unsafe branch
+    ADVICE r8 flagged."""
+    from moloch_spark.operators import retrieval as R
+    from moloch_spark.sources import alias as A
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 5} body") for i in range(20)], ["doc_id", "text"]
+    )
+    a = str(tmp_path / "o.alias")
+    fam = ("postings", "dl", "stats")
+    g1 = orphan = None
+    try:
+        g1 = R.build_bm25_index(spark, corpus, "t_unagefam",
+                                str(tmp_path / "f"), buckets=4, alias_path=a)
+        orphan = R.build_bm25_index(
+            spark, corpus, "t_unagefam_gblind0",
+            str(tmp_path / "f_gblind0"), buckets=4,
+        )
+        monkeypatch.setattr(A, "_table_location", lambda *_: None)
+        assert A.sweep_orphan_index_generations(
+            spark, a, "t_unagefam", fam, retain_s=0
+        ) == []
+        assert spark.catalog.tableExists(f"{orphan}_postings")
+    finally:
+        for p in (g1, orphan):
+            if p:
+                for t in fam:
+                    spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
 @pytest.mark.parametrize("seed", [5, 99, 20260816])
 def test_alias_lifecycle_randomized_model_check(tmp_path, seed):
     """Seeded random sequences of swap / rollback / no-op re-point /

@@ -1161,3 +1161,41 @@ def test_decontaminate_semantic_lsh_equivalent_and_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in (
         kept._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_decontaminate_semantic_row_universe_parity(spark):
+    """ADVICE r8: both routes of decontaminate_semantic must emit the
+    SAME row universe — every train id, with (NULL, NULL, false) when
+    nothing scored against it. Pinned on the two shapes the broadcast
+    path used to get wrong: an EMPTY eval set (used to return an empty
+    frame) and a 1-row eval set sharing a train row's id (used to drop
+    that train row)."""
+    from moloch_spark.operators import dedup as D
+
+    dim = 4
+    train = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    empty = train.filter("vec_id < 0")
+
+    def rows(df):
+        return {
+            r.vec_id: (r.max_eval_cosine, r.nearest_eval_id, r.contaminated)
+            for r in df.collect()
+        }
+
+    got = rows(D.decontaminate_semantic(train, empty, threshold=0.5))
+    assert got == {i: (None, None, False) for i in range(6)}
+    lsh = rows(
+        D.decontaminate_semantic_lsh(train, empty, threshold=0.5, dim=dim)
+    )
+    assert lsh == got
+
+    # eval = the single vector with vec_id 3: train row 3 is excluded
+    # from scoring (self-id) but must still appear, unflagged
+    one = train.filter("vec_id = 3")
+    got1 = rows(D.decontaminate_semantic(train, one, threshold=0.5))
+    assert set(got1) == set(range(6))
+    assert got1[3] == (None, None, False)
+    assert all(v[1] == 3 and v[2] for i, v in got1.items() if i != 3)

@@ -556,13 +556,16 @@ def image_near_dup_pairs(
     )
 
 
-def synth_striped_png_media(docs: DataFrame) -> DataFrame:
-    """Per-row VALID grayscale PNG of 9 vertical stripes (18×8 px, 2-px
-    stripes) whose brightness pattern is the low 9 bits of doc_id —
-    each dHash cell is exactly one constant stripe, so the hash is
-    predictable by pure integer arithmetic in a SQL oracle (the
-    multimodal gate-synthesis pattern). Used by the image_dhash_dedup
-    gate and tests."""
+def synth_striped_png_media(docs: DataFrame, *, scale: int = 1) -> DataFrame:
+    """Per-row VALID grayscale PNG of 9 vertical stripes (18s×8s px,
+    2s-px stripes at integer `scale` s) whose brightness pattern is the
+    low 9 bits of doc_id — each dHash cell is exactly one constant
+    stripe at EVERY scale (the 8×9 hash grid divides 8s×18s evenly), so
+    the hash is predictable by pure integer arithmetic in a SQL oracle
+    AND scale-invariant by construction: a `scale=2` sibling is the
+    "same image, resized" near-dup case with dHash distance exactly 0
+    (the multimodal gate-synthesis pattern). Used by the
+    image_dhash_dedup / multimodal_near_dup gates and tests."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -570,9 +573,11 @@ def synth_striped_png_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 p = did % 512
-                arr = np.empty((8, 18), np.uint8)
+                arr = np.empty((8 * scale, 18 * scale), np.uint8)
                 for j in range(9):
-                    arr[:, 2 * j : 2 * j + 2] = 255 * ((p >> j) & 1)
+                    arr[:, 2 * scale * j : 2 * scale * (j + 1)] = (
+                        255 * ((p >> j) & 1)
+                    )
                 rows.append((did, "image", MC.png_encode(arr), None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "data", "meta"]
@@ -591,6 +596,7 @@ def banded_hamming_pairs(
     hash_col: str = "dhash64",
     max_hamming: int = 6,
     bands: int = 8,
+    extra_key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic banded Hamming join over any 64-bit signature column —
     the one LSH-shaped candidate generator behind image dHash AND the
@@ -599,7 +605,11 @@ def banded_hamming_pairs(
     pigeonhole any pair within Hamming distance < `bands` shares an
     identical band, so candidates come from a (band, value) EQUI-join
     (never n²) and exact bit_count(a XOR b) filters them. Output
-    (id_a, id_b, hamming) with id_a < id_b."""
+    (*extra_key_cols, id_a, id_b, hamming) with id_a < id_b.
+
+    `extra_key_cols` joins only rows agreeing on those columns (and
+    carries them through) — how video_near_dup_clips pairs frame i of
+    clip A with frame i of clip B without forking the banding."""
     if max_hamming >= bands:
         raise ValueError(
             f"banded recall is only exact for max_hamming < bands "
@@ -620,24 +630,29 @@ def banded_hamming_pairs(
             for j in range(bands)
         ]
     )
+    extras = [F.col(c) for c in extra_key_cols]
     e = h.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
+        *extras,
         F.explode(bands_col).alias("b"),
     )
     a = e.select(
         F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
         F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+        *extras,
     )
     b = e.select(
         F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
         F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+        *extras,
     )
     return (
-        a.join(b, ["band", "val"])
+        a.join(b, ["band", "val", *extra_key_cols])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b", *extra_key_cols])
         .select(
+            *extra_key_cols,
             "id_a",
             "id_b",
             F.bit_count(
@@ -781,6 +796,11 @@ def video_frame_dhash(
                 .cast("long") * F.lit(0) + F.col("media_id"),
                 20,
             )
+            + F.assert_true(
+                F.col("frame_index") < F.lit(1 << 20),
+                "video_frame_dhash: frame_index out of the 2^20 "
+                "composite-id range",
+            ).isNull().cast("long") * F.lit(0)
             + F.col("frame_index")
         ).alias("media_id"),
         F.col("frame_png").alias("data"),
@@ -811,15 +831,22 @@ def _afp_pattern(n: int = 80) -> np.ndarray:
     return np.asarray(vals, dtype=np.int16)
 
 
-def synth_patterned_wav_media(docs: DataFrame, *, rate: int = 8000) -> DataFrame:
+def synth_patterned_wav_media(
+    docs: DataFrame, *, rate: int = 8000, gain: int = 1
+) -> DataFrame:
     """Per-row VALID WAV of 9 windows, each the SAME fixed broadband
-    pattern at integer amplitude 1 + (doc_id*3 + t) % 7 — so
+    pattern at integer amplitude gain * (1 + (doc_id*3 + t) % 7) — so
     audio_fingerprint's 64 bits are analytically predictable from
     doc_id alone (bit block t = [amp(t) > amp(t-1)] across all 8
     bands; consecutive amplitudes differ by >= a 7:8 ratio, orders of
     magnitude above FFT float noise, and never tie since the step is
-    +3 mod 7). The audio gate-synthesis pattern, mirroring
-    synth_striped_png_media."""
+    +3 mod 7). Integer `gain` is the volume-scaled-copy knob for the
+    near-dup gates: doubling every int16 sample is EXACT, doubling is
+    exact in IEEE, so the scaled sibling's band energies are exactly
+    gain² × the original's and its fingerprint is bit-identical. The
+    audio gate-synthesis pattern, mirroring synth_striped_png_media."""
+    if not 1 <= gain <= 4:
+        raise ValueError("gain must be in [1, 4] (7*4*1000 < 2^15)")
     pat = _afp_pattern()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -829,10 +856,12 @@ def synth_patterned_wav_media(docs: DataFrame, *, rate: int = 8000) -> DataFrame
                 did = int(did)
                 clip = np.concatenate(
                     [
-                        (1 + (did * 3 + t) % 7) * pat.astype(np.int32)
+                        gain
+                        * (1 + (did * 3 + t) % 7)
+                        * pat.astype(np.int32)
                         for t in range(9)
                     ]
-                ).astype(np.int16)  # max |7*1000| < 2^15: no wrap
+                ).astype(np.int16)  # max |4*7*1000| < 2^15: no wrap
                 rows.append((did, "audio", MC.wav_encode(clip, rate), None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "data", "meta"]
@@ -842,3 +871,94 @@ def synth_patterned_wav_media(docs: DataFrame, *, rate: int = 8000) -> DataFrame
         docs.sparkSession.sparkContext.defaultParallelism
     )
     return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def synth_striped_y4m_media(docs: DataFrame) -> DataFrame:
+    """Per-row VALID Y4M clip of 1 + doc_id % 3 frames whose frame-i
+    luma plane is the striped 18×8 pattern (doc_id + 37*i) % 512 — the
+    synth_striped_png_media stripes as video, so every sampled frame's
+    dHash is predictable by the same integer arithmetic and two clips
+    are full near-dups iff doc_id ≡ (mod 512) AND ≡ (mod 3) (same
+    patterns, same length). Used by the multimodal_near_dup gate and
+    tests."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for i in range(1 + did % 3):
+                    p = (did + 37 * i) % 512
+                    arr = np.empty((8, 18), np.uint8)
+                    for j in range(9):
+                        arr[:, 2 * j : 2 * j + 2] = 255 * ((p >> j) & 1)
+                    frames.append(arr)
+                rows.append((did, "video", MC.y4m_encode(frames), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    ids = docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def video_near_dup_clips(
+    frame_hashes: DataFrame, *, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Clip-level near-dup pairs from video_frame_dhash output — the
+    third modality over the SHARED banded machinery: frame i of clip A
+    pairs with frame i of clip B through banded_hamming_pairs keyed
+    additionally on frame_index (the pigeonhole recall proof applies
+    per frame verbatim), and a clip pair survives iff EVERY frame of
+    BOTH clips matched at <= max_hamming — same-length clips
+    near-identical frame-for-frame, the re-encoded/re-containered copy
+    case. Emits (id_a, id_b, n_frames, hamming = Σ per-frame
+    distances), id_a < id_b.
+
+    Scale shape: only (id, frame_index, hash64) rows shuffle — frame
+    pixel bytes never move; the per-pair aggregation is bounded by
+    matched frame pairs, never clips²."""
+    counts = (
+        frame_hashes.filter(F.col("dhash64").isNotNull())
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("_nf"))
+    )
+    per_frame = banded_hamming_pairs(
+        frame_hashes,
+        id_col="media_id",
+        hash_col="dhash64",
+        max_hamming=max_hamming,
+        bands=bands,
+        extra_key_cols=("frame_index",),
+    )
+    agg = per_frame.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("_matched"),
+        F.sum("hamming").alias("hamming"),
+    )
+    return (
+        agg.join(
+            counts.select(
+                F.col("media_id").alias("id_a"), F.col("_nf").alias("_nf_a")
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col("media_id").alias("id_b"), F.col("_nf").alias("_nf_b")
+            ),
+            "id_b",
+        )
+        .filter(
+            (F.col("_matched") == F.col("_nf_a"))
+            & (F.col("_matched") == F.col("_nf_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_matched").cast("long").alias("n_frames"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )

@@ -322,3 +322,283 @@ def q_yara(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("yara").alias("rule"))
         .orderBy("doc_id", "rule")
     )
+
+
+@register(
+    "geo_enrich_range_join",
+    """
+    WITH f AS (
+      SELECT event_id,
+             CAST((event_id * 1000003) % 4294967296 AS BIGINT) AS ip_num
+      FROM events
+    ),
+    dim AS (
+      SELECT CAST(k * 67108864 AS BIGINT) AS ip_lo,
+             CAST(k * 67108864 + 33554431 AS BIGINT) AS ip_hi,
+             'C' || CAST(k AS VARCHAR) AS country,
+             CAST(7000 + k AS BIGINT) AS as_number,
+             CASE k % 3 WHEN 0 THEN 'ARIN' WHEN 1 THEN 'RIPE'
+                        ELSE 'APNIC' END AS rir
+      FROM (SELECT unnest(range(64)) AS k)
+    )
+    SELECT f.event_id, f.ip_num, d.country, d.as_number, d.rir
+    FROM f LEFT JOIN dim d ON f.ip_num BETWEEN d.ip_lo AND d.ip_hi
+    ORDER BY event_id
+    """,
+)
+def q_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP/ASN/RIR enrichment under the driver (capture/db.c:267-340,
+    710-775 — the MaxMind lookup at session-save time): the dimension
+    is a numeric (ip_lo, ip_hi) range table and the lookup is served by
+    geo_enrich_bucketed — each range explodes to its /16 buckets, the
+    fact ip equi-joins on its own bucket with a residual range check, a
+    broadcast HASH join rather than the nested loop a raw theta join
+    degrades to (the 100 TB shape; the fact side never shuffles). The
+    fixture derives one synthetic ip per event and a 64-range dim by
+    pure arithmetic, so the oracle replays the lookup with a plain
+    BETWEEN join; half the address space is deliberately uncovered to
+    pin the left-join miss semantics (NULL enrich columns)."""
+    from moloch_spark.operators import geo as G
+
+    ev = load_table(spark, "events", sf_dir)
+    fact = ev.select(
+        "event_id",
+        ((F.col("event_id") * 1000003) % F.lit(4294967296)).alias("ip_num"),
+    )
+    dim = spark.createDataFrame(
+        [
+            (
+                k * 67108864,
+                k * 67108864 + 33554431,
+                f"C{k}",
+                7000 + k,
+                f"O{k}",
+                ("ARIN", "RIPE", "APNIC")[k % 3],
+            )
+            for k in range(64)
+        ],
+        "ip_lo long, ip_hi long, country string, as_number long, "
+        "as_org string, rir string",
+    )
+    return (
+        G.geo_enrich_bucketed(fact, dim, ip_num_col="ip_num")
+        .select("event_id", "ip_num", "country", "as_number", "rir")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "oui_enrich_mac_prefix",
+    """
+    WITH f AS (
+      SELECT event_id,
+             event_id % 4 AS b0, (event_id // 4) % 4 AS b1,
+             (event_id // 16) % 4 AS b2
+      FROM events
+    )
+    SELECT event_id,
+           printf('%02x:%02x:%02x:%02x:%02x:%02x',
+                  b0, b1, b2, event_id % 256, (event_id // 256) % 256, 1)
+             AS mac,
+           CASE WHEN (b0 + b1 + b2) % 2 = 0
+                THEN 'M' || CAST(b0 * 16 + b1 * 4 + b2 AS VARCHAR)
+                ELSE NULL END AS manufacturer
+    FROM f ORDER BY event_id
+    """,
+)
+def q_oui_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUI (MAC-prefix → manufacturer) enrichment under the driver
+    (capture/db.c's oui lookup on srcMac/dstMac): the dim is tiny by
+    nature (IEEE registry ~35k rows), so the lookup is one broadcast
+    equi-join on the normalized first-3-octet prefix — oui_enrich also
+    normalizes '-' separators and case, which the fixture exercises by
+    synthesizing UPPERCASE dash-separated MACs. Only half the 64
+    possible prefixes are registered in the dim, pinning left-join
+    misses; the oracle recomputes prefix and manufacturer from
+    event_id arithmetic alone."""
+    ev = load_table(spark, "events", sf_dir)
+    eid = F.col("event_id")
+    fact = ev.select(
+        "event_id",
+        F.upper(
+            F.format_string(
+                "%02x-%02x-%02x-%02x-%02x-%02x",
+                (eid % 4).cast("int"),
+                ((eid / 4).cast("long") % 4).cast("int"),
+                ((eid / 16).cast("long") % 4).cast("int"),
+                (eid % 256).cast("int"),
+                ((eid / 256).cast("long") % 256).cast("int"),
+                F.lit(1),
+            )
+        ).alias("mac"),
+    )
+    dim_rows = [
+        (f"{b0:02x}:{b1:02x}:{b2:02x}", f"M{b0 * 16 + b1 * 4 + b2}")
+        for b0 in range(4)
+        for b1 in range(4)
+        for b2 in range(4)
+        if (b0 + b1 + b2) % 2 == 0
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "mac_prefix string, manufacturer string"
+    )
+    return (
+        E.oui_enrich(fact, dim, mac_col="mac")
+        .select(
+            "event_id",
+            F.lower(F.regexp_replace(F.col("mac"), "-", ":")).alias("mac"),
+            "manufacturer",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "decode_pipeline_http_b64",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS decoded_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-pipeline (viewer decode.js stages) under the driver:
+    each document's text is wrapped as an HTTP response whose body is
+    the base64 of its bytes, and decode_pipeline(['http_body',
+    'base64']) must recover the original bytes exactly — byte length
+    and md5 are predicted by the oracle from the raw text column (the
+    gate-synthesis pattern: DuckDB never parses HTTP or base64; a
+    header split off by one byte or a padding bug changes every md5).
+    Both stages are JVM-side built-ins (instr/substring/unbase64) —
+    zero UDFs in this plan; the gzip/xor/MIME stages are pytest-pinned
+    (they need binary fixtures DuckDB cannot synthesize)."""
+    from moloch_spark.operators.decode import decode_pipeline
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+            F.base64(F.encode(F.col("text"), "UTF-8")),
+        ).alias("payload"),
+    )
+    decoded = decode_pipeline(wrapped, "payload", ["http_body", "base64"])
+    return decoded.select(
+        "doc_id",
+        F.length(F.col("payload")).cast("long").alias("byte_len"),
+        F.md5(F.col("payload")).alias("decoded_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "geo6_enrich_range_join",
+    """
+    WITH f AS (
+      SELECT event_id, event_id % 64 AS k,
+             printf('%x::%x', 8192 + event_id % 64, event_id % 65536) AS ip6
+      FROM events
+    )
+    SELECT event_id, ip6,
+           CASE WHEN k % 2 = 0 THEN 'C' || CAST(k AS VARCHAR)
+                ELSE NULL END AS country,
+           CASE WHEN k % 2 = 0 THEN CAST(7000 + k AS BIGINT)
+                ELSE NULL END AS as_number,
+           CASE WHEN k % 2 = 0 THEN
+             CASE k % 3 WHEN 0 THEN 'ARIN' WHEN 1 THEN 'RIPE'
+                        ELSE 'APNIC' END
+           ELSE NULL END AS rir
+    FROM f ORDER BY event_id
+    """,
+)
+def q_geo6_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IPv6 geo lookup under the driver (capture/db.c's v6 MaxMind
+    path): addresses compare as 32-char canonical hex (the same domain
+    expr.compiler uses, so store and query agree) and the lookup is
+    geo6_enrich_bucketed — dim ranges explode to their leading-4-hex
+    buckets, the fact side derives (bucket, hex) scan-side from the
+    STRING ip (exercising :: decompression in ip6_str_to_hex), hash
+    join, no nested loop. The fixture spreads events over 64 /16s
+    (first hextet 0x2000+k) with only even k registered; because a
+    /16 dim row covers its whole prefix, the oracle reduces to
+    event_id arithmetic — no hex replication in SQL."""
+    from moloch_spark.operators import geo as G
+
+    ev = load_table(spark, "events", sf_dir)
+    eid = F.col("event_id")
+    fact = ev.select(
+        "event_id",
+        F.format_string(
+            "%x::%x",
+            (F.lit(8192) + eid % 64).cast("int"),
+            (eid % 65536).cast("int"),
+        ).alias("ip6"),
+    )
+    dim = G.geo6_dim_from_cidrs(
+        spark,
+        [
+            (
+                f"{0x2000 + k:x}::/16",
+                f"C{k}",
+                7000 + k,
+                f"O{k}",
+                ("ARIN", "RIPE", "APNIC")[k % 3],
+            )
+            for k in range(0, 64, 2)
+        ],
+    )
+    return (
+        G.geo6_enrich_bucketed(fact, dim, ip_col="ip6")
+        .select("event_id", "ip6", "country", "as_number", "rir")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "reverse_dns_enrich",
+    """
+    WITH f AS (
+      SELECT event_id, event_id % 4 AS a, (event_id // 4) % 4 AS b
+      FROM events
+    )
+    SELECT event_id,
+           '10.' || CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR) || '.1'
+             AS ip,
+           CASE WHEN (a + b) % 2 = 0
+                THEN 'host-' || CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR)
+                ELSE NULL END AS rdns
+    FROM f ORDER BY event_id
+    """,
+)
+def q_reverse_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-DNS enrichment under the driver (viewer/apiMisc.js's
+    dns.reverse path): the Arrow-batched lookup UDF with its
+    per-executor result cache, driven by the injected dict resolver
+    (the deterministic form air-gapped runs use — a networked cluster
+    passes resolver=None for real PTR lookups through the same code).
+    16 distinct IPs across the whole events table make the cache the
+    hot path; half the IPs are unresolvable, pinning NULL misses. The
+    oracle recomputes ip and name from event_id arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    eid = F.col("event_id")
+    fact = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            (eid % 4).cast("string"),
+            F.lit("."),
+            ((eid / 4).cast("long") % 4).cast("string"),
+            F.lit(".1"),
+        ).alias("ip"),
+    )
+    resolver = {
+        f"10.{a}.{b}.1": f"host-{a}-{b}"
+        for a in range(4)
+        for b in range(4)
+        if (a + b) % 2 == 0
+    }
+    return (
+        E.reverse_dns(fact, ip_col="ip", resolver=resolver)
+        .select("event_id", "ip", "rdns")
+        .orderBy("event_id")
+    )

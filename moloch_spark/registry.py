@@ -41,62 +41,51 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# ROUND-8 rotation (the r7 verdict's ask #1 / the r7 ROUND-8 NOTE,
-# executed as written — there were no r7 reds):
-#   (a) gates NEW in r8 (driver-row them the round they land),
-#   (b) the 11-query r4 tail the r7 window cut at position 50 (incl.
-#       the three rows-only iterative-training gates),
-#   (c) the 50-query block whose latest row is r5 (next-oldest
-#       signal), in its r5 check order — with the four r8 gates in
-#       (a) the ~50 cap lands after 35 of them,
-#   (d) past the cap: the 15 remaining r5-rowed gates (the r9 head),
-#       then the r6/r7-rowed gates in registration order — all
+# ROUND-9 rotation (the r8 verdict's ask #1 / the r8 ROUND-9 NOTE,
+# executed as written — there were no r8 reds):
+#   (a) gates NEW in r9 (driver-row them the round they land),
+#   (b) the 15-gate r5 tail the r8 window cut at position 50,
+#   (c) the 50-query block whose latest row is r6 (next-oldest
+#       signal), in its r6 check order — with the eight r9 gates in
+#       (a) the ~50 cap lands after 27 of them,
+#   (d) past the cap: the 23 remaining r6-rowed gates (the r10 head),
+#       then the r7/r8-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
-# ROUND-9 NOTE: next head = any r8 reds, any new r9 gates, then the
-# 15-gate r5 tail of (d) (dedup_lsh_candidates, dedup_simhash, ann_pq_adc_topk,
-# ann_ivf_pq_topk, cron_forward_exactly_once, semdedup_prune,
-# chunk_documents_sliding, cms_ngram_counts, remove_duplicate_spans,
-# hunt_node_fanout, session_tag_update_prebuilt, c4_line_filter,
-# bm25_topk_indexed_search, ann_int8_topk, bm25_index_append_search),
-# then the oldest of the r6-rowed block. After r9 no query's latest
-# row should be older than r6.
+# ROUND-10 NOTE: next head = any r9 reds, any new r10 gates, then the
+# 23-gate r6 tail of (d) (sessionize_chunked_rootid,
+# sessionize_events_30m, sessionize_per_proto_timeouts,
+# smb_parse_fields, smtp_parse_fields, ssh_hassh_fields,
+# suricata_interval_join, tls_ja3_fields, tpch_q10_returned_items,
+# tpch_q11_important_stock, tpch_q12_shipmode_priority,
+# tpch_q13_order_distribution, tpch_q14_promo_effect,
+# tpch_q15_top_supplier, tpch_q16_supplier_cnt,
+# tpch_q17_small_qty_revenue, tpch_q18_large_orders,
+# tpch_q2_min_cost_supplier, tpch_q4_priority_exists,
+# tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
+# tpch_q8_market_share, tpch_q9_product_profit), then the oldest of
+# the r7-rowed block. After r10 no query's latest row should be older
+# than r7.
 _CHECK_PRIORITY = (
-    # --- (a) new in r8 ---
-    "knn_label_vote_indexed",   # labeler served from the persisted
-                                # labeled-row IVF+SQ8 index (r7 ask #2)
-    "bm25_alias_rebuild_serve",  # alias paved-road lifecycle under the
-                                 # driver (r7 ask #3)
-    "image_dhash_dedup",         # perceptual-hash image dedup over the
-                                 # real PNG decode path
-    "audio_fingerprint_dedup",   # acoustic-fingerprint dedup over the
-                                 # real WAV decode path
-    # --- (b) the 11-gate r4 tail the r7 window cut ---
-    "bm25_topk_search",
-    "bpe_train_and_apply", "quality_classifier_filter", "ppl_lang_buckets",
-    "embedding_pca_whiten", "pq_encode_codes", "ccnet_pipeline_e2e",
-    "warc_ingest_roundtrip", "hybrid_rrf_search", "hunt_job_control",
-    "streaming_state_cap",
-    # --- (c) latest driver row is r5 (35 here; the cap lands exactly
-    #     after them — the 15-gate r5 tail is in (d) below) ---
-    "tpch_q1_pricing_summary", "sessions_search_events",
-    "timeline_events_hourly", "timeline_events_dense",
-    "cardinality_fields", "multiunique_user_event", "spiview_events",
-    "spigraph_sum_metric_rank", "spigraph_event_type_daily",
-    "spigraph_hierarchy_orders", "connections_nation_graph",
-    "connections_baseline_events", "expr_bool_and_list",
-    "expr_ne_null_semantics", "expr_wildcard_date_range",
-    "expr_textfield_phrase", "expr_shortcut_semijoin",
-    "connections_components", "session_tag_update",
-    "multies_scatter_gather", "dstats_derived_rates",
-    "sessions_page_offset", "curate_split_assign",
-    "curate_global_shuffle", "curate_pack_sequences",
-    "curate_weighted_sample", "enrich_region_rollup", "drophash_filter",
-    "asof_feed_enrich", "text_stats", "lang_id", "token_counts",
-    "doc_fingerprint", "dedup_exact", "dedup_minhash_signatures",
-    # --- (d) past the ~50 cap: the 15-gate r5 tail (next head per the
-    #     ROUND-9 NOTE); unlisted gates (all r6/r7-rowed) follow in
-    #     registration order. ---
+    # --- (a) new in r9 ---
+    "multimodal_near_dup",        # banded-Hamming near-dup matching
+                                  # across image/audio/video (r8 ask #2)
+    "ann_alias_rebuild_serve",    # ANN alias lifecycle incl. vacuum +
+                                  # orphan sweep under the driver
+                                  # (r8 asks #3/#8)
+    "decontaminate_semantic_lsh",  # the beyond-broadcast decontam
+                                   # route, LSH-replay oracle (r8 ask #6)
+    "geo_enrich_range_join",      # MaxMind-style lookup via the
+                                  # bucketed range join (was pytest-only)
+    "oui_enrich_mac_prefix",      # OUI prefix broadcast join
+                                  # (was pytest-only)
+    "decode_pipeline_http_b64",   # http_body+base64 decode stages
+                                  # (was pytest-only)
+    "geo6_enrich_range_join",     # v6 hex-range bucketed lookup
+                                  # (was pytest-only)
+    "reverse_dns_enrich",         # cached PTR-lookup UDF with injected
+                                  # resolver (was pytest-only)
+    # --- (b) the 15-gate r5 tail the r8 window cut ---
     "dedup_lsh_candidates", "dedup_simhash", "ann_pq_adc_topk",
     "ann_ivf_pq_topk", "cron_forward_exactly_once", "semdedup_prune",
     "chunk_documents_sliding", "cms_ngram_counts",
@@ -104,6 +93,35 @@ _CHECK_PRIORITY = (
     "session_tag_update_prebuilt", "c4_line_filter",
     "bm25_topk_indexed_search", "ann_int8_topk",
     "bm25_index_append_search",
+    # --- (c) latest driver row is r6 (27 here, in r6 check order; the
+    #     cap lands exactly after them — the 23-gate r6 tail is in (d)
+    #     below) ---
+    "ann_ivf_int8_topk", "hybrid_rrf_indexed",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "unique_autocomplete", "unique_event_type", "unique_pair_user_type",
+    "wise_feed_enrich", "ann_brute_force_topk", "ann_ivf_topk",
+    "ann_lsh_bucketed_topk", "corpus_ngram_stats", "cron_query_tick",
+    "decontaminate_ngrams", "dedup_semantic_clusters",
+    "dns_parse_fields", "expr_sessions_store_search",
+    "frame_decode_roundtrip", "http_parse_fields",
+    "hunt_ascii_and_regex", "misc_parse_fields", "multimodal_features",
+    "pcap_export_sessions", "pcap_packet_positions", "rules_tagging",
+    "session_segments_merge", "session_store_bounded_either",
+    # --- (d) past the ~50 cap: the 23-gate r6 tail (next head per the
+    #     ROUND-10 NOTE); unlisted gates (all r7/r8-rowed) follow in
+    #     registration order. ---
+    "sessionize_chunked_rootid", "sessionize_events_30m",
+    "sessionize_per_proto_timeouts", "smb_parse_fields",
+    "smtp_parse_fields",
+    "ssh_hassh_fields", "suricata_interval_join", "tls_ja3_fields",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority", "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit",
 )
 
 

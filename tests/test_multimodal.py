@@ -273,3 +273,63 @@ def test_audio_fingerprint_matches_numpy_reference(spark):
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     got = {r.media_id: r.afp for r in M.audio_fingerprint(media).collect()}
     assert got == want
+
+
+def test_video_near_dup_clips_full_match_semantics(spark):
+    """Clip-level pairing (the multimodal_near_dup gate's video leg):
+    a pair survives only when EVERY frame of BOTH clips matches at
+    <= max_hamming — a re-encoded copy pairs, a clip sharing a prefix
+    but longer does not, one divergent frame kills the pair, and the
+    frame_index key stops frame 0 of A matching frame 1 of B."""
+    base = [
+        ((np.indices((8, 16)).sum(axis=0) + k) % 2 * 255).astype(np.uint8)
+        for k in range(3)
+    ]
+    one_off = [base[0], base[1], 255 - base[2]]   # last frame differs
+    media = spark.createDataFrame(
+        [
+            (0, "video", MC.y4m_encode(base), None),
+            (1, "video", MC.y4m_encode(base), None),       # re-encode
+            (2, "video", MC.y4m_encode(base + [base[0]]), None),  # longer
+            (3, "video", MC.y4m_encode(one_off), None),
+            # frames shifted by one position: same hash SET, different
+            # per-index alignment — must NOT pair with 0/1
+            (4, "video", MC.y4m_encode(base[1:] + base[:1]), None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r.id_a, r.id_b): (r.n_frames, r.hamming)
+        for r in M.video_near_dup_clips(
+            M.video_frame_dhash(media, every_n=1)
+        ).collect()
+    }
+    assert pairs == {(0, 1): (3, 0)}
+
+
+def test_near_dup_synth_siblings_signature_identical(spark):
+    """The multimodal_near_dup gate's planted transforms really are
+    signature-exact: a 2x-scaled striped PNG dHashes identically to
+    the original, and a gain=2 WAV fingerprints identically (doubling
+    int16 samples is exact, so every energy comparison is unchanged)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 3, 77, 260, 511)], ["doc_id"]
+    )
+    h1 = {r.media_id: r.dhash
+          for r in M.image_dhash(M.synth_striped_png_media(docs)).collect()}
+    h2 = {r.media_id: r.dhash
+          for r in M.image_dhash(
+              M.synth_striped_png_media(docs, scale=2)
+          ).collect()}
+    assert h1 == h2 and all(v is not None for v in h1.values())
+    a1 = {r.media_id: r.afp
+          for r in M.audio_fingerprint(
+              M.synth_patterned_wav_media(docs)
+          ).collect()}
+    a2 = {r.media_id: r.afp
+          for r in M.audio_fingerprint(
+              M.synth_patterned_wav_media(docs, gain=2)
+          ).collect()}
+    assert a1 == a2 and all(v is not None for v in a1.values())
+    with pytest.raises(ValueError):
+        M.synth_patterned_wav_media(docs, gain=5)

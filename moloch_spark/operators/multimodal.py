@@ -797,7 +797,8 @@ def video_frame_dhash(
                 20,
             )
             + F.assert_true(
-                F.col("frame_index") < F.lit(1 << 20),
+                (F.col("frame_index") >= 0)
+                & (F.col("frame_index") < F.lit(1 << 20)),
                 "video_frame_dhash: frame_index out of the 2^20 "
                 "composite-id range",
             ).isNull().cast("long") * F.lit(0)
@@ -916,15 +917,18 @@ def video_near_dup_clips(
     BOTH clips matched at <= max_hamming — same-length clips
     near-identical frame-for-frame, the re-encoded/re-containered copy
     case. Emits (id_a, id_b, n_frames, hamming = Σ per-frame
-    distances), id_a < id_b.
+    distances), id_a < id_b. A NULL-hash (undecodable) frame counts
+    toward its clip's length but can never match, so a clip with one
+    undecodable frame pairs with NOTHING — a near-dup verdict must
+    not silently pass frames it could not decode (the same policy as
+    hash_dup_groups' NULL handling, in the conservative direction a
+    PAIR claim needs).
 
     Scale shape: only (id, frame_index, hash64) rows shuffle — frame
     pixel bytes never move; the per-pair aggregation is bounded by
     matched frame pairs, never clips²."""
-    counts = (
-        frame_hashes.filter(F.col("dhash64").isNotNull())
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("_nf"))
+    counts = frame_hashes.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("_nf")
     )
     per_frame = banded_hamming_pairs(
         frame_hashes,

@@ -424,10 +424,11 @@ def q_oui_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string(
                 "%02x-%02x-%02x-%02x-%02x-%02x",
                 (eid % 4).cast("int"),
-                ((eid / 4).cast("long") % 4).cast("int"),
-                ((eid / 16).cast("long") % 4).cast("int"),
+                # shiftright, not double division: exact above 2^53
+                (F.shiftright(eid, 2) % 4).cast("int"),
+                (F.shiftright(eid, 4) % 4).cast("int"),
                 (eid % 256).cast("int"),
-                ((eid / 256).cast("long") % 256).cast("int"),
+                (F.shiftright(eid, 8) % 256).cast("int"),
                 F.lit(1),
             )
         ).alias("mac"),
@@ -587,7 +588,8 @@ def q_reverse_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("10."),
             (eid % 4).cast("string"),
             F.lit("."),
-            ((eid / 4).cast("long") % 4).cast("string"),
+            # shiftright, not double division: exact above 2^53
+            (F.shiftright(eid, 2) % 4).cast("string"),
             F.lit(".1"),
         ).alias("ip"),
     )

@@ -20,6 +20,24 @@ from moloch_spark.operators import text as TX
 from moloch_spark.registry import register
 from moloch_spark.sources.tables import load_table, load_table_spread
 
+def _fixture_prefix(tag: str, sf_dir: str) -> str:
+    """Catalog-safe durable-fixture table prefix for (tag, sf_dir) —
+    the ONE naming scheme every memoized index fixture uses (three
+    families share it; diverging copies would split sweep/memoization
+    behavior). Carries md5(sf_dir)[:8] so two sf_dirs that SANITIZE
+    identically ('data/sf0.1' vs 'data/sf0_1') can never share
+    tables."""
+    import hashlib
+    import re
+
+    return (
+        f"{tag}_"
+        + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (token/shingle conventions identical to operators.text)
 # ---------------------------------------------------------------------------
@@ -1153,8 +1171,6 @@ def _ann_alias_index(spark: SparkSession, sf_dir: str) -> str:
     runs over the family pattern — both maintenance passes must leave
     the live generation untouched or the serve below hash-diverges.
     Returns the ALIAS path; memoized per (process, sf_dir)."""
-    import hashlib
-    import re
     import tempfile
 
     from moloch_spark.fixture_cache import memoized_fixture
@@ -1165,12 +1181,7 @@ def _ann_alias_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def build() -> str:
-        base = (
-            "annal_"
-            + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-            + "_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        )
+        base = _fixture_prefix("annal", sf_dir)
         tmp = tempfile.mkdtemp(prefix="annal_")
         alias = f"{tmp}/idx.alias"
         emb = load_table(spark, "embeddings", sf_dir)
@@ -2484,19 +2495,12 @@ def _memoized_index(
     recording the key (see fixture_cache), so no poisoned entry
     survives — the ADVICE r7 awaitTermination fix closes the one path
     that could "succeed" partially."""
-    import hashlib
-    import re
     import tempfile
 
     from moloch_spark.fixture_cache import memoized_fixture
 
     def _build() -> str:
-        prefix = (
-            f"{tag}_"
-            + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-            + "_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        )
+        prefix = _fixture_prefix(tag, sf_dir)
         build(prefix, tempfile.mkdtemp(prefix=f"{tag}_") + "/t")
         return prefix
 
@@ -2517,8 +2521,6 @@ def _bm25_alias_index(spark: SparkSession, sf_dir: str) -> str:
     generation prefix and swaps the alias — the paved-road lifecycle.
     Returns the ALIAS path (not a prefix); the gate serves through it.
     Memoized per (process, sf_dir) like _memoized_index."""
-    import hashlib
-    import re
     import tempfile
 
     from moloch_spark.fixture_cache import memoized_fixture
@@ -2526,12 +2528,7 @@ def _bm25_alias_index(spark: SparkSession, sf_dir: str) -> str:
     from moloch_spark.sources.alias import resolve_index_alias
 
     def build() -> str:
-        base = (
-            "bm25al_"
-            + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-            + "_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        )
+        base = _fixture_prefix("bm25al", sf_dir)
         tmp = tempfile.mkdtemp(prefix="bm25al_")
         alias = f"{tmp}/idx.alias"
         docs = load_table_spread(spark, "documents", sf_dir)

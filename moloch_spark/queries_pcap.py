@@ -1174,3 +1174,286 @@ def q_misc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_misc_df(wire).select("doc_id", "tds_user", "rdp_user").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# packet-layer session assembly gates (operators.packets — was pytest-only)
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 40
+
+
+@register(
+    "tcp_reassembly_sessions",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 AND n > {_SEG_LEN}
+                  THEN substr(text, 1, {_SEG_LEN}) || substr(text, {2 * _SEG_LEN + 1})
+                  ELSE text END AS payload,
+             CAST(CEIL(n / {_SEG_LEN}.0) AS BIGINT)
+               - CASE WHEN doc_id % 5 = 0 AND n > {_SEG_LEN} THEN 1 ELSE 0 END
+               AS segments,
+             (doc_id % 5 = 0 AND n > {2 * _SEG_LEN}) AS acked_unseen_segment
+      FROM d)
+    SELECT doc_id AS session_id, md5(payload) AS payload_md5,
+           CAST(length(payload) AS BIGINT) AS payload_len,
+           segments, acked_unseen_segment
+    FROM r ORDER BY session_id
+    """,
+)
+def q_tcp_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TCP stream reassembly under the driver (parsers/tcp.c's
+    seq-ordered segment concatenation + acked-unseen-segment tag):
+    each document becomes a session whose text arrives as 40-char
+    segments; every fifth session LOSES its second segment, so the
+    reassembler must both stitch the rest in seq order AND flag the
+    hole (next seq > prev seq + prev length). Only order-independent
+    outputs are gated (payload md5/length, segment count, gap flag) —
+    the out_of_order flag depends on physical arrival order, which no
+    deterministic oracle can predict, and stays pytest-pinned. One
+    shuffle on the session key; payload bytes move once."""
+    from moloch_spark.operators.packets import reassemble_tcp
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_seg = F.ceil(F.length("text") / F.lit(float(_SEG_LEN))).cast("int")
+    segs = docs.select(
+        F.col("doc_id").alias("session_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.substring(
+                    F.col("text"), i * _SEG_LEN + 1, _SEG_LEN
+                ),
+            )
+        ).alias("pos", "payload"),
+    ).filter(
+        ~((F.col("session_id") % 5 == 0) & (F.col("pos") == 1))
+    ).select(
+        "session_id",
+        (F.lit(1000) + F.col("pos") * _SEG_LEN).alias("tcp_seq"),
+        "payload",
+    )
+    out = reassemble_tcp(segs, session_col="session_id")
+    return out.select(
+        "session_id",
+        F.md5(F.encode(F.col("payload"), "UTF-8")).alias("payload_md5"),
+        F.length("payload").cast("long").alias("payload_len"),
+        "segments",
+        "acked_unseen_segment",
+    ).orderBy("session_id")
+
+
+@register(
+    "ip_frag_reassembly",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n,
+                      CAST(CEIL(length(text) / {_SEG_LEN}.0) AS BIGINT) AS nseg
+               FROM documents),
+    r AS (
+      SELECT doc_id, n, nseg,
+             (doc_id % 7 = 0 AND nseg > 2) AS gapped,
+             (doc_id % 7 <> 0 AND doc_id % 11 = 0) AS tail_dropped
+      FROM d),
+    p AS (
+      SELECT doc_id,
+             CASE WHEN gapped
+                  THEN substr(text, 1, {_SEG_LEN}) || substr(text, {2 * _SEG_LEN + 1})
+                  WHEN tail_dropped
+                  THEN substr(text, 1, CAST((nseg - 1) * {_SEG_LEN} AS INT))
+                  ELSE text END AS payload,
+             nseg - CASE WHEN gapped OR tail_dropped THEN 1 ELSE 0 END
+               AS fragments,
+             NOT (gapped OR tail_dropped) AS complete
+      FROM r JOIN d USING (doc_id, nseg))
+    SELECT doc_id AS frag_id, md5(payload) AS payload_md5,
+           CAST(fragments AS BIGINT) AS fragments, complete
+    FROM p ORDER BY frag_id
+    """,
+)
+def q_ip_frag_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP fragment reassembly under the driver (capture/packet.c:
+    474-634): each document's text arrives as 40-byte fragments with
+    byte offsets and MF set on all but the last. Every 7th datagram
+    (when long enough) loses a MIDDLE fragment — offsets no longer
+    tile, complete=false by the hole rule; every 11th (not also 7th)
+    loses its LAST fragment — the remaining tail still has MF=1,
+    complete=false by the last-not-MF rule. Both failure modes plus
+    the happy path are predicted by length arithmetic alone."""
+    from moloch_spark.operators.packets import reassemble_fragments
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_seg = F.ceil(F.length("text") / F.lit(float(_SEG_LEN))).cast("int")
+    frags = docs.select(
+        F.col("doc_id").alias("frag_id"),
+        n_seg.alias("_nseg"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.substring(
+                    F.col("text"), i * _SEG_LEN + 1, _SEG_LEN
+                ),
+            )
+        ).alias("pos", "payload"),
+    )
+    gapped = (F.col("frag_id") % 7 == 0) & (F.col("_nseg") > 2)
+    tail_dropped = (F.col("frag_id") % 7 != 0) & (F.col("frag_id") % 11 == 0)
+    frags = frags.filter(
+        ~(gapped & (F.col("pos") == 1))
+        & ~(tail_dropped & (F.col("pos") == F.col("_nseg") - 1))
+    ).select(
+        "frag_id",
+        (F.col("pos") * _SEG_LEN).alias("frag_offset"),
+        "payload",
+        (F.col("pos") < F.col("_nseg") - 1).alias("more_fragments"),
+    )
+    out = reassemble_fragments(frags, frag_key_cols=("frag_id",))
+    return out.select(
+        "frag_id",
+        F.md5(F.encode(F.col("payload"), "UTF-8")).alias("payload_md5"),
+        "fragments",
+        "complete",
+    ).orderBy("frag_id")
+
+
+@register(
+    "classify_first_bytes_sessions",
+    """
+    WITH d AS (
+      SELECT doc_id, text, doc_id % 5 AS v,
+             CASE doc_id % 5
+               WHEN 0 THEN 'GET /' WHEN 1 THEN 'SSH-2'
+               WHEN 2 THEN 'EHLO ' WHEN 3 THEN chr(22) || chr(3) || 'abc'
+               ELSE 'zzzzz' END AS pre
+      FROM documents),
+    s AS (SELECT doc_id, v, pre || text AS src_payload,
+                 'HTTP/' || text AS dst_payload,
+                 CASE WHEN v = 4 THEN 53 ELSE 9999 END AS port
+          FROM d)
+    SELECT doc_id AS session_id,
+           CASE v WHEN 0 THEN 'http' WHEN 1 THEN 'ssh' WHEN 2 THEN 'smtp'
+                  WHEN 3 THEN 'tls' ELSE 'dns' END AS proto,
+           lower(hex(encode(substr(src_payload, 1, 8)))) AS src_payload8,
+           lower(hex(encode(substr(dst_payload, 1, 8)))) AS dst_payload8
+    FROM s ORDER BY session_id
+    """,
+)
+def q_classify_first_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol classification + first-N payload capture under the
+    driver (parsers.c magic-prefix dispatch with per-port fallback;
+    capture/db.c srcPayload8/dstPayload8 hex): each document becomes a
+    two-direction session whose source payload opens with a
+    doc-derived protocol prefix (GET/SSH-/EHLO/0x16 0x03 TLS, plus a
+    magic-less case that must fall through to the port-53 dns rule),
+    and the session's first 8 payload chars per direction emit as
+    hex. The whole plan is codegen (when-chain + min_by + hex) — zero
+    UDFs."""
+    from moloch_spark.operators.packets import classify_protocol, first_bytes
+
+    docs = load_table(spark, "documents", sf_dir)
+    v = F.col("doc_id") % 5
+    pre = (
+        F.when(v == 0, F.lit("GET /"))
+        .when(v == 1, F.lit("SSH-2"))
+        .when(v == 2, F.lit("EHLO "))
+        .when(v == 3, F.concat(F.lit("\x16\x03"), F.lit("abc")))
+        .otherwise(F.lit("zzzzz"))
+    )
+    base = docs.select(
+        F.col("doc_id").alias("session_id"),
+        F.concat(pre, F.col("text")).alias("src_payload"),
+        F.concat(F.lit("HTTP/"), F.col("text")).alias("dst_payload"),
+        F.when(v == 4, F.lit(53)).otherwise(F.lit(9999)).alias("port"),
+    )
+    segs = base.select(
+        "session_id",
+        F.lit(0).alias("direction"),
+        F.lit(1).alias("tcp_seq"),
+        F.col("src_payload").alias("payload"),
+    ).unionByName(
+        base.select(
+            "session_id",
+            F.lit(1).alias("direction"),
+            F.lit(2).alias("tcp_seq"),
+            F.col("dst_payload").alias("payload"),
+        )
+    )
+    fb = first_bytes(segs, session_col="session_id")
+    proto = base.select(
+        "session_id",
+        classify_protocol(
+            F.col("port"), F.substring("src_payload", 1, 8)
+        ).alias("proto"),
+    )
+    return (
+        proto.join(fb, "session_id")
+        .select("session_id", "proto", "src_payload8", "dst_payload8")
+        .orderBy("session_id")
+    )
+
+
+@register(
+    "tcp_handshake_rtt_sessions",
+    """
+    WITH e AS (
+      SELECT event_id AS k,
+             (event_id % 13 = 0) AS synack_omitted,
+             (event_id % 13 <> 0 AND event_id % 17 = 0) AS syn_omitted
+      FROM events
+    )
+    SELECT k AS session_id,
+           CASE WHEN syn_omitted THEN NULL ELSE CAST(0 AS BIGINT) END AS syn_us,
+           CASE WHEN synack_omitted THEN NULL
+                ELSE CAST(100 + k % 500 AS BIGINT) END AS synack_us,
+           CASE WHEN syn_omitted OR synack_omitted THEN NULL
+                ELSE CAST(100 + k % 500 AS BIGINT) END AS init_rtt_us,
+           CASE WHEN synack_omitted THEN NULL
+                ELSE CAST(50 + k % 200 AS BIGINT) END AS ack_delay_us,
+           CASE WHEN syn_omitted THEN 'no-syn'
+                WHEN synack_omitted THEN 'no-syn-ack'
+                ELSE '' END AS tags
+    FROM e ORDER BY session_id
+    """,
+)
+def q_tcp_handshake_rtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handshake timing under the driver (parsers/tcp.c synTime/
+    ackTime: initRTT = synAck − syn, ack delay = firstAck − synAck,
+    plus the no-syn / no-syn-ack half-open tags): each event becomes a
+    session with a SYN at t=0, a SYN-ACK at 100+k%500, the handshake
+    ACK 50+k%200 later — and every third session also carries a STRAY
+    ACK at t=5, which the post-syn-ack conditioning must ignore (a
+    naive min(ACK) would emit a negative delay). Every 13th session
+    drops its SYN-ACK (no-syn-ack; the ACK then has no anchor and the
+    delay is NULL), every 17th (not also 13th) drops its SYN (no-syn).
+    All timings are event_id arithmetic; the plan is conditional
+    aggregation + one same-key join, codegen end to end."""
+    from moloch_spark.operators.packets import tcp_handshake_rtt
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    synack_omitted = k % 13 == 0
+    syn_omitted = (k % 13 != 0) & (k % 17 == 0)
+
+    def rows(flt, ts, flags):
+        return ev.filter(flt).select(
+            k.alias("session_id"),
+            ts.cast("long").alias("ts_us"),
+            F.lit(flags).alias("tcp_flags"),
+        )
+
+    pkts = (
+        rows(~syn_omitted, F.lit(0), 0x02)
+        .unionByName(rows(~synack_omitted, F.lit(100) + k % 500, 0x12))
+        .unionByName(rows(F.lit(True), F.lit(150) + k % 500 + k % 200, 0x10))
+        .unionByName(rows(k % 3 == 0, F.lit(5), 0x10))
+    )
+    out = tcp_handshake_rtt(pkts)
+    return out.select(
+        "session_id",
+        "syn_us",
+        "synack_us",
+        "init_rtt_us",
+        "ack_delay_us",
+        F.array_join(F.col("tags"), ",").alias("tags"),
+    ).orderBy("session_id")

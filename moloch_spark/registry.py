@@ -46,14 +46,16 @@ def _load_registrants() -> None:
 #   (a) gates NEW in r9 (driver-row them the round they land),
 #   (b) the 15-gate r5 tail the r8 window cut at position 50,
 #   (c) the 50-query block whose latest row is r6 (next-oldest
-#       signal), in its r6 check order — with the eight r9 gates in
-#       (a) the ~50 cap lands after 27 of them,
-#   (d) past the cap: the 23 remaining r6-rowed gates (the r10 head),
+#       signal), in its r6 check order — with the twelve r9 gates in
+#       (a) the ~50 cap lands after 23 of them,
+#   (d) past the cap: the 27 remaining r6-rowed gates (the r10 head),
 #       then the r7/r8-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
 # ROUND-10 NOTE: next head = any r9 reds, any new r10 gates, then the
-# 23-gate r6 tail of (d) (sessionize_chunked_rootid,
+# 27-gate r6 tail of (d) (pcap_packet_positions, rules_tagging,
+# session_segments_merge,
+# session_store_bounded_either, sessionize_chunked_rootid,
 # sessionize_events_30m, sessionize_per_proto_timeouts,
 # smb_parse_fields, smtp_parse_fields, ssh_hassh_fields,
 # suricata_interval_join, tls_ja3_fields, tpch_q10_returned_items,
@@ -85,6 +87,15 @@ _CHECK_PRIORITY = (
                                   # (was pytest-only)
     "reverse_dns_enrich",         # cached PTR-lookup UDF with injected
                                   # resolver (was pytest-only)
+    "tcp_reassembly_sessions",    # seq-ordered stitch + gap tag
+                                  # (was pytest-only)
+    "ip_frag_reassembly",         # offset tiling + MF completeness
+                                  # (was pytest-only)
+    "classify_first_bytes_sessions",  # magic/port dispatch +
+                                      # srcPayload8/dstPayload8
+                                      # (was pytest-only)
+    "tcp_handshake_rtt_sessions",     # initRTT/ack-delay + half-open
+                                      # tags (was pytest-only)
     # --- (b) the 15-gate r5 tail the r8 window cut ---
     "dedup_lsh_candidates", "dedup_simhash", "ann_pq_adc_topk",
     "ann_ivf_pq_topk", "cron_forward_exactly_once", "semdedup_prune",
@@ -93,8 +104,8 @@ _CHECK_PRIORITY = (
     "session_tag_update_prebuilt", "c4_line_filter",
     "bm25_topk_indexed_search", "ann_int8_topk",
     "bm25_index_append_search",
-    # --- (c) latest driver row is r6 (27 here, in r6 check order; the
-    #     cap lands exactly after them — the 23-gate r6 tail is in (d)
+    # --- (c) latest driver row is r6 (23 here, in r6 check order; the
+    #     cap lands exactly after them — the 27-gate r6 tail is in (d)
     #     below) ---
     "ann_ivf_int8_topk", "hybrid_rrf_indexed",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
@@ -105,11 +116,12 @@ _CHECK_PRIORITY = (
     "dns_parse_fields", "expr_sessions_store_search",
     "frame_decode_roundtrip", "http_parse_fields",
     "hunt_ascii_and_regex", "misc_parse_fields", "multimodal_features",
-    "pcap_export_sessions", "pcap_packet_positions", "rules_tagging",
-    "session_segments_merge", "session_store_bounded_either",
-    # --- (d) past the ~50 cap: the 23-gate r6 tail (next head per the
+    "pcap_export_sessions",
+    # --- (d) past the ~50 cap: the 27-gate r6 tail (next head per the
     #     ROUND-10 NOTE); unlisted gates (all r7/r8-rowed) follow in
     #     registration order. ---
+    "pcap_packet_positions", "rules_tagging",
+    "session_segments_merge", "session_store_bounded_either",
     "sessionize_chunked_rootid", "sessionize_events_30m",
     "sessionize_per_proto_timeouts", "smb_parse_fields",
     "smtp_parse_fields",

@@ -265,34 +265,46 @@ def sweep_orphan_index_generations(
         known |= {h["prefix"] for h in body.get("superseded", [])}
     pat = f"{table_prefix}_g"
     gens: set[str] = set()
+    present: dict[str, set[str]] = {}
     for t in spark.catalog.listTables():
         name = t.name
         if not name.startswith(pat):
             continue
         for suffix in tables:
             if name.endswith(f"_{suffix}"):
-                gens.add(name[: -len(suffix) - 1])
+                prefix = name[: -len(suffix) - 1]
+                gens.add(prefix)
+                present.setdefault(prefix, set()).add(suffix)
                 break
     reclaimed = []
     for prefix in sorted(gens - known):
         # age on the NEWEST activity across the whole family: one
         # young table means the build may still be writing, even if
-        # an earlier table has already aged past retain_s
+        # an earlier table has already aged past retain_s. Tables the
+        # catalog scan did NOT list were never written (crashed-early
+        # build) and legitimately don't gate the age; for a LISTED
+        # table, a failed DESCRIBE or mtime probe is an UNAGEABLE
+        # table, not a missing one — treat it as "possibly just
+        # written" so the family is deferred, never dropped blind
+        # (conflating the two is the fail-unsafe branch this sweep
+        # exists to avoid).
         ages: list[float] = []
         for t in tables:
+            if t not in present.get(prefix, set()):
+                continue  # never written: other tables gate the age
             loc = _table_location(spark, f"{prefix}_{t}")
             if loc is None:
-                continue  # table never written (crashed early) or
-                # DESCRIBE failed — other tables still gate the age
+                ages.append(float("-inf"))  # DESCRIBE failed on an
+                # existing table: unageable, protect the family
+                continue
             try:
                 dfs, dp = get_fs(loc, spark)
                 ages.append(_now(dfs, dp) - dfs.mtime(dp))
             except Exception:
-                ages.append(float("-inf"))  # unageable table: treat
-                # as "possibly just written" so the family is kept
+                ages.append(float("-inf"))  # unageable mtime: ditto
         if not ages:
-            continue  # nothing resolvable: defer to the next sweep,
-            # never drop blind (fail-safe, not fail-unsafe)
+            continue  # nothing listed resolvable: defer to the next
+            # sweep (fail-safe, not fail-unsafe)
         if min(ages) < retain_s:
             continue  # possibly a build in flight: protected
         if not dry_run:

@@ -578,3 +578,55 @@ def test_alias_lifecycle_randomized_model_check(tmp_path, seed):
             assert vacuum_index_alias(a, None, (), retain_s=0) == want
             history = [p for p in history if p == current]
         check()
+
+
+def test_sweep_orphan_partial_describe_failure_defers(spark, tmp_path, monkeypatch):
+    """A failed DESCRIBE on an EXISTING table is 'unageable', not
+    'never written': when the codes table has aged past retain_s but
+    the model table's location probe fails transiently, the family
+    must be deferred — dropping it would delete a finishing build
+    (the partial-probe variant of the all-failed case)."""
+    import os
+    import time as _time
+
+    from moloch_spark.operators import similarity as S
+    from moloch_spark.sources import alias as A
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0] + [0.0] * 62) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    a = str(tmp_path / "o.alias")
+    fam = ("codes", "model")
+    g1 = orphan = None
+    try:
+        g1 = S.build_ann_index(spark, emb, "t_pdffam", str(tmp_path / "f"),
+                               alias_path=a)
+        orphan = S.build_ann_index(
+            spark, emb, "t_pdffam_ghalf00", str(tmp_path / "f_ghalf00")
+        )
+        old = _time.time() - 7200
+        for t in fam:
+            os.utime(str(tmp_path / f"f_ghalf00_{t}"), (old, old))
+        real = A._table_location
+
+        def flaky(spark_, table):
+            if table.endswith("_model"):
+                return None  # DESCRIBE transiently failed
+            return real(spark_, table)
+
+        monkeypatch.setattr(A, "_table_location", flaky)
+        assert A.sweep_orphan_index_generations(
+            spark, a, "t_pdffam", fam, retain_s=0
+        ) == []
+        assert spark.catalog.tableExists(f"{orphan}_codes")
+        # probe recovers: now genuinely aged on every table -> reclaimed
+        monkeypatch.setattr(A, "_table_location", real)
+        assert A.sweep_orphan_index_generations(
+            spark, a, "t_pdffam", fam, retain_s=3600
+        ) == [orphan]
+    finally:
+        for p in (g1, orphan):
+            if p:
+                for t in fam:
+                    spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

@@ -1182,15 +1182,24 @@ def test_manifest_lock_chaos_mutual_exclusion(tmp_path, seed):
     long (steal-forfeited) hold look short, so its legitimate steal
     samples as overlap. That needs a >TTL/2 stall on one bytecode
     span — observed about once per thousand loaded full-suite runs,
-    never standalone; a genuine mutual-exclusion bug fails both
-    attempts deterministically."""
+    never standalone. Trade-off (accepted, documented): the retry
+    halves sensitivity to PROBABILISTIC regressions (a p=0.3 race now
+    escapes a given run with ~0.49 instead of 0.7) — the randomized
+    lifecycle model checks and the deterministic interference tests
+    carry that class; when both attempts fail, the second raise is
+    CHAINED from the first so neither run's diagnostics are lost."""
+    first: AssertionError | None = None
     for attempt_seed in (seed, seed + 1000):
         try:
             _chaos_mutual_exclusion_attempt(tmp_path, attempt_seed)
             return
-        except AssertionError:
-            if attempt_seed != seed:
-                raise
+        except AssertionError as e:
+            if first is not None:
+                raise AssertionError(
+                    f"both chaos attempts failed (seeds {seed}, "
+                    f"{attempt_seed}); first: {first}"
+                ) from e
+            first = e
             import shutil
 
             shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)

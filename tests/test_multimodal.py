@@ -333,3 +333,24 @@ def test_near_dup_synth_siblings_signature_identical(spark):
     assert a1 == a2 and all(v is not None for v in a1.values())
     with pytest.raises(ValueError):
         M.synth_patterned_wav_media(docs, gain=5)
+
+
+def test_video_near_dup_clips_null_frames_block_pairing(spark):
+    """An undecodable (NULL-hash) frame counts toward its clip's
+    length but can never match, so clips with NULL frames pair with
+    NOTHING — a near-dup claim must not silently pass frames it could
+    not decode, even when both clips are undecodable at the same
+    index."""
+    rows = []
+    for mid in (0, 1):          # identical except frame 1 is NULL
+        rows += [(mid, 0, 7), (mid, 1, None), (mid, 2, 9)]
+    for mid in (2, 3):          # fully decodable identical clips
+        rows += [(mid, 0, 7), (mid, 1, 8), (mid, 2, 9)]
+    fh = spark.createDataFrame(
+        rows, "media_id long, frame_index long, dhash64 long"
+    )
+    pairs = {
+        (r.id_a, r.id_b): (r.n_frames, r.hamming)
+        for r in M.video_near_dup_clips(fh).collect()
+    }
+    assert pairs == {(2, 3): (3, 0)}

@@ -673,3 +673,132 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("nation").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# expression-compiler gates: CIDR / ip:port fanout and relative-date
+# snapping (expr/compiler.py:474-591, expr/dates.py — was pytest-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expr_cidr_ip_port_fanout",
+    """
+    WITH f AS (
+      SELECT event_id,
+             event_id % 16 AS a, (event_id // 16) % 250 AS b,
+             1000 + event_id % 2000 AS src_port,
+             event_id % 2 = 0 AS even
+      FROM events
+    )
+    SELECT event_id,
+           '10.' || CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR) || '.1'
+             AS src_ip,
+           CAST(src_port AS BIGINT) AS src_port,
+           CASE WHEN even
+                THEN '172.16.' || CAST(a AS VARCHAR) || '.2'
+                ELSE '192.168.' || CAST(b AS VARCHAR) || '.2' END AS dst_ip
+    FROM f
+    WHERE a <> 3
+      AND (even OR (b BETWEEN 200 AND 207))
+      AND src_port <> 2999
+    ORDER BY event_id
+    """,
+)
+def q_expr_cidr_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ip expression kind under the driver (molochparser.jison:
+    144-293 / expr/compiler.py:474-591): one expression exercising the
+    `ip` pseudo-field REGEX FANOUT over src+dst, /8 and dotted-prefix
+    CIDR shorthand ("10.3" => /16), CIDR negation, an OR of two dst
+    ranges, and the bare-:port form against the paired port column.
+    The fields carry companion NUMERIC columns (num_field), so every
+    CIDR compiles to plain long range predicates — sortable,
+    row-group-stats-skippable, the SURVEY §4 store shape. The oracle
+    replays the surviving predicate as event_id arithmetic."""
+    import datetime as dt
+
+    from moloch_spark.catalog import Field, FieldCatalog
+    from moloch_spark.expr.compiler import CompileContext, compile_expression
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    a = k % 16
+    b = F.shiftright(k, 4) % 250
+    even = k % 2 == 0
+    fact = ev.select(
+        "event_id",
+        F.concat(F.lit("10."), a.cast("string"), F.lit("."),
+                 b.cast("string"), F.lit(".1")).alias("src_ip"),
+        (F.lit(10 * 2**24) + a * 2**16 + b * 256 + 1).alias("src_ip_num"),
+        (F.lit(1000) + k % 2000).cast("long").alias("src_port"),
+        F.when(even, F.concat(F.lit("172.16."), a.cast("string"), F.lit(".2")))
+         .otherwise(F.concat(F.lit("192.168."), b.cast("string"), F.lit(".2")))
+         .alias("dst_ip"),
+        F.when(even, F.lit(172 * 2**24 + 16 * 2**16) + a * 256 + 2)
+         .otherwise(F.lit(192 * 2**24 + 168 * 2**16) + b * 256 + 2)
+         .alias("dst_ip_num"),
+        F.when(k % 3 == 0, F.lit(443)).otherwise(F.lit(80))
+         .cast("long").alias("dst_port"),
+    )
+    cat = FieldCatalog()
+    cat.define(Field("ip.src", "src_ip", "ip", num_field="src_ip_num",
+                     port_field="src_port"))
+    cat.define(Field("ip.dst", "dst_ip", "ip", num_field="dst_ip_num",
+                     port_field="dst_port"))
+    cat.define(Field("ip", "", "ip", regex=r"^ip\.(src|dst)$"))
+    pred = compile_expression(
+        "ip == 10/8 && ip.src != 10.3 && "
+        "(ip.dst == 172.16/12 || ip.dst == 192.168.200.0/21) && "
+        "ip.src != :2999",
+        CompileContext(catalog=cat, now=dt.datetime(2024, 1, 15)),
+    )
+    return (
+        fact.filter(pred)
+        .select("event_id", "src_ip", "src_port", "dst_ip")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "expr_relative_date_snap",
+    """
+    SELECT event_id, ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def q_expr_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-date arithmetic + snapping under the driver
+    (molochparser.jison:543-580 / expr/dates.py): with the query clock
+    pinned to 2024-01-15 13:37:21, `start >= -4d@d` resolves to
+    2024-01-11 00:00:00 (back 4 days, snapped to start-of-day) on the
+    DATE kind and `stop.sec < -2d@d` to the 2024-01-13 epoch on the
+    SECONDS kind — the oracle states both instants absolutely, so a
+    snap or unit bug shifts the window and the row set. The seconds
+    column is derived dtype-aware (timeutil epoch; floor to seconds),
+    which the integer snap boundary makes exact."""
+    import datetime as dt
+
+    from moloch_spark.catalog import Field, FieldCatalog
+    from moloch_spark.expr.compiler import CompileContext, compile_expression
+    from moloch_spark.operators.timeutil import epoch_us_fn
+
+    ev = load_table(spark, "events", sf_dir)
+    epoch_us = epoch_us_fn(ev, "ts")
+    fact = ev.select(
+        "event_id",
+        "ts",
+        (epoch_us(F.col("ts")) / F.lit(1_000_000)).cast("long").alias("ts_s"),
+    )
+    cat = FieldCatalog()
+    cat.define(Field("start", "ts", "date"))
+    cat.define(Field("stop.sec", "ts_s", "seconds"))
+    pred = compile_expression(
+        "start >= -4d@d && stop.sec < -2d@d",
+        CompileContext(
+            catalog=cat, now=dt.datetime(2024, 1, 15, 13, 37, 21)
+        ),
+    )
+    return fact.filter(pred).select("event_id", "ts").orderBy("event_id")

@@ -46,15 +46,15 @@ def _load_registrants() -> None:
 #   (a) gates NEW in r9 (driver-row them the round they land),
 #   (b) the 15-gate r5 tail the r8 window cut at position 50,
 #   (c) the 50-query block whose latest row is r6 (next-oldest
-#       signal), in its r6 check order — with the twelve r9 gates in
-#       (a) the ~50 cap lands after 23 of them,
-#   (d) past the cap: the 27 remaining r6-rowed gates (the r10 head),
+#       signal), in its r6 check order — with the fourteen r9 gates in
+#       (a) the ~50 cap lands after 21 of them,
+#   (d) past the cap: the 29 remaining r6-rowed gates (the r10 head),
 #       then the r7/r8-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
 # ROUND-10 NOTE: next head = any r9 reds, any new r10 gates, then the
-# 27-gate r6 tail of (d) (pcap_packet_positions, rules_tagging,
-# session_segments_merge,
+# 29-gate r6 tail of (d) (multimodal_features, pcap_export_sessions,
+# pcap_packet_positions, rules_tagging, session_segments_merge,
 # session_store_bounded_either, sessionize_chunked_rootid,
 # sessionize_events_30m, sessionize_per_proto_timeouts,
 # smb_parse_fields, smtp_parse_fields, ssh_hassh_fields,
@@ -96,6 +96,11 @@ _CHECK_PRIORITY = (
                                       # (was pytest-only)
     "tcp_handshake_rtt_sessions",     # initRTT/ack-delay + half-open
                                       # tags (was pytest-only)
+    "expr_cidr_ip_port_fanout",       # ip pseudo-field fanout, CIDR
+                                      # shorthand, :port pairing over
+                                      # numeric companions (pytest-only)
+    "expr_relative_date_snap",        # -4d@d / seconds-kind snapping
+                                      # with a pinned clock (pytest-only)
     # --- (b) the 15-gate r5 tail the r8 window cut ---
     "dedup_lsh_candidates", "dedup_simhash", "ann_pq_adc_topk",
     "ann_ivf_pq_topk", "cron_forward_exactly_once", "semdedup_prune",
@@ -104,8 +109,8 @@ _CHECK_PRIORITY = (
     "session_tag_update_prebuilt", "c4_line_filter",
     "bm25_topk_indexed_search", "ann_int8_topk",
     "bm25_index_append_search",
-    # --- (c) latest driver row is r6 (23 here, in r6 check order; the
-    #     cap lands exactly after them — the 27-gate r6 tail is in (d)
+    # --- (c) latest driver row is r6 (21 here, in r6 check order; the
+    #     cap lands exactly after them — the 29-gate r6 tail is in (d)
     #     below) ---
     "ann_ivf_int8_topk", "hybrid_rrf_indexed",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
@@ -115,11 +120,11 @@ _CHECK_PRIORITY = (
     "decontaminate_ngrams", "dedup_semantic_clusters",
     "dns_parse_fields", "expr_sessions_store_search",
     "frame_decode_roundtrip", "http_parse_fields",
-    "hunt_ascii_and_regex", "misc_parse_fields", "multimodal_features",
-    "pcap_export_sessions",
-    # --- (d) past the ~50 cap: the 27-gate r6 tail (next head per the
+    "hunt_ascii_and_regex", "misc_parse_fields",
+    # --- (d) past the ~50 cap: the 29-gate r6 tail (next head per the
     #     ROUND-10 NOTE); unlisted gates (all r7/r8-rowed) follow in
     #     registration order. ---
+    "multimodal_features", "pcap_export_sessions",
     "pcap_packet_positions", "rules_tagging",
     "session_segments_merge", "session_store_bounded_either",
     "sessionize_chunked_rootid", "sessionize_events_30m",

@@ -354,3 +354,35 @@ def test_video_near_dup_clips_null_frames_block_pairing(spark):
         for r in M.video_near_dup_clips(fh).collect()
     }
     assert pairs == {(2, 3): (3, 0)}
+
+
+@pytest.mark.parametrize("seed", [3, 414])
+def test_banded_hamming_pairs_equals_bruteforce(spark, seed):
+    """Randomized recall/precision pin for the shared banded machinery:
+    on clustered random 64-bit signatures, banded_hamming_pairs must
+    equal the brute-force all-pairs set EXACTLY for max_hamming <
+    bands (the pigeonhole guarantee is recall=1 there; precision is 1
+    by the explicit bit_count filter)."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 1 << 63, size=24, dtype=np.int64)
+    sigs = []
+    for i in range(150):
+        v = int(base[i % 24])
+        for _ in range(rng.randint(0, 9)):   # 0-8 bit flips off a base
+            v ^= 1 << int(rng.randint(64))
+        sigs.append(v)
+    sigs = [v - (1 << 64) if v >= (1 << 63) else v for v in sigs]
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                want.add((i, j, h))
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "media_id long, dhash64 long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in M.banded_hamming_pairs(df).collect()
+    }
+    assert got == want and len(want) > 50

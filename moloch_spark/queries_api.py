@@ -802,3 +802,68 @@ def q_expr_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fact.filter(pred).select("event_id", "ts").orderBy("event_id")
+
+
+@register(
+    "expr_views_transforms_fileand",
+    """
+    SELECT event_id, event_type,
+           'aa:bb:cc:00:00:0' || CAST(event_id % 3 AS VARCHAR) AS mac,
+           CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS BIGINT)
+             AS proto
+    FROM events
+    WHERE event_type = 'error' AND event_id % 12 = 4
+    ORDER BY event_id
+    """,
+)
+def q_expr_views_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved views, constant-side value transforms, and the fileand
+    virtual field in ONE compiled expression (molochparser.jison:
+    519-542, 449-583 transform switch): `view == errv` expands the
+    saved view recursively at compile time, `proto == tcp` resolves
+    the protocol NAME through ipProtocolLookup (tcp → 6),
+    `mac == AA-BB-CC-00-00-01` normalizes the constant through
+    dash2Colon + the lotermfield lowercase, and
+    `file == "cap1.pcap"` resolves against the files catalog into an
+    OR of (node, fileId) pairs. The fixture derives every column from
+    event_id arithmetic; by CRT the surviving predicate collapses to
+    event_type = 'error' AND event_id ≡ 4 (mod 12), which is what the
+    oracle states — any transform, expansion, or resolution bug
+    changes the residue class and the row set."""
+    from moloch_spark.catalog import Field, FieldCatalog
+    from moloch_spark.expr.compiler import CompileContext, compile_expression
+
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    fact = ev.select(
+        "event_id",
+        "event_type",
+        F.concat(F.lit("aa:bb:cc:00:00:0"), (k % 3).cast("string")).alias(
+            "mac"
+        ),
+        F.when(k % 2 == 0, F.lit(6)).otherwise(F.lit(17))
+         .cast("long").alias("proto"),
+        F.concat(F.lit("n"), (k % 2).cast("string")).alias("node"),
+        (k % 4).cast("long").alias("file_id"),
+    )
+    cat = FieldCatalog()
+    cat.define(Field("etype", "event_type", "termfield"))
+    cat.define(Field("proto", "proto", "integer",
+                     transform="ipProtocolLookup"))
+    cat.define(Field("mac", "mac", "lotermfield", transform="dash2Colon"))
+    cat.define(Field("view", "", "viewand"))
+    cat.define(Field("file", "", "fileand"))
+    pred = compile_expression(
+        'view == errv && proto == tcp && mac == AA-BB-CC-00-00-01 '
+        '&& file == "cap1.pcap"',
+        CompileContext(
+            catalog=cat,
+            views={"errv": "etype == error"},
+            files={"cap1.pcap": [("n0", 0), ("n1", 3)]},
+        ),
+    )
+    return (
+        fact.filter(pred)
+        .select("event_id", "event_type", "mac", "proto")
+        .orderBy("event_id")
+    )

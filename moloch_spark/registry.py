@@ -46,14 +46,15 @@ def _load_registrants() -> None:
 #   (a) gates NEW in r9 (driver-row them the round they land),
 #   (b) the 15-gate r5 tail the r8 window cut at position 50,
 #   (c) the 50-query block whose latest row is r6 (next-oldest
-#       signal), in its r6 check order — with the fourteen r9 gates in
-#       (a) the ~50 cap lands after 21 of them,
-#   (d) past the cap: the 29 remaining r6-rowed gates (the r10 head),
+#       signal), in its r6 check order — with the fifteen r9 gates in
+#       (a) the ~50 cap lands after 20 of them,
+#   (d) past the cap: the 30 remaining r6-rowed gates (the r10 head),
 #       then the r7/r8-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
 # ROUND-10 NOTE: next head = any r9 reds, any new r10 gates, then the
-# 29-gate r6 tail of (d) (multimodal_features, pcap_export_sessions,
+# 30-gate r6 tail of (d) (misc_parse_fields, multimodal_features,
+# pcap_export_sessions,
 # pcap_packet_positions, rules_tagging, session_segments_merge,
 # session_store_bounded_either, sessionize_chunked_rootid,
 # sessionize_events_30m, sessionize_per_proto_timeouts,
@@ -101,6 +102,9 @@ _CHECK_PRIORITY = (
                                       # numeric companions (pytest-only)
     "expr_relative_date_snap",        # -4d@d / seconds-kind snapping
                                       # with a pinned clock (pytest-only)
+    "expr_views_transforms_fileand",  # saved-view expansion + constant
+                                      # transforms + fileand resolution
+                                      # (was pytest-only)
     # --- (b) the 15-gate r5 tail the r8 window cut ---
     "dedup_lsh_candidates", "dedup_simhash", "ann_pq_adc_topk",
     "ann_ivf_pq_topk", "cron_forward_exactly_once", "semdedup_prune",
@@ -109,8 +113,8 @@ _CHECK_PRIORITY = (
     "session_tag_update_prebuilt", "c4_line_filter",
     "bm25_topk_indexed_search", "ann_int8_topk",
     "bm25_index_append_search",
-    # --- (c) latest driver row is r6 (21 here, in r6 check order; the
-    #     cap lands exactly after them — the 29-gate r6 tail is in (d)
+    # --- (c) latest driver row is r6 (20 here, in r6 check order; the
+    #     cap lands exactly after them — the 30-gate r6 tail is in (d)
     #     below) ---
     "ann_ivf_int8_topk", "hybrid_rrf_indexed",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
@@ -120,11 +124,11 @@ _CHECK_PRIORITY = (
     "decontaminate_ngrams", "dedup_semantic_clusters",
     "dns_parse_fields", "expr_sessions_store_search",
     "frame_decode_roundtrip", "http_parse_fields",
-    "hunt_ascii_and_regex", "misc_parse_fields",
-    # --- (d) past the ~50 cap: the 29-gate r6 tail (next head per the
+    "hunt_ascii_and_regex",
+    # --- (d) past the ~50 cap: the 30-gate r6 tail (next head per the
     #     ROUND-10 NOTE); unlisted gates (all r7/r8-rowed) follow in
     #     registration order. ---
-    "multimodal_features", "pcap_export_sessions",
+    "misc_parse_fields", "multimodal_features", "pcap_export_sessions",
     "pcap_packet_positions", "rules_tagging",
     "session_segments_merge", "session_store_bounded_either",
     "sessionize_chunked_rootid", "sessionize_events_30m",

@@ -1205,11 +1205,13 @@ def _ann_alias_index(spark: SparkSession, sf_dir: str) -> str:
         return alias
 
     def exists(alias: str) -> bool:
+        # only a cold cache (alias file gone) or a half-written body is
+        # a rebuild signal; real alias corruption must fail loudly
         try:
             return spark.catalog.tableExists(
                 f"{resolve_index_alias(alias)}_codes"
             )
-        except Exception:
+        except (FileNotFoundError, KeyError):
             return False
 
     return memoized_fixture(_ANN_ALIAS_CACHE, sf_dir, exists, build)
@@ -1530,7 +1532,7 @@ def _near_dup_sql() -> str:
             WHERE doc_id % 29 = 0),
     audm AS (SELECT d * 2 AS mid, c FROM aud
              UNION ALL SELECT d * 2 + 1, c FROM aud),
-    vid AS (SELECT CAST(doc_id AS INT) AS d,
+    vid AS (SELECT doc_id AS d,
                    CAST(1 + doc_id % 3 AS INT) AS nf
             FROM documents WHERE doc_id % 23 = 0),
     vidh AS (SELECT d, nf,
@@ -2545,11 +2547,12 @@ def _bm25_alias_index(spark: SparkSession, sf_dir: str) -> str:
         return alias
 
     def exists(alias: str) -> bool:
+        # cold cache (missing file) only; corruption surfaces
         try:
             return spark.catalog.tableExists(
                 f"{resolve_index_alias(alias)}_postings"
             )
-        except Exception:
+        except (FileNotFoundError, KeyError):
             return False
 
     return memoized_fixture(_BM25_ALIAS_CACHE, sf_dir, exists, build)

@@ -1186,7 +1186,8 @@ _SEG_LEN = 40
 @register(
     "tcp_reassembly_sessions",
     f"""
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
     r AS (
       SELECT doc_id,
              CASE WHEN doc_id % 5 = 0 AND n > {_SEG_LEN}
@@ -1216,7 +1217,12 @@ def q_tcp_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the session key; payload bytes move once."""
     from moloch_spark.operators.packets import reassemble_tcp
 
-    docs = load_table(spark, "documents", sf_dir)
+    # an empty text yields zero segments, i.e. no session at all; the
+    # filter also keeps F.sequence(0, n_seg-1) from auto-inferring a
+    # negative step (sequence(0,-1) -> [0,-1] phantom segments)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.length("text") > 0
+    )
     n_seg = F.ceil(F.length("text") / F.lit(float(_SEG_LEN))).cast("int")
     segs = docs.select(
         F.col("doc_id").alias("session_id"),
@@ -1250,7 +1256,7 @@ def q_tcp_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (SELECT doc_id, text, length(text) AS n,
                       CAST(CEIL(length(text) / {_SEG_LEN}.0) AS BIGINT) AS nseg
-               FROM documents),
+               FROM documents WHERE length(text) > 0),
     r AS (
       SELECT doc_id, n, nseg,
              (doc_id % 7 = 0 AND nseg > 2) AS gapped,
@@ -1283,7 +1289,11 @@ def q_ip_frag_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the happy path are predicted by length arithmetic alone."""
     from moloch_spark.operators.packets import reassemble_fragments
 
-    docs = load_table(spark, "documents", sf_dir)
+    # empty text -> zero fragments -> no datagram (and no negative-step
+    # sequence); mirrored in the oracle's WHERE length(text) > 0
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.length("text") > 0
+    )
     n_seg = F.ceil(F.length("text") / F.lit(float(_SEG_LEN))).cast("int")
     frags = docs.select(
         F.col("doc_id").alias("frag_id"),

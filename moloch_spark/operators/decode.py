@@ -46,6 +46,19 @@ def gunzip_udf(data: pd.Series) -> pd.Series:
     return data.map(one)
 
 
+@pandas_udf(T.BinaryType())
+def encode_gzip_udf(text: pd.Series) -> pd.Series:
+    """Gate-synthesis encoder: deterministic gzip of the UTF-8 bytes
+    (mtime pinned to 0 so the 10-byte header never varies across
+    executors/reps). Only gates use this — the engine itself only ever
+    DECOMPRESSES (gunzip_udf)."""
+    return text.map(
+        lambda s: None
+        if s is None
+        else _gzip.compress(s.encode("utf-8"), mtime=0)
+    )
+
+
 def http_body(col: Column) -> Column:
     """Extract the body after the header terminator CRLFCRLF (the
     http-parser body-extraction path, simplified to the split): built-in

@@ -1617,6 +1617,89 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_equiv_sql() -> str:
+    """Brute-force oracle for banded_hamming_equivalence: every pair at
+    bit_count(xor) <= 6 over the SAME md5-derived signatures, n² in
+    DuckDB over the bounded gate slice — NO band replay, so the oracle
+    is independent of the pigeonhole construction it checks."""
+    xor_chain = "CAST(0 AS BIGINT)"
+    for i in range(7, -1, -1):
+        xor_chain = (
+            f"xor(CASE WHEN k > {i} THEN "
+            f"(CAST(1 AS BIGINT) << CAST((d * 7 + {i * 13}) % 60 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END, {xor_chain})"
+        )
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS d, doc_id % 9 AS k,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS sig
+      FROM documents WHERE doc_id % 5 = 0),
+    m AS (SELECT d, sig, {xor_chain} AS mask FROM d),
+    s AS (SELECT d * 2 AS mid, sig FROM m
+          UNION ALL SELECT d * 2 + 1, xor(sig, mask) FROM m)
+    SELECT a.mid AS id_a, b.mid AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.mid < b.mid
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    ORDER BY id_a, id_b
+    """
+
+
+@register("banded_hamming_equivalence", _banded_equiv_sql())
+def q_banded_hamming_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """banded_hamming_pairs == brute force, driver-proven on RANDOM
+    signatures (VERDICT r9 ask #6, promoting the pytest randomized pin):
+    signatures are the first 60 bits of md5(doc_id) — effectively
+    uniform random but reproducible on both sides — and each doc plants
+    a sibling at EXACTLY k = doc_id % 9 flipped bits (positions
+    i*13 mod 60 are pairwise distinct for i < 9, so no XOR
+    cancellation). Unplanted pairs sit at expected Hamming ~30 with
+    P(<=6) ~ 5e-12, so the truth set is exactly the k <= 6 planted
+    pairs plus nothing — but the oracle assumes none of that: it
+    brute-forces ALL n² pair distances in DuckDB and keeps <= 6. The
+    pigeonhole claim under test (max_hamming 6 < 8 bands -> the
+    (band, value) equi-join loses NO qualifying pair and the bit_count
+    filter admits no extra) must therefore match an oracle that never
+    heard of bands — including the k = 7, 8 planted pairs it must
+    reject. Scale shape: same (band, value) equi-join as production,
+    never n² on the Spark side."""
+    docs = load_table_spread(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    sig = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    k = F.col("doc_id") % 9
+    mask = F.lit(0).cast("long")
+    for i in range(8):
+        mask = mask.bitwiseXOR(
+            F.when(
+                k > i,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST((doc_id * 7 + {i * 13}) % 60 AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    base = docs.select(
+        F.col("doc_id"), sig.alias("sig"), mask.alias("mask")
+    )
+    rows = base.select(
+        (F.col("doc_id") * 2).alias("media_id"), F.col("sig").alias("dhash64")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") * 2 + 1).alias("media_id"),
+            F.col("sig").bitwiseXOR(F.col("mask")).alias("dhash64"),
+        )
+    )
+    return (
+        M.banded_hamming_pairs(rows, max_hamming=6, bands=8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination (n-gram collision, the published 13-gram method)
 # ---------------------------------------------------------------------------

@@ -144,6 +144,36 @@ def _score_and_rank(
     )
 
 
+def _set_stats_props(spark, table_prefix: str, n_docs: int, avgdl: float) -> None:
+    """Mirror the corpus stats into table properties of the stats table
+    so serving reads them driver-side (catalog metadata — zero executor
+    jobs) instead of running a 1-row parquet scan job per query batch
+    (the hybrid_rrf_indexed fixed-overhead watch, VERDICT r9 ask #3).
+    `repr(float)` round-trips IEEE doubles exactly, so the props path
+    and the stats-table path produce bit-identical scores."""
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_stats SET TBLPROPERTIES ("
+        f"'moloch.n_docs' = '{int(n_docs)}', "
+        f"'moloch.avgdl' = '{float(avgdl)!r}')"
+    )
+
+
+def _index_stats(spark, table_prefix: str) -> tuple[int, float]:
+    """(n_docs, avgdl) for serving: table properties when present
+    (driver-side, no job), else one collect of the 1-row stats table
+    (pre-r10 indexes built before the props existed)."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SHOW TBLPROPERTIES {table_prefix}_stats"
+        ).collect()
+    }
+    if "moloch.n_docs" in props and "moloch.avgdl" in props:
+        return int(props["moloch.n_docs"]), float(props["moloch.avgdl"])
+    row = spark.table(f"{table_prefix}_stats").collect()[0]
+    return row["n_docs"], row["avgdl"]
+
+
 def build_bm25_index(
     spark,
     corpus: DataFrame,
@@ -225,16 +255,20 @@ def build_bm25_index(
     save(dl, "dl", id_col)
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_dfreq")  # pre-r5.2 layout
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_stats")
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
     (
-        dl.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+        spark.createDataFrame(
+            [(st["n_docs"], st["avgdl"])], "n_docs long, avgdl double"
         )
         .write.mode("overwrite")
         .format("parquet")
         .option("path", f"{path_prefix}_stats")
         .saveAsTable(f"{table_prefix}_stats")
     )
+    _set_stats_props(spark, table_prefix, st["n_docs"], st["avgdl"])
     return table_prefix
 
 
@@ -292,6 +326,7 @@ def append_bm25_index(
     spark.createDataFrame(
         [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
     ).write.insertInto(f"{table_prefix}_stats", overwrite=True)
+    _set_stats_props(spark, table_prefix, stats["n_docs"], stats["avgdl"])
 
 
 def append_bm25_index_stream(
@@ -436,6 +471,7 @@ def repair_bm25_index(
         .option("path", f"{dst_path_prefix}_stats")
         .saveAsTable(f"{dst_prefix}_stats")
     )
+    _set_stats_props(spark, dst_prefix, stats["n_docs"], stats["avgdl"])
 
 
 def bm25_topk_indexed(
@@ -477,12 +513,20 @@ def bm25_topk_indexed(
         raise ValueError(
             "bm25_topk_indexed: pass table_prefix or alias_path"
         )
-    qt = queries.select(
+    # ONE job materializes the (bounded-by-definition) query batch:
+    # the collected rows feed BOTH the bucket-pruning IN-list and a
+    # literal broadcast side, so the serve job below never re-executes
+    # the queries' lineage (e.g. a corpus re-scan when the batch came
+    # from corpus_queries); stats come from catalog metadata — the
+    # serve path is 2 Spark jobs total, was 4 (VERDICT r9 ask #3)
+    qsel = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
     ).distinct()
-    terms = sorted(r["term"] for r in qt.select("term").distinct().collect())
-    stats = spark.table(f"{table_prefix}_stats").collect()[0]
+    qt_rows = qsel.collect()
+    qt = spark.createDataFrame(qt_rows, qsel.schema)
+    terms = sorted({r["term"] for r in qt_rows})
+    n_docs, avgdl = _index_stats(spark, table_prefix)
     post = spark.table(f"{table_prefix}_postings").filter(
         F.col("term").isin(terms)
     )
@@ -493,8 +537,8 @@ def bm25_topk_indexed(
         post.join(F.broadcast(qt), "term")
         .join(F.broadcast(dfreq), "term")
         .join(spark.table(f"{table_prefix}_dl"), id_col)
-        .withColumn("n_docs", F.lit(stats["n_docs"]))
-        .withColumn("avgdl", F.lit(stats["avgdl"]))
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
     )
     return _score_and_rank(
         cand, id_col=id_col, k=k, k1=k1, b=b, exclude_self=exclude_self

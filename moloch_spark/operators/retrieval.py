@@ -530,12 +530,18 @@ def bm25_topk_indexed(
     post = spark.table(f"{table_prefix}_postings").filter(
         F.col("term").isin(terms)
     )
-    dfreq = post.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+    # df as a window over the term-bucketed scan: the bucket layout
+    # already clusters by term, so this adds NO exchange — versus the
+    # former groupBy + broadcast-join-back, which re-aggregated the
+    # pruned scan in a second subtree
+    post = post.withColumn(
+        "df",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("term"))
+        .cast("long"),
     )
     cand = (
         post.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq), "term")
         .join(spark.table(f"{table_prefix}_dl"), id_col)
         .withColumn("n_docs", F.lit(n_docs))
         .withColumn("avgdl", F.lit(avgdl))

@@ -1197,10 +1197,18 @@ def _ann_alias_index(spark: SparkSession, sf_dir: str) -> str:
         # generation, one atomic alias PUT
         S.build_ann_index(spark, emb, base, f"{tmp}/t", alias_path=alias)
         fam = ("codes", "model")
-        # lifecycle maintenance: reclaim the drained g1 generation,
-        # then sweep for orphans (none here — and the freshly-built
-        # live family must survive both passes)
-        vacuum_index_alias(alias, spark, fam, retain_s=0.0)
+        # lifecycle maintenance: audit first — the dry run must name
+        # EXACTLY what the real vacuum then reclaims (pins the audit
+        # path under the driver, VERDICT r9 ask #8), and both must
+        # leave the freshly-built live family untouched
+        audit = vacuum_index_alias(
+            alias, spark, fam, retain_s=0.0, dry_run=True
+        )
+        reclaimed = vacuum_index_alias(alias, spark, fam, retain_s=0.0)
+        if audit != reclaimed:
+            raise AssertionError(
+                f"vacuum dry-run/real divergence: {audit} != {reclaimed}"
+            )
         sweep_orphan_index_generations(spark, alias, base, fam)
         return alias
 
@@ -1577,6 +1585,13 @@ def _near_dup_media(spark: SparkSession, sf_dir: str) -> str:
         ).unionByName(sib.withColumn("media_id", F.col("media_id") * 2 + 1))
 
     def build() -> str:
+        import tempfile
+
+        # EXTERNAL tables in a fresh tempdir (the _memoized_index
+        # pattern): a managed table here would collide with a stale
+        # warehouse dir left by a previous process (the in-memory
+        # catalog forgets the table, the location survives)
+        tmp = tempfile.mkdtemp(prefix="ndmedia_")
         prefix = _fixture_prefix("ndmedia", sf_dir)
         docs = load_table_spread(spark, "documents", sf_dir)
         tables = {
@@ -1606,8 +1621,12 @@ def _near_dup_media(spark: SparkSession, sf_dir: str) -> str:
             ),
         }
         for name, df in tables.items():
-            df.write.mode("overwrite").format("parquet").saveAsTable(
-                f"{prefix}_{name}"
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{name}")
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", f"{tmp}/{name}")
+                .saveAsTable(f"{prefix}_{name}")
             )
         return prefix
 

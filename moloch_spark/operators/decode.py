@@ -59,6 +59,24 @@ def encode_gzip_udf(text: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.BinaryType())
+def encode_xor_gzip_udf(text: pd.Series, key: pd.Series) -> pd.Series:
+    """Gate-synthesis encoder for the xor-brute stage: deterministic
+    gzip of the UTF-8 bytes, then XOR with a per-row single-byte key —
+    the obfuscated-payload shape decode.js:208-264 brute-forces. Gates
+    only; the engine itself only ever SEARCHES (xor_brute_gzip_udf)."""
+
+    def one(s, k):
+        if s is None:
+            return None
+        k = int(k) & 0xFF
+        return bytes(
+            b ^ k for b in _gzip.compress(s.encode("utf-8"), mtime=0)
+        )
+
+    return pd.Series([one(s, k) for s, k in zip(text, key)])
+
+
 def http_body(col: Column) -> Column:
     """Extract the body after the header terminator CRLFCRLF (the
     http-parser body-extraction path, simplified to the split): built-in

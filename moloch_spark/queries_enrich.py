@@ -524,9 +524,9 @@ def q_decode_pipeline_gzip_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle from the raw text column alone (DuckDB never gunzips or
     parses MIME; a truncated inflate or a swallowed leaf changes every
     md5). The MIME synthesis is pure JVM concat/base64; gzip round-trip
-    is the sanctioned Arrow-batched path. xor-brute stays pytest-pinned
-    (test_coverage_gaps) — its single-byte-key search needs a binary
-    fixture with a non-text plaintext to be a meaningful probe."""
+    is the sanctioned Arrow-batched path. xor-brute has its own gate
+    (decode_pipeline_xor_gzip) via the same predict-the-recovery
+    trick."""
     from moloch_spark.operators.decode import (
         decode_pipeline,
         encode_gzip_udf,
@@ -567,6 +567,106 @@ def q_decode_pipeline_gzip_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("mime_payload")).cast("long").alias("mime_len"),
         F.md5(F.col("mime_payload")).alias("mime_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "decode_pipeline_xor_gzip",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS decoded_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_decode_pipeline_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xor-brute-force decode stage under the driver
+    (viewer/decode.js:208-264 — the last decode stage without a driver
+    row): each document's bytes are gzip-compressed on the executor
+    and XORed with a per-row single-byte key (1 + doc_id % 255, never
+    the identity), and decode_pipeline(['xor_brute']) must FIND the
+    key (the one under which the first two bytes become the gzip
+    magic) and inflate back to the exact original bytes — length and
+    md5 predicted by the oracle from the raw text column (DuckDB never
+    sees the obfuscated binary; a wrong key or an off-by-one in the
+    magic probe changes every md5). Disproves the r9 'needs a binary
+    fixture' carve-out: the recovered plaintext IS the text column, so
+    the gate-synthesis pattern applies verbatim."""
+    from moloch_spark.operators.decode import (
+        decode_pipeline,
+        encode_xor_gzip_udf,
+    )
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        encode_xor_gzip_udf(
+            F.col("text"), (F.lit(1) + F.col("doc_id") % 255).cast("long")
+        ).alias("payload"),
+    )
+    decoded = decode_pipeline(wrapped, "payload", ["xor_brute"])
+    return decoded.select(
+        "doc_id",
+        F.length(F.col("payload")).cast("long").alias("byte_len"),
+        F.md5(F.col("payload")).alias("decoded_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "decode_carve_files",
+    """
+    WITH d AS (SELECT doc_id, 32 * (1 + doc_id % 3) AS base
+               FROM documents),
+    hits AS (
+      SELECT doc_id, base AS o, 'png' AS format, 19 AS length
+      FROM d
+      UNION ALL SELECT doc_id, base + 19, 'jpeg', 7 FROM d
+      UNION ALL SELECT doc_id, base + 26, 'gzip', NULL FROM d)
+    SELECT doc_id, CAST(o AS BIGINT) AS "offset", format,
+           CAST(length AS BIGINT) AS length
+    FROM hits ORDER BY doc_id, o
+    """,
+)
+def q_decode_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature-scan file-carve stage under the driver (the
+    decode.js carve stage; was pytest-only): each document's payload
+    is md5(text) hex repeated 1 + doc_id % 3 times (hex filler —
+    provably magic-free, so the text can never plant accidental hits)
+    followed by a PNG blob (magic + 3-byte body + IEND + 4-byte CRC),
+    a JPEG blob (SOI + 2-byte body + EOI), and a bare gzip magic.
+    carve_files must find all three at analytically-predicted offsets
+    with end-marker-delimited lengths — PNG 19 (IEND + the +4 CRC
+    rule), JPEG 7 (EOI-inclusive), gzip NULL (stream format, no end
+    marker). The carved array explodes to scalar rows for the driver's
+    canonicalizer (list cells don't hash)."""
+    from moloch_spark.operators.decode import carve_files
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    filler = F.encode(
+        F.expr(
+            "repeat(md5(encode(text, 'UTF-8')), CAST(1 + doc_id % 3 AS INT))"
+        ),
+        "UTF-8",
+    )
+    payload = F.concat(
+        filler,
+        F.lit(b"\x89PNG\r\n\x1a\n" + b"abc" + b"IEND" + b"crcc"),
+        F.lit(b"\xff\xd8\xff" + b"ab" + b"\xff\xd9"),
+        F.lit(b"\x1f\x8b\x08"),
+    )
+    carved = carve_files(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+    hit = F.explode(F.col("carved")).alias("hit")
+    return (
+        carved.select("doc_id", hit)
+        .select(
+            "doc_id",
+            F.col("hit.offset").alias("offset"),
+            F.col("hit.format").alias("format"),
+            F.col("hit.length").alias("length"),
+        )
+        .orderBy("doc_id", "offset")
+    )
 
 
 @register(

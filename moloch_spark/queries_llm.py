@@ -2800,6 +2800,62 @@ def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_REPAIR_CACHE: dict[str, str] = {}
+
+
+def _bm25_repaired_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index fixture that survived a forged crash-inside-fold: build on
+    even doc_ids, fold in the odds, then REPLAY the odd batch (the
+    append_bm25_index_stream residual window — an epoch whose table
+    appends committed but whose ledger record was lost re-runs whole),
+    leaving every odd posting and dl row duplicated; repair_bm25_index
+    rewrites a fresh prefix dropping the bit-identical replay shadows
+    and recomputing stats from the deduped dl. Memoized per
+    (process, sf_dir)."""
+    import tempfile
+
+    from moloch_spark.operators import retrieval as R
+
+    def build(prefix, path):
+        docs = load_table_spread(spark, "documents", sf_dir)
+        broken = f"{prefix}_broken"
+        R.build_bm25_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            broken,
+            tempfile.mkdtemp(prefix="bm25rp_") + "/b",
+        )
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        R.append_bm25_index(spark, odd, broken)
+        R.append_bm25_index(spark, odd, broken)  # the replayed epoch
+        R.repair_bm25_index(spark, broken, prefix, path)
+        for t in ("postings", "dl", "stats"):  # readers switched over
+            spark.sql(f"DROP TABLE IF EXISTS {broken}_{t}")
+
+    return _memoized_index(spark, sf_dir, _BM25_REPAIR_CACHE, "bm25rp", build)
+
+
+@register("bm25_repair_serve", _BM25_TOPK_SQL)
+def q_bm25_repair_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash repair END-TO-END under the driver: a replayed stream
+    epoch double-appends the odd half of the corpus (postings AND dl —
+    the worst case of append_bm25_index_stream's residual window), and
+    repair_bm25_index must restore key uniqueness so exactly that
+    serving from the repaired prefix hash-matches the one-shot
+    full-corpus oracle — a duplicate posting left behind doubles a tf,
+    a duplicate dl row doubles a doc's length AND inflates n_docs/
+    avgdl, and any of those shifts every BM25 score. Repair cost is
+    one scan of the INDEX, never a corpus re-tokenize (the 100 TB
+    property: recovery is index-sized, not data-sized)."""
+    from moloch_spark.operators import retrieval as R
+
+    prefix = _bm25_repaired_index(spark, sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
+    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs)).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register("bpe_train_and_apply")
 def q_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer training + apply: learn 16 BPE merges from

@@ -44,18 +44,20 @@ def _load_registrants() -> None:
 # ROUND-10 rotation (the r9 verdict's ask #1 / the r9 ROUND-10 NOTE,
 # executed as written — there were no r9 reds):
 #   (a) gates NEW in r10 (driver-row them the round they land): the
-#       gzip/MIME, xor-brute and file-carve decode-stage gates and the
-#       banded-Hamming brute-force equivalence gate,
+#       gzip/MIME, xor-brute and file-carve decode-stage gates, the
+#       banded-Hamming brute-force equivalence gate, and the BM25
+#       crash-repair lifecycle gate,
 #   (b) the 30-gate block whose latest row is r6 (the pre-declared r10
 #       head), in its r6 check order,
-#   (c) the 16 oldest r7-rowed gates, in their r7 check order — with
+#   (c) the 15 oldest r7-rowed gates, in their r7 check order — with
 #       (a)+(b) the ~50 cap lands exactly after them,
-#   (d) past the cap: the 34 remaining r7-rowed gates (the r11 head),
+#   (d) past the cap: the 35 remaining r7-rowed gates (the r11 head),
 #       then the r8/r9-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
 # ROUND-11 NOTE: next head = any r10 reds, any new r11 gates, then the
-# 34-gate r7 tail of (d) (krb5_parse_fields, mysql_parse_fields,
+# 35-gate r7 tail of (d) (ldap_parse_fields, krb5_parse_fields,
+# mysql_parse_fields,
 # postgresql_parse_fields, tns_parse_fields,
 # bgp_parse_fields, http2_parse_fields, quic_parse_fields,
 # pcap_over_ip_reframe, multimodal_resize, multimodal_frame_sample,
@@ -80,6 +82,8 @@ _CHECK_PRIORITY = (
                                     # (was pytest-only)
     "decode_carve_files",           # signature-scan carve w/ end-marker
                                     # lengths (was pytest-only)
+    "bm25_repair_serve",            # crash-replay repair → serve ==
+                                    # clean-index oracle (was pytest-only)
     # --- (b) the 30-gate r6 tail (the pre-declared r10 head), in its
     #     r6 check order ---
     "misc_parse_fields", "multimodal_features", "pcap_export_sessions",
@@ -97,7 +101,7 @@ _CHECK_PRIORITY = (
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # --- (c) the 16 oldest r7-rowed gates, in r7 check order; the
+    # --- (c) the 15 oldest r7-rowed gates, in r7 check order; the
     #     ~50 cap lands exactly after them ---
     "zorder_store_search", "ann_indexed_topk", "decontaminate_semantic",
     "bm25_stream_append_serve", "curate_cluster_balanced",
@@ -105,11 +109,10 @@ _CHECK_PRIORITY = (
     "tunnel_decap_roundtrip", "unique_multivalue_session_types",
     "x509_cert_fields", "yara_scan_documents", "dhcp_parse_fields",
     "irc_parse_fields", "socks_parse_fields", "radius_parse_fields",
-    "ldap_parse_fields",
-    # --- (d) past the ~50 cap: the 34-gate r7 tail (next head per the
+    # --- (d) past the ~50 cap: the 35-gate r7 tail (next head per the
     #     ROUND-11 NOTE); unlisted gates (all r8/r9-rowed) follow in
     #     registration order. ---
-    "krb5_parse_fields", "mysql_parse_fields",
+    "ldap_parse_fields", "krb5_parse_fields", "mysql_parse_fields",
     "postgresql_parse_fields", "tns_parse_fields", "bgp_parse_fields",
     "http2_parse_fields", "quic_parse_fields", "pcap_over_ip_reframe",
     "multimodal_resize", "multimodal_frame_sample", "multimodal_audio",

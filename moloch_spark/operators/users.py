@@ -43,8 +43,14 @@ def apply_user_context(
     now = now or dt.datetime.utcnow()
     if user.time_limit_hours is not None:
         cutoff = now - dt.timedelta(hours=user.time_limit_hours)
+        # cast the literal to the COLUMN's own timestamp flavor — the
+        # fixtures load as TIMESTAMP_NTZ under a vanilla session, and a
+        # plain cast("timestamp") would compare NTZ against TZ
         out = out.filter(
-            F.col(ts_col) >= F.lit(cutoff.isoformat(sep=" ")).cast("timestamp")
+            F.col(ts_col)
+            >= F.lit(cutoff.isoformat(sep=" ")).cast(
+                df.schema[ts_col].dataType
+            )
         )
     if user.forced_expression:
         ctx = CompileContext(catalog=catalog, views=user.views, now=now)

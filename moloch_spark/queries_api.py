@@ -867,3 +867,89 @@ def q_expr_views_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "mac", "proto")
         .orderBy("event_id")
     )
+
+
+@register(
+    "user_forced_expression_timelimit",
+    """
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-12 13:37:21'
+      AND event_type = 'error'
+      AND event_id % 7 = 3
+    ORDER BY event_id
+    """,
+)
+def q_user_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security under the driver (viewerUtils.js:239-249
+    forced expression + apiSessions.js:1206-1217 timeLimit; was
+    pytest-only): a user with forcedExpression `etype == error` and a
+    72-hour timeLimit runs their own query (`event_id % 7 == 3`), and
+    apply_user_context must inject BOTH constraints — the compiled
+    forced expression and the lookback cutoff (query clock pinned to
+    2024-01-15 13:37:21, so the cutoff is the absolute instant the
+    oracle states). A bypassed constraint admits extra rows; a
+    double-applied or mis-snapped cutoff drops rows — either flips the
+    hash. The cutoff literal casts to the ts column's OWN timestamp
+    flavor (TIMESTAMP_NTZ under the driver's vanilla session)."""
+    import datetime as dt
+
+    from moloch_spark.catalog import Field, FieldCatalog
+    from moloch_spark.operators.users import UserContext, apply_user_context
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type"
+    )
+    cat = FieldCatalog()
+    cat.define(Field("etype", "event_type", "termfield"))
+    user = UserContext(
+        "analyst1",
+        forced_expression="etype == error",
+        time_limit_hours=72,
+    )
+    constrained = apply_user_context(
+        ev,
+        user,
+        cat,
+        ts_col="ts",
+        now=dt.datetime(2024, 1, 15, 13, 37, 21),
+    )
+    return (
+        constrained.filter(F.col("event_id") % 7 == 3)
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "es_index_rotation",
+    """
+    SELECT event_id,
+           'sessions3-' || strftime(ts, '%y%m%dh%H') AS idx_hourly,
+           'sessions3-' || strftime(ts, '%y%m%d')    AS idx_daily,
+           'sessions3-' || strftime(ts, '%yw%W')     AS idx_weekly,
+           'sessions3-' || strftime(ts, '%ym%m')     AS idx_monthly
+    FROM events ORDER BY event_id
+    """,
+)
+def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-rotated ES index naming under the driver (capture/db.c:
+    538-577; was pytest-only): every event's lastPacket-style timestamp
+    resolves to its hourly/daily/weekly/monthly index name through the
+    REAL index_name operator (Arrow-batched column form), and the
+    oracle replays the four formats with DuckDB strftime — a rotation
+    boundary bug (wrong week convention, un-zero-padded hour, %y vs
+    %Y) renames whole swaths of indices and flips the hash. This is
+    the piece of the bulk-sink path that decides WHERE each session
+    lands; the NDJSON body shape and transport are pinned in
+    test_es_sink."""
+    from moloch_spark.sources.es_sink import index_name_udf
+
+    ev = load_table(spark, "events", sf_dir)
+    out = ev.select(
+        "event_id",
+        index_name_udf(rotation="hourly")(F.col("ts")).alias("idx_hourly"),
+        index_name_udf(rotation="daily")(F.col("ts")).alias("idx_daily"),
+        index_name_udf(rotation="weekly")(F.col("ts")).alias("idx_weekly"),
+        index_name_udf(rotation="monthly")(F.col("ts")).alias("idx_monthly"),
+    )
+    return out.orderBy("event_id")

@@ -1158,6 +1158,60 @@ def q_ann_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+_ANN_REPAIR_CACHE: dict[str, str] = {}
+
+
+def _ann_repaired_index(spark: SparkSession, sf_dir: str) -> str:
+    """ANN index that survived a forged crash-inside-fold (the
+    _bm25_repaired_index counterpart): build on even vec_ids with the
+    full-corpus quant scale pinned, fold the odds in, REPLAY the odd
+    fold (epoch appends committed, ledger record lost — every odd code
+    row duplicated, encoded with the same persisted model so the
+    duplicates are bit-identical shadows), then repair_ann_index
+    rewrites a fresh prefix dropping them. Memoized per
+    (process, sf_dir)."""
+    import tempfile
+
+    def build(prefix: str, path: str) -> None:
+        emb = load_table(spark, "embeddings", sf_dir)
+        broken = f"{prefix}_broken"
+        S.build_ann_index(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            broken,
+            tempfile.mkdtemp(prefix="annrp_") + "/b",
+            scale=S.int8_quant_model(emb),
+        )
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        S.append_ann_index(spark, odd, broken)
+        S.append_ann_index(spark, odd, broken)  # the replayed epoch
+        S.repair_ann_index(spark, broken, prefix, path)
+        for t in ("codes", "model"):  # readers switched over
+            spark.sql(f"DROP TABLE IF EXISTS {broken}_{t}")
+
+    return _memoized_index(
+        spark, sf_dir, _ANN_REPAIR_CACHE, "annrp", build, check_table="codes"
+    )
+
+
+@register("ann_repair_serve", _ivf_int8_sql())
+def q_ann_repair_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN crash repair END-TO-END under the driver (the
+    bm25_repair_serve counterpart): a replayed stream epoch
+    double-appends every odd vector's code row, and repair_ann_index
+    must drop exactly the replay shadows — a leftover duplicate makes
+    its vector score twice and shifts the per-query top-k ranking, so
+    hash-matching the same one-shot oracle as ann_indexed_topk proves
+    the repaired index serves exactly what an uncorrupted build would.
+    Repair cost is one scan of the codes table, never a corpus
+    re-encode (recovery is index-sized, not data-sized)."""
+    prefix = _ann_repaired_index(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.ann_index_search(
+        spark, emb.filter(F.col("vec_id") < 5), prefix
+    ).orderBy("qid", "rank")
+
+
 _ANN_ALIAS_CACHE: dict[str, str] = {}
 
 

@@ -27,6 +27,8 @@ import os
 import uuid
 from collections.abc import Iterator
 
+import pandas as pd  # top-level: pandas_udf type hints need the real
+                     # class under `from __future__ import annotations`
 from pyspark.sql import DataFrame, Row
 
 
@@ -42,6 +44,23 @@ def index_name(last_packet, *, prefix: str = "sessions3-", rotation: str = "dail
     if rotation == "monthly":
         return f"{prefix}{last_packet:%ym%m}"
     raise ValueError(f"unknown rotation {rotation!r}")
+
+
+def index_name_udf(*, prefix: str = "sessions3-", rotation: str = "daily"):
+    """Arrow-batched column form of index_name — the rotation applied
+    to a timestamp column at scan time (what a distributed bulk writer
+    computes per row before grouping docs into per-index bodies)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fn(ts: pd.Series) -> pd.Series:
+        return ts.map(
+            lambda t: None
+            if t is None
+            else index_name(t, prefix=prefix, rotation=rotation)
+        )
+
+    return fn
 
 
 def _row_to_bulk(row: Row, *, ts_col: str, id_col: str, prefix: str, rotation: str) -> str:

@@ -665,3 +665,75 @@ def q_bm25_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk_indexed(
         spark, prefix, R.corpus_queries(docs)
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "streaming_packet_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def q_streaming_packet_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet dedup under the driver (capture/dedup.c via
+    streaming_dedup's dropDuplicatesWithinWatermark; was pytest-only):
+    the events file arrives as micro-batch 1 and an EXACT COPY of the
+    event_id % 6 == 0 slice as micro-batch 2 (maxFilesPerTrigger=1 —
+    the replayed-packet shape dedup exists for), so the second batch's
+    keys were all seen in the first and the dedup state must drop them
+    ACROSS the batch boundary — broken state re-emits ~1/6 of the rows
+    and the row count diverges; a key-hash bug drops distinct rows.
+    The oracle is simply the events table: dedup output == first
+    occurrences, and the duplicates are bit-exact copies. The 10-year
+    watermark delay keeps every key in state for the run — the
+    capture analog holds packets only for the dedup window; state is
+    bounded by keys-per-window either way."""
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="pkt_dedup_")
+    os.symlink(src, os.path.join(d, "a_events.parquet"))
+    raw = spark.read.parquet(src)
+    raw_schema = raw.schema
+    dup_out = tempfile.mkdtemp(prefix="pkt_dedup_dup_")
+    raw.filter(F.col("event_id") % 6 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dup_out)
+    part = next(
+        f for f in sorted(os.listdir(dup_out)) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(dup_out, part), os.path.join(d, "b_duplicates.parquet")
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ts_dt = raw_schema["ts"].dataType.simpleString()
+    if ts_dt == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    elif ts_dt == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    from moloch_spark.streaming.sessionizer import streaming_dedup
+
+    deduped = streaming_dedup(
+        stream.select("event_id", "ts", "user_id", "event_type"),
+        key_cols=["event_id"],
+        watermark_delay="3650 days",
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type"
+    ).orderBy("event_id")

@@ -47,17 +47,19 @@ def _load_registrants() -> None:
 #       gzip/MIME, xor-brute and file-carve decode-stage gates, the
 #       banded-Hamming brute-force equivalence gate, the BM25 + ANN
 #       crash-repair lifecycle gates, the forced-expression/timeLimit
-#       row-level-security gate, and the ES index-rotation gate,
+#       row-level-security gate, the ES index-rotation gate, and the
+#       streaming packet-dedup gate,
 #   (b) the 30-gate block whose latest row is r6 (the pre-declared r10
 #       head), in its r6 check order,
-#   (c) the 12 oldest r7-rowed gates, in their r7 check order — with
+#   (c) the 11 oldest r7-rowed gates, in their r7 check order — with
 #       (a)+(b) the ~50 cap lands exactly after them,
-#   (d) past the cap: the 38 remaining r7-rowed gates (the r11 head),
+#   (d) past the cap: the 39 remaining r7-rowed gates (the r11 head),
 #       then the r8/r9-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
 # ROUND-11 NOTE: next head = any r10 reds, any new r11 gates, then the
-# 38-gate r7 tail of (d) (irc_parse_fields, socks_parse_fields,
+# 39-gate r7 tail of (d) (dhcp_parse_fields, irc_parse_fields,
+# socks_parse_fields,
 # radius_parse_fields, ldap_parse_fields, krb5_parse_fields,
 # mysql_parse_fields,
 # postgresql_parse_fields, tns_parse_fields,
@@ -92,6 +94,8 @@ _CHECK_PRIORITY = (
                                          # (was pytest-only)
     "es_index_rotation",            # time-rotated index naming ×4
                                     # (was pytest-only)
+    "streaming_packet_dedup",       # cross-batch dropDuplicates state
+                                    # (was pytest-only)
     # --- (b) the 30-gate r6 tail (the pre-declared r10 head), in its
     #     r6 check order ---
     "misc_parse_fields", "multimodal_features", "pcap_export_sessions",
@@ -109,16 +113,17 @@ _CHECK_PRIORITY = (
     "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # --- (c) the 12 oldest r7-rowed gates, in r7 check order; the
+    # --- (c) the 11 oldest r7-rowed gates, in r7 check order; the
     #     ~50 cap lands exactly after them ---
     "zorder_store_search", "ann_indexed_topk", "decontaminate_semantic",
     "bm25_stream_append_serve", "curate_cluster_balanced",
     "ann_stream_append_serve", "knn_label_vote",
     "tunnel_decap_roundtrip", "unique_multivalue_session_types",
-    "x509_cert_fields", "yara_scan_documents", "dhcp_parse_fields",
-    # --- (d) past the ~50 cap: the 38-gate r7 tail (next head per the
+    "x509_cert_fields", "yara_scan_documents",
+    # --- (d) past the ~50 cap: the 39-gate r7 tail (next head per the
     #     ROUND-11 NOTE); unlisted gates (all r8/r9-rowed) follow in
     #     registration order. ---
+    "dhcp_parse_fields",
     "irc_parse_fields", "socks_parse_fields", "radius_parse_fields",
     "ldap_parse_fields", "krb5_parse_fields", "mysql_parse_fields",
     "postgresql_parse_fields", "tns_parse_fields", "bgp_parse_fields",

@@ -942,14 +942,20 @@ def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the piece of the bulk-sink path that decides WHERE each session
     lands; the NDJSON body shape and transport are pinned in
     test_es_sink."""
-    from moloch_spark.sources.es_sink import index_name_udf
+    from moloch_spark.sources.es_sink import index_names_all_udf
 
-    ev = load_table(spark, "events", sf_dir)
+    # single-file fixture -> one input partition; spread before the
+    # Python stage or one core does all the strftime work
+    ev = load_table(spark, "events", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = ev.select(
+        "event_id", index_names_all_udf()(F.col("ts")).alias("idx")
+    ).select(
         "event_id",
-        index_name_udf(rotation="hourly")(F.col("ts")).alias("idx_hourly"),
-        index_name_udf(rotation="daily")(F.col("ts")).alias("idx_daily"),
-        index_name_udf(rotation="weekly")(F.col("ts")).alias("idx_weekly"),
-        index_name_udf(rotation="monthly")(F.col("ts")).alias("idx_monthly"),
+        F.col("idx.hourly").alias("idx_hourly"),
+        F.col("idx.daily").alias("idx_daily"),
+        F.col("idx.weekly").alias("idx_weekly"),
+        F.col("idx.monthly").alias("idx_monthly"),
     )
     return out.orderBy("event_id")

@@ -63,6 +63,32 @@ def index_name_udf(*, prefix: str = "sessions3-", rotation: str = "daily"):
     return fn
 
 
+def index_names_all_udf(*, prefix: str = "sessions3-"):
+    """All four rotations in ONE Arrow pass (struct column) — four
+    separate UDF columns would serialize the timestamp batch to Python
+    four times for what is one strftime walk."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<hourly:string,daily:string,weekly:string,monthly:string>"
+    )
+    def fn(ts: pd.Series) -> pd.DataFrame:
+        def row(t):
+            if t is None:
+                return (None, None, None, None)
+            return tuple(
+                index_name(t, prefix=prefix, rotation=r)
+                for r in ("hourly", "daily", "weekly", "monthly")
+            )
+
+        vals = [row(t) for t in ts]
+        return pd.DataFrame(
+            vals, columns=["hourly", "daily", "weekly", "monthly"]
+        )
+
+    return fn
+
+
 def _row_to_bulk(row: Row, *, ts_col: str, id_col: str, prefix: str, rotation: str) -> str:
     d = row.asDict(recursive=True)
     ts = d.get(ts_col)

@@ -56,7 +56,7 @@ def index_name_udf(*, prefix: str = "sessions3-", rotation: str = "daily"):
     def fn(ts: pd.Series) -> pd.Series:
         return ts.map(
             lambda t: None
-            if t is None
+            if pd.isna(t)  # nulls arrive as NaT, not None
             else index_name(t, prefix=prefix, rotation=rotation)
         )
 
@@ -74,7 +74,7 @@ def index_names_all_udf(*, prefix: str = "sessions3-"):
     )
     def fn(ts: pd.Series) -> pd.DataFrame:
         def row(t):
-            if t is None:
+            if pd.isna(t):  # nulls arrive as NaT, not None
                 return (None, None, None, None)
             return tuple(
                 index_name(t, prefix=prefix, rotation=r)

@@ -150,7 +150,12 @@ def _set_stats_props(spark, table_prefix: str, n_docs: int, avgdl: float) -> Non
     jobs) instead of running a 1-row parquet scan job per query batch
     (the hybrid_rrf_indexed fixed-overhead watch, VERDICT r9 ask #3).
     `repr(float)` round-trips IEEE doubles exactly, so the props path
-    and the stats-table path produce bit-identical scores."""
+    and the stats-table path produce bit-identical scores. An empty
+    corpus has avgdl NULL — skip the props and let serving fall back
+    to the stats-table read (which returns the NULL row gracefully,
+    exactly the pre-props behavior)."""
+    if avgdl is None:
+        return
     spark.sql(
         f"ALTER TABLE {table_prefix}_stats SET TBLPROPERTIES ("
         f"'moloch.n_docs' = '{int(n_docs)}', "

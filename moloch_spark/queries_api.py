@@ -943,12 +943,11 @@ def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands; the NDJSON body shape and transport are pinned in
     test_es_sink."""
     from moloch_spark.sources.es_sink import index_names_all_udf
+    from moloch_spark.sources.tables import load_table_spread
 
     # single-file fixture -> one input partition; spread before the
     # Python stage or one core does all the strftime work
-    ev = load_table(spark, "events", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    ev = load_table_spread(spark, "events", sf_dir)
     out = ev.select(
         "event_id", index_names_all_udf()(F.col("ts")).alias("idx")
     ).select(

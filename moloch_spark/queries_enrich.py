@@ -641,9 +641,14 @@ def q_decode_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moloch_spark.operators.decode import carve_files
 
     docs = load_table_spread(spark, "documents", sf_dir)
+    # coalesce: a NULL text must still carve (the oracle emits its 3
+    # hit rows from doc_id arithmetic alone — offsets never depend on
+    # the text, only the filler LENGTH, and md5('') is 32 hex chars
+    # like any other md5)
     filler = F.encode(
         F.expr(
-            "repeat(md5(encode(text, 'UTF-8')), CAST(1 + doc_id % 3 AS INT))"
+            "repeat(md5(encode(coalesce(text, ''), 'UTF-8')), "
+            "CAST(1 + doc_id % 3 AS INT))"
         ),
         "UTF-8",
     )

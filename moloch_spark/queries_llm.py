@@ -1267,13 +1267,16 @@ def _ann_alias_index(spark: SparkSession, sf_dir: str) -> str:
         return alias
 
     def exists(alias: str) -> bool:
-        # only a cold cache (alias file gone) or a half-written body is
-        # a rebuild signal; real alias corruption must fail loudly
+        # only a cold cache (alias file gone) or a half-written body
+        # (unparseable JSON / missing key) is a rebuild signal; a
+        # RESOLVABLE-but-wrong alias must fail loudly downstream
+        import json
+
         try:
             return spark.catalog.tableExists(
                 f"{resolve_index_alias(alias)}_codes"
             )
-        except (FileNotFoundError, KeyError):
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
             return False
 
     return memoized_fixture(_ANN_ALIAS_CACHE, sf_dir, exists, build)
@@ -2746,12 +2749,15 @@ def _bm25_alias_index(spark: SparkSession, sf_dir: str) -> str:
         return alias
 
     def exists(alias: str) -> bool:
-        # cold cache (missing file) only; corruption surfaces
+        # cold cache (missing file / half-written body) only; a
+        # resolvable-but-wrong alias surfaces downstream
+        import json
+
         try:
             return spark.catalog.tableExists(
                 f"{resolve_index_alias(alias)}_postings"
             )
-        except (FileNotFoundError, KeyError):
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
             return False
 
     return memoized_fixture(_BM25_ALIAS_CACHE, sf_dir, exists, build)

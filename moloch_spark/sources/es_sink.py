@@ -46,23 +46,6 @@ def index_name(last_packet, *, prefix: str = "sessions3-", rotation: str = "dail
     raise ValueError(f"unknown rotation {rotation!r}")
 
 
-def index_name_udf(*, prefix: str = "sessions3-", rotation: str = "daily"):
-    """Arrow-batched column form of index_name — the rotation applied
-    to a timestamp column at scan time (what a distributed bulk writer
-    computes per row before grouping docs into per-index bodies)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def fn(ts: pd.Series) -> pd.Series:
-        return ts.map(
-            lambda t: None
-            if pd.isna(t)  # nulls arrive as NaT, not None
-            else index_name(t, prefix=prefix, rotation=rotation)
-        )
-
-    return fn
-
-
 def index_names_all_udf(*, prefix: str = "sessions3-"):
     """All four rotations in ONE Arrow pass (struct column) — four
     separate UDF columns would serialize the timestamp batch to Python

@@ -562,9 +562,12 @@ def line_dedup(
     classic skew trap for this operator.) Since the winning (doc, pos)
     IS the aggregation result, no join-back is needed: two map-combined
     shuffles total — (line) then (doc) for the rebuild."""
+    # NULL text ≡ '' (engine-wide contract): a missing body is one
+    # empty line, same as an empty body — never a NULL lines_total
+    body = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(body, sep)).alias("pos", "line"),
     )
     kept = (
         lines.groupBy("line")
@@ -587,7 +590,9 @@ def line_dedup(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("lines_total"),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).cast("long").alias("lines_total"),
     )
     return totals.join(rebuilt, id_col, "left").select(
         id_col,

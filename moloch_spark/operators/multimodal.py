@@ -66,7 +66,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
+        # NULL text ≡ '' (engine-wide contract): a missing body is a
+        # zero-byte blob, never a NULL data column
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("data"),
         F.struct(
             F.col("source").alias("source"),
             F.col("n_chars").cast("long").alias("declared_bytes"),

@@ -33,6 +33,11 @@ BPE_REGEX = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
+    # NULL text ≡ empty document (the engine-wide contract): a missing
+    # body tokenizes to [], never NULL — otherwise every size()/agg
+    # downstream silently turns NULL and diverges from the oracles'
+    # CASE-fallthrough-to-[] shape
+    c = F.coalesce(c, F.lit(""))
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
 
@@ -221,8 +226,9 @@ def c4_filters(
     a page only if >= min_kept_lines lines survive and neither flag is
     set. Returns per-doc counts, the flags, the combined keep, and the
     cleaned text (surviving lines re-joined). All array/string
-    builtins — scan-side, zero shuffle, whole-stage codegen."""
-    text = F.col(text_col)
+    builtins — scan-side, zero shuffle, whole-stage codegen.
+    NULL text ≡ '' (engine-wide contract)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(text, r"\n")
 
     def line_ok(ln):
@@ -256,8 +262,8 @@ def repetition_signals(
     """Gopher-style repetition quality filters (published rules):
     duplicate-line fraction and the frequency share of the most common
     word 2-gram. High values mark boilerplate/spammy documents. All
-    array builtins — scan-side, no shuffle."""
-    text = F.col(text_col)
+    array builtins — scan-side, no shuffle. NULL text ≡ ''."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
     dup_line_frac = F.when(
         F.size(lines) > 0,
@@ -307,8 +313,8 @@ def gopher_quality(
     symbol-to-word ratio (# and ellipsis), fraction of words containing
     an alphabetic character, bullet-start and ellipsis-end line
     fractions, and the combined pass flag. All array/string builtins —
-    scan-side, no shuffle, whole-stage codegen."""
-    text = F.col(text_col)
+    scan-side, no shuffle, whole-stage codegen. NULL text ≡ ''."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(text)
     n_words = F.size(toks)
     nzw = F.greatest(n_words, F.lit(1)).cast("double")
@@ -380,7 +386,9 @@ def char_entropy(
             counts = np.bincount(np.frombuffer(t.encode("utf-8"), dtype=np.uint8))
             counts = counts[counts > 0]
             p = counts / counts.sum()
-            out.append(round(float(-(p * np.log2(p)).sum()), 4))
+            # + 0.0 normalizes IEEE -0.0 (a single distinct byte gives
+            # -(1·log2 1) = -0.0, which hash-diverges from SQL's 0.0)
+            out.append(round(float(-(p * np.log2(p)).sum()), 4) + 0.0)
         return pd.Series(out)
 
     return df.select(F.col(id_col), ent(F.col(text_col)).alias("entropy_bits"))

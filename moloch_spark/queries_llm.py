@@ -45,7 +45,7 @@ def _fixture_prefix(tag: str, sf_dir: str) -> str:
 _TOKS_CTE = """
 toks AS (
   SELECT doc_id, text, n_chars, lang, source,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS t
   FROM documents
 )
 """
@@ -181,7 +181,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM documents
     ),
@@ -1318,8 +1318,9 @@ def q_ann_alias_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     UNION ALL
     SELECT doc_id AS media_id, 'text' AS branch,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           md5(text) AS digest,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+             AS byte_len,
+           md5(coalesce(text, '')) AS digest,
            NULL AS format, NULL AS width, NULL AS height
     FROM documents
     ORDER BY media_id, branch
@@ -1829,7 +1830,7 @@ def q_banded_hamming_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
@@ -1860,7 +1861,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM documents
     ),
@@ -1914,7 +1915,7 @@ _PIPELINE_SQL = f"""
     eval_set AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
     ctoks AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM corpus
     ),
@@ -1969,7 +1970,7 @@ _PIPELINE_SQL = f"""
             THEN list_transform(range(len(t) - 12),
                  i -> array_to_string(list_slice(t, i+1, i+13), ' '))
             ELSE []::VARCHAR[] END) AS gram
-        FROM (SELECT list_filter(string_split_regex(lower(text),
+        FROM (SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
                                  '[^a-z0-9]+'), x -> x <> '') AS t
               FROM eval_set)
       )
@@ -2108,7 +2109,8 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH built AS (
       SELECT doc_id,
-             'src banner ' || source || chr(10) || substr(text, 1, 80)
+             'src banner ' || source || chr(10)
+             || substr(coalesce(text, ''), 1, 80)
              || chr(10) || 'all rights reserved' AS t
       FROM documents
     ),
@@ -2152,7 +2154,9 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "\n",
             F.concat(F.lit("src banner "), F.col("source")),
-            F.substring("text", 1, 80),
+            # coalesce: concat_ws SKIPS a NULL part (2-line doc) while
+            # the oracle's || propagates it — NULL text ≡ '' on both
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
             F.lit("all rights reserved"),
         ).alias("text"),
     )
@@ -2164,7 +2168,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM documents
     ),
@@ -2252,7 +2256,8 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c4_line_filter",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
     ),
     syn AS (
       SELECT doc_id,
@@ -2302,7 +2307,7 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule fires somewhere and the oracle predicts the outcome
     analytically. The operator itself is pure scan-side codegen."""
     did = F.col("doc_id")
-    toks = F.split(F.col("text"), " ")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("long")
     sfx = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""))
 
@@ -2338,8 +2343,9 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH l AS (
       SELECT doc_id,
-             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         x -> trim(x) <> '') AS lines,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS t
       FROM documents
     ),
     g AS (
@@ -2443,8 +2449,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gopher_quality_flags",
     """
     WITH toks AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM documents
     ),
@@ -3207,7 +3213,8 @@ def _lang_case_sql(tok_expr: str = "t") -> str:
 _CCNET_SQL = f"""
     WITH built AS (
       SELECT doc_id,
-             'src banner ' || source || chr(10) || substr(text, 1, 80)
+             'src banner ' || source || chr(10)
+             || substr(coalesce(text, ''), 1, 80)
              || chr(10) || 'all rights reserved' AS t
       FROM documents
     ),
@@ -3310,7 +3317,9 @@ def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "\n",
             F.concat(F.lit("src banner "), F.col("source")),
-            F.substring("text", 1, 80),
+            # coalesce: concat_ws SKIPS a NULL part (2-line doc) while
+            # the oracle's || propagates it — NULL text ≡ '' on both
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
             F.lit("all rights reserved"),
         ).alias("text"),
         "lang",
@@ -3329,8 +3338,9 @@ def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS http_status,
            CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
              AS http_content_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
-           md5(text) AS body_md5
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+             AS body_len,
+           md5(coalesce(text, '')) AS body_md5
     FROM documents
     ORDER BY segment, rec_index
     """,
@@ -3359,7 +3369,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="warc_gate_")
     segs: dict[int, list[bytes]] = {0: [], 1: [], 2: [], 3: []}
     for doc_id, text in rows:
-        body = text.encode()
+        body = (text or "").encode()  # NULL text ≡ '' (empty body)
         status = 404 if doc_id % 7 == 0 else 200
         ctype = "text/html" if doc_id % 2 == 0 else "text/plain"
         segs[doc_id % 4].append(
@@ -3393,7 +3403,7 @@ _HYBRID_RRF_SQL = f"""
     ),
     toks2 AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM uni
     ),
@@ -3550,7 +3560,7 @@ def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toksr AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
                          x -> x <> '') AS t
       FROM documents
     ),

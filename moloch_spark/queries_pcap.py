@@ -1337,8 +1337,8 @@ def q_ip_frag_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 2 THEN 'EHLO ' WHEN 3 THEN chr(22) || chr(3) || 'abc'
                ELSE 'zzzzz' END AS pre
       FROM documents),
-    s AS (SELECT doc_id, v, pre || text AS src_payload,
-                 'HTTP/' || text AS dst_payload,
+    s AS (SELECT doc_id, v, pre || coalesce(text, '') AS src_payload,
+                 'HTTP/' || coalesce(text, '') AS dst_payload,
                  CASE WHEN v = 4 THEN 53 ELSE 9999 END AS port
           FROM d)
     SELECT doc_id AS session_id,
@@ -1370,10 +1370,13 @@ def q_classify_first_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 3, F.concat(F.lit("\x16\x03"), F.lit("abc")))
         .otherwise(F.lit("zzzzz"))
     )
+    # coalesce: a NULL text must not NULL the whole payload (the magic
+    # prefix still classifies) — NULL text ≡ '' on both sides
+    body = F.coalesce(F.col("text"), F.lit(""))
     base = docs.select(
         F.col("doc_id").alias("session_id"),
-        F.concat(pre, F.col("text")).alias("src_payload"),
-        F.concat(F.lit("HTTP/"), F.col("text")).alias("dst_payload"),
+        F.concat(pre, body).alias("src_payload"),
+        F.concat(F.lit("HTTP/"), body).alias("dst_payload"),
         F.when(v == 4, F.lit(53)).otherwise(F.lit(9999)).alias("port"),
     )
     segs = base.select(

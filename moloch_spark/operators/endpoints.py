@@ -190,7 +190,11 @@ def unique(
             df2 = df.select(F.explode_outer(c).alias(name))
             c = F.col(name)
     out = (
-        df2.groupBy(c.alias("value"))
+        # ES terms-agg semantics: a session MISSING the field (NULL
+        # scalar, or an empty/NULL-member array after the explode) is
+        # not a term — the exists/missing facet counts those instead
+        df2.filter(c.isNotNull())
+        .groupBy(c.alias("value"))
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )

@@ -47,6 +47,13 @@ def connected_components(
     as kmeans' model-sized transfer), identical labels (component =
     min member under the same ordering). The distributed loop remains
     the path for edge lists that don't fit the driver."""
+    # an edge requires BOTH endpoints: NULL src/dst rows (a missing
+    # dimension value upstream) are dropped, never propagated into the
+    # label lattice — a NULL node would crash the driver union-find's
+    # ordering and has no graph meaning
+    edges = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    )
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))

@@ -60,7 +60,15 @@ def assign_sessions(
     additionally split into chunks of that many seconds from its own
     start — the mid-save behavior (capture/session.c:312-357); all
     chunks keep the same ``root_seq``.
+
+    Contract: an event without a timestamp cannot enter time-ordered
+    session analytics — NULL-ts rows are dropped here (the capture
+    path guarantees packet times; a 100 TB event lake does not), so
+    gap/window math never sees a NULL and the two engines' opposite
+    NULL-ordering defaults (Spark NULLS FIRST vs SQL NULLS LAST)
+    can never diverge.
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     keys = [F.col(k) for k in key_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.monotonically_increasing_id())
     # millisecond epoch diff: exact integer math (unix_timestamp truncates
@@ -131,5 +139,13 @@ def sessionize_events(
         (ses_ms(F.col("last_packet")) - ses_ms(F.col("first_packet"))).cast("long"),
     ).withColumn(
         "session_id",
-        F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_seq").cast("string")),
+        # F.concat (NULL-propagating), NOT concat_ws: a NULL session
+        # key must yield a NULL session_id — concat_ws would SKIP the
+        # key and emit the bare seq ('1'), silently colliding distinct
+        # NULL-key sessions with any key whose string form is empty
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit("#"),
+            F.col("session_seq").cast("string"),
+        ),
     )

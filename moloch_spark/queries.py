@@ -196,6 +196,7 @@ def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type AS value, COUNT(*) AS count
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY 1
     ORDER BY count DESC, value ASC
     LIMIT 10000
@@ -211,14 +212,20 @@ def q_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS value, COUNT(*) AS count
     FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1
     ORDER BY count DESC, value ASC
     LIMIT 10000
     """,
 )
 def q_unique_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the nested src-ip:port two-level terms special (apiSessions.js:2330)
-    ev = load_table(spark, "events", sf_dir)
+    # the nested src-ip:port two-level terms special (apiSessions.js:2330).
+    # A pair facet requires BOTH members (the reference only nests ports
+    # under sessions that HAVE the ip): half-pairs are excluded, not
+    # silently collapsed to the surviving member (concat_ws would).
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     pair = F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type"))
     return unique(ev.select(pair.alias("value")), "value")
 
@@ -550,7 +557,7 @@ def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -561,8 +568,12 @@ def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS first_packet, MAX(ts) AS last_packet,
            COUNT(*) AS packets,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
-           CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt,
+           COALESCE(array_to_string(list_sort(
+             list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ','),
+             '') AS event_types,
+           CAST(COALESCE(LEN(list(DISTINCT event_type)
+             FILTER (event_type IS NOT NULL)), 0) AS BIGINT)
+             AS event_types_cnt,
            epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS length_ms,
            CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
     FROM numbered
@@ -586,6 +597,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS a,
              't:' || event_type || ':' || CAST(user_id % 25 AS VARCHAR) AS b
       FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
     reach(node, lab) AS (

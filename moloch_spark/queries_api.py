@@ -25,7 +25,7 @@ from moloch_spark.sources.tables import load_table
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -41,14 +41,16 @@ from moloch_spark.sources.tables import load_table
              MIN(ts) AS first_packet, MAX(ts) AS last_packet,
              COUNT(*) AS packets,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-             list_sort(list(DISTINCT event_type)) AS event_types
+             list_sort(list(DISTINCT event_type)
+               FILTER (event_type IS NOT NULL)) AS event_types
       FROM chunked GROUP BY 1, 2, 3
     )
     SELECT user_id, root_seq,
            MIN(first_packet) AS first_packet, MAX(last_packet) AS last_packet,
            CAST(SUM(packets) AS BIGINT) AS packets,
            CAST(SUM(CAST(tot_bytes AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-           array_to_string(list_sort(list_distinct(flatten(list(event_types)))), ',') AS event_types,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             flatten(list(event_types)))), ','), '') AS event_types,
            COUNT(*) AS segment_cnt
     FROM segs GROUP BY 1, 2
     """,
@@ -75,7 +77,7 @@ def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -187,7 +189,7 @@ def _prebuilt_tag_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -327,7 +329,7 @@ def q_page(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -378,7 +380,7 @@ def q_store_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -386,7 +388,8 @@ def q_store_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq
     ), sessions AS (
       SELECT user_id, session_seq,
-             list_sort(list(DISTINCT event_type)) AS event_types
+             list_sort(list(DISTINCT event_type)
+               FILTER (event_type IS NOT NULL)) AS event_types
       FROM numbered GROUP BY 1, 2
     )
     SELECT u.value, COUNT(*) AS count
@@ -414,7 +417,7 @@ def q_unique_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -424,7 +427,8 @@ def q_unique_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, session_seq,
              CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
              COUNT(*) AS packets,
-             list_sort(list(DISTINCT event_type)) AS event_types
+             list_sort(list(DISTINCT event_type)
+               FILTER (event_type IS NOT NULL)) AS event_types
       FROM numbered GROUP BY 1, 2
     )
     SELECT session_id, user_id, packets
@@ -485,7 +489,7 @@ def _zorder_store(spark: SparkSession, sf_dir: str) -> str:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -496,7 +500,8 @@ def _zorder_store(spark: SparkSession, sf_dir: str) -> str:
              CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
              COUNT(*) AS packets,
              MAX(ts) AS last_packet,
-             list_sort(list(DISTINCT event_type)) AS event_types
+             list_sort(list(DISTINCT event_type)
+               FILTER (event_type IS NOT NULL)) AS event_types
       FROM numbered GROUP BY 1, 2
     )
     SELECT session_id, user_id, packets

@@ -59,7 +59,7 @@ def q_enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'error' AND value >= 150 THEN 'big-err' END
            ], x -> x IS NOT NULL))), ','), '') AS tags
     FROM events
-    WHERE NOT (user_id = 0)
+    WHERE user_id IS DISTINCT FROM 0
     ORDER BY event_id
     """,
 )

@@ -33,7 +33,7 @@ _SESSION_CTE = """
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -58,7 +58,7 @@ _REC = (
     , pkt AS (
       SELECT CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR)
                AS session_id,
-             epoch_us(ts) AS ts_us, event_id, lower(hex(props)) AS ph
+             epoch_us(ts) AS ts_us, event_id, lower(hex(coalesce(props, ''))) AS ph
       FROM numbered
     ), rec AS (
       SELECT session_id, ts_us, event_id, {_REC} AS r FROM pkt
@@ -81,12 +81,18 @@ def q_pcap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ids = assign_sessions(ev, ["user_id"], "ts", idle_timeout_s=1800)
     to_us = epoch_us_fn(with_ids, "ts")
     pkts = with_ids.select(
-        F.concat_ws(
-            "#", F.col("user_id"), F.col("session_seq")
+        # F.concat (NULL-propagating, matching the oracle's ||), and
+        # NULL props ≡ empty payload — both sides
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.col("session_seq").cast("string"),
         ).alias("session_id"),
         to_us(F.col("ts")).alias("ts_us"),
         "event_id",
-        F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("payload_hex"),
+        F.lower(
+            F.hex(F.encode(F.coalesce(F.col("props"), F.lit("")), "UTF-8"))
+        ).alias("payload_hex"),
     )
     out = pcap_export(pkts)
     return out.select(
@@ -138,9 +144,9 @@ def q_pcap_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame_decode_roundtrip",
     """
     SELECT event_id,
-           '10.' || (user_id % 256) || '.' || ((user_id // 256) % 256)
+           '10.' || (coalesce(user_id, 0) % 256) || '.' || ((coalesce(user_id, 0) // 256) % 256)
                  || '.' || (1 + event_id % 250) AS src_ip,
-           '192.0.2.' || (user_id % 200) AS dst_ip,
+           '192.0.2.' || (coalesce(user_id, 0) % 200) AS dst_ip,
            CAST(17 AS BIGINT) AS ip_protocol,
            CAST(40000 + event_id % 1000 AS BIGINT) AS src_port,
            CAST(CASE event_type WHEN 'click' THEN 80 WHEN 'view' THEN 443
@@ -168,7 +174,8 @@ def q_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def octet(c):  # one IP octet, 2 hex chars
         return F.lpad(F.lower(F.hex(c.cast("long"))), 2, "0")
 
-    uid, eid = F.col("user_id"), F.col("event_id")
+    uid = F.coalesce(F.col("user_id"), F.lit(0))  # NULL uid pins to 0
+    eid = F.col("event_id")
     sport = F.lit(40000) + eid % 1000
     dport = (
         F.when(F.col("event_type") == "click", 80)
@@ -211,7 +218,7 @@ def q_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dns_parse_fields",
     """
     SELECT event_id,
-           event_type || '.example.com' AS dns_qname,
+           coalesce(event_type, 'x0') || '.example.com' AS dns_qname,
            'A' AS dns_qtype,
            'IN' AS dns_qclass,
            CAST(event_id % 65536 AS BIGINT) AS dns_id,
@@ -234,7 +241,14 @@ def q_dns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = ev.withColumn(
         "payload",
         encode_dns_query_udf()(
-            F.col("event_id"), F.concat(F.col("event_type"), F.lit(".example.com"))
+            F.col("event_id"),
+            # sentinel, not '': DNS cannot carry an empty leading label
+            # (the parser canonicalizes it away and the oracle would
+            # keep the dot)
+            F.concat(
+                F.coalesce(F.col("event_type"), F.lit("x0")),
+                F.lit(".example.com"),
+            ),
         ),
     )
     parsed = parse_dns(wire, payload_col="payload")
@@ -254,9 +268,9 @@ def q_dns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            'request' AS http_kind,
            'GET' AS http_method,
-           '/' || event_type || '/' || event_id AS http_uri,
-           'u' || user_id || '.example.com' AS http_host,
-           'agent-' || (user_id % 7) AS http_user_agent,
+           '/' || coalesce(event_type, '') || '/' || event_id AS http_uri,
+           'u' || coalesce(user_id, 0) || '.example.com' AS http_host,
+           'agent-' || (coalesce(user_id, 0) % 7) AS http_user_agent,
            CAST(2 AS BIGINT) AS http_header_cnt
     FROM events
     ORDER BY event_id
@@ -273,10 +287,12 @@ def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "event_type", "user_id"
     )
+    etype = F.coalesce(F.col("event_type"), F.lit(""))
+    uid = F.coalesce(F.col("user_id"), F.lit(0))
     req = F.concat(
-        F.lit("GET /"), F.col("event_type"), F.lit("/"), F.col("event_id"),
-        F.lit(" HTTP/1.1\r\nHost: u"), F.col("user_id"),
-        F.lit(".example.com\r\nUser-Agent: agent-"), F.col("user_id") % 7,
+        F.lit("GET /"), etype, F.lit("/"), F.col("event_id"),
+        F.lit(" HTTP/1.1\r\nHost: u"), uid,
+        F.lit(".example.com\r\nUser-Agent: agent-"), uid % 7,
         F.lit("\r\n\r\n"),
     )
     parsed = parse_http(
@@ -1048,9 +1064,9 @@ _DECAP_PLAN_CACHE: dict = {}
     SELECT event_id,
            CASE event_id % 3 WHEN 0 THEN 'gre' WHEN 1 THEN 'vxlan'
                 ELSE 'mpls' END AS tunnels_csv,
-           '10.' || (user_id % 256) || '.' || ((user_id // 256) % 256)
+           '10.' || (coalesce(user_id, 0) % 256) || '.' || ((coalesce(user_id, 0) // 256) % 256)
                  || '.' || (1 + event_id % 250) AS src_ip,
-           '192.0.2.' || (user_id % 200) AS dst_ip,
+           '192.0.2.' || (coalesce(user_id, 0) % 200) AS dst_ip,
            CAST(17 AS BIGINT) AS ip_protocol,
            CAST(40000 + event_id % 1000 AS BIGINT) AS src_port,
            CAST(53 AS BIGINT) AS dst_port
@@ -1087,7 +1103,8 @@ def q_tunnel_decap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def octet(c):
         return F.lpad(F.lower(F.hex(c.cast("long"))), 2, "0")
 
-    uid, eid = F.col("user_id"), F.col("event_id")
+    uid = F.coalesce(F.col("user_id"), F.lit(0))  # NULL uid pins to 0
+    eid = F.col("event_id")
     sport = F.lit(40000) + eid % 1000
     src_hex = F.concat(
         octet(F.lit(10)), octet(uid % 256), octet((uid / 256).cast("long") % 256),

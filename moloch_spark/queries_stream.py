@@ -242,7 +242,7 @@ def q_cron_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -260,8 +260,11 @@ def q_cron_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS first_packet, MAX(ts) AS last_packet,
            COUNT(*) AS packets,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_bytes,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
-           CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt,
+           COALESCE(array_to_string(list_sort(
+             list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ','),
+             '') AS event_types,
+           CAST(COALESCE(LEN(list(DISTINCT event_type)
+             FILTER (event_type IS NOT NULL)), 0) AS BIGINT) AS event_types_cnt,
            epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS length_ms,
            CAST(user_id AS VARCHAR) || '#' || CAST(root_seq AS VARCHAR) || '-' || CAST(chunk_seq AS VARCHAR) AS session_id
     FROM chunked
@@ -292,7 +295,7 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       WHEN 'click' THEN 1800
                                       ELSE 3600 END) * 1000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -363,7 +366,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -373,10 +376,15 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, root_seq,
              MIN(ts) AS first_packet, MAX(ts) AS last_packet,
              COUNT(*) AS packets,
-             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
-             CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt
+             COALESCE(array_to_string(list_sort(
+               list(DISTINCT event_type) FILTER (event_type IS NOT NULL)),
+               ','), '') AS event_types,
+             CAST(COALESCE(LEN(list(DISTINCT event_type)
+               FILTER (event_type IS NOT NULL)), 0) AS BIGINT)
+               AS event_types_cnt
       FROM numbered GROUP BY 1, 2
-    ), wm AS (SELECT MAX(epoch_ms(ts)) - 60000 AS wm_ms FROM events)
+    ), wm AS (SELECT MAX(epoch_ms(ts)) - 60000 AS wm_ms FROM events
+           WHERE ts IS NOT NULL)
     SELECT user_id, root_seq, first_packet, last_packet, packets,
            event_types, event_types_cnt,
            CAST(user_id AS VARCHAR) || '#' ||
@@ -416,7 +424,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -426,8 +434,12 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, root_seq,
              MIN(ts) AS first_packet, MAX(ts) AS last_packet,
              COUNT(*) AS packets,
-             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
-             CAST(LEN(list(DISTINCT event_type)) AS BIGINT) AS event_types_cnt
+             COALESCE(array_to_string(list_sort(
+               list(DISTINCT event_type) FILTER (event_type IS NOT NULL)),
+               ','), '') AS event_types,
+             CAST(COALESCE(LEN(list(DISTINCT event_type)
+               FILTER (event_type IS NOT NULL)), 0) AS BIGINT)
+               AS event_types_cnt
       FROM numbered GROUP BY 1, 2
     )
     SELECT user_id, root_seq, first_packet, last_packet, packets,

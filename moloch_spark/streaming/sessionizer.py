@@ -70,7 +70,14 @@ def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
     # state carries trailing bookkeeping fields (last_etype) the emitted
     # row doesn't need — unpack the accumulator prefix only
     root_seq, first_us, last_us, packets, tot_bytes, types, root_us, chunk_seq = st[:8]
-    types = sorted(set(types))
+    # collect_set semantics: NULL event types never enter the set (a
+    # mixed None/str set would also crash the sort)
+    types = sorted({t for t in types if t is not None})
+    # a NULL session key yields NULL ids — an f-string would mint the
+    # literal 'nan#...' and silently collide NULL-key sessions
+    uid_null = user_id is None or (
+        isinstance(user_id, float) and user_id != user_id
+    )
     return {
         "user_id": user_id,
         "root_seq": root_seq,
@@ -83,8 +90,8 @@ def _emit_row(user_id: int, st: tuple) -> dict[str, Any]:
         # ids derive from (key, first-seen time), NOT a per-key counter:
         # counters reset when timed-out state is evicted, so they collide
         # across restarts; first_us is stable and replay-idempotent
-        "session_id": f"{user_id}#{first_us}",
-        "root_id": f"{user_id}#{root_us}",
+        "session_id": None if uid_null else f"{user_id}#{first_us}",
+        "root_id": None if uid_null else f"{user_id}#{root_us}",
         "chunk_seq": chunk_seq,
     }
 
@@ -233,9 +240,15 @@ def streaming_sessionize(
 ) -> DataFrame:
     """events (streaming DF with ts/user_id/event_type/value) -> stream of
     CLOSED sessions (and mid-save chunks when chunk_s is set);
-    timeout_by_type gives per-protocol idle timeouts."""
+    timeout_by_type gives per-protocol idle timeouts.
+
+    NULL-ts rows are dropped (the batch sessionizer's contract): an
+    event without event time cannot participate in watermarked idle
+    timing, and whether the engine would silently drop or deliver it
+    to the state fn is version-dependent — make it deterministic."""
     return (
-        events.withWatermark("ts", watermark_delay)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             make_session_fn(idle_timeout_s, chunk_s, timeout_by_type),
@@ -341,9 +354,11 @@ def streaming_sessionize_bounded(
     outgrows ingest_rate × ttl. Uses ProcessingTimeTimeout (a wall
     clock), hence results are not bit-reproducible across replays the
     way the EventTimeTimeout form is — the same determinism trade the
-    reference makes when maxStreams evicts under pressure."""
+    reference makes when maxStreams evicts under pressure.
+    NULL-ts rows are dropped (same contract as streaming_sessionize)."""
     return (
-        events.withWatermark("ts", watermark_delay)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             make_bounded_session_fn(

@@ -1,11 +1,21 @@
-"""Adversarial-fixture sweep: every documents-reading gate must stay
-oracle-green when the corpus contains an EMPTY document, a NULL-text
-document, and a single-character document — the latent class behind
-three shipped round-10 fixes (empty-text posexplode phantoms, NULL-text
-carve row-drops, -0.0 char entropy). The engine-wide contract under
-test: NULL text ≡ '' (a missing body is an empty document, never a
-NULL that silently propagates through sizes, digests, and concats on
-ONE side of the oracle pair).
+"""Adversarial-fixture sweeps: every gate must stay oracle-green when
+its source table contains degenerate rows — the latent class behind a
+dozen shipped round-10 fixes.
+
+Documents sweep: an EMPTY document, a NULL-text document, and a
+single-character document. Contract under test: NULL text ≡ '' (a
+missing body is an empty document, never a NULL that silently
+propagates through sizes, digests, and concats on ONE side of the
+oracle pair); plus the -0.0 char-entropy normalization.
+
+Events sweep: a NULL event_type, a NULL user_id, and a NULL ts row.
+Contracts under test: NULL-ts events cannot enter time-ordered session
+analytics (dropped on BOTH sides — the engines' opposite NULL-ordering
+window defaults can never meet); a NULL session key yields a NULL
+session_id (concat, never concat_ws's silent member-skip); facet terms
+exclude missing values (ES semantics); pair facets and graph edges
+require both members; synthesis gates pin NULL inputs to sentinels
+identically on both sides.
 
 Both Spark and DuckDB read the same mutated parquet, so any hash
 divergence here is a real operator/oracle asymmetry, not a fixture
@@ -23,11 +33,12 @@ from moloch_spark.registry import all_oracles, all_queries
 
 SRC = "/root/testdata/sf0.001"
 
-# streaming gates pay ~3 s of Structured Streaming startup each and
-# never read the documents table's text column through an oracle that
-# could NULL-diverge (events-driven); skip them for sweep cost
+# streaming gates pay ~3 s of Structured Streaming startup each; skip
+# all but streaming_sessionize_closed, which is KEPT in the events
+# sweep because the NULL-session-key and NULL-event-type fixes live in
+# the streaming sessionizer's Python state fn (r10: 'nan#...' ids,
+# mixed None/str type-set sort crash)
 SKIP = {
-    "streaming_sessionize_closed",
     "streaming_state_cap",
     "streaming_dedup_incremental",
     "streaming_packet_dedup",
@@ -55,16 +66,37 @@ def adv_sf(tmp_path_factory) -> str:
     return d
 
 
-def _doc_gates() -> list[str]:
+@pytest.fixture(scope="module")
+def adv_ev(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("adv_ev"))
+    for f in os.listdir(SRC):
+        if f != "events.parquet":
+            os.symlink(os.path.join(SRC, f), os.path.join(d, f))
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t AS SELECT * FROM '{SRC}/events.parquet'")
+    mx = con.execute("SELECT MAX(event_id) FROM t").fetchone()[0]
+    con.execute(
+        f"INSERT INTO t VALUES ({mx + 1}, TIMESTAMP '2024-01-02 03:04:05',"
+        f" 7, NULL, 1.5, NULL)"
+    )
+    con.execute(
+        f"INSERT INTO t VALUES ({mx + 2}, TIMESTAMP '2024-01-02 03:04:06',"
+        f" NULL, 'click', NULL, '{{}}')"
+    )
+    con.execute(f"INSERT INTO t VALUES ({mx + 3}, NULL, 3, 'view', 2.5, '{{}}')")
+    con.execute(f"COPY t TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
+def _gates(table: str) -> list[str]:
     osql = all_oracles()
     return sorted(
-        n
-        for n, sql in osql.items()
-        if "documents" in sql and n not in SKIP
+        n for n, sql in osql.items() if table in sql and n not in SKIP
     )
 
 
-@pytest.mark.parametrize("name", _doc_gates())
+@pytest.mark.parametrize("name", _gates("documents"))
 def test_gate_survives_degenerate_documents(spark, name, adv_sf):
     from tests.oracle_utils import canon_rows, run_oracle
 
@@ -72,6 +104,16 @@ def test_gate_survives_degenerate_documents(spark, name, adv_sf):
     assert canon_rows(df.toPandas()) == canon_rows(
         run_oracle(all_oracles()[name], adv_sf)
     ), f"{name}: Spark/oracle diverge on empty/NULL/1-char documents"
+
+
+@pytest.mark.parametrize("name", _gates("events"))
+def test_gate_survives_degenerate_events(spark, name, adv_ev):
+    from tests.oracle_utils import canon_rows, run_oracle
+
+    df = all_queries()[name](spark, adv_ev)
+    assert canon_rows(df.toPandas()) == canon_rows(
+        run_oracle(all_oracles()[name], adv_ev)
+    ), f"{name}: Spark/oracle diverge on NULL-field events"
 
 
 def teardown_module(module):

@@ -414,10 +414,30 @@ def ngram_jaccard(
 # ---------------------------------------------------------------------------
 
 
+def usable_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The vector-op entry contract: only USABLE vectors participate —
+    non-NULL with positive norm. A NULL embedding (the row was never
+    embedded) crashes the Arrow encoders; a zero vector has no
+    direction, so any cosine against it is undefined — both are
+    routine in a 100 TB corpus and both are EXCLUDED from similarity /
+    indexing / clustering, exactly like NULL-ts events are excluded
+    from sessionization. Keep the excluded rows queryable elsewhere;
+    they just aren't vectors."""
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        v.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return emb.filter(v.isNotNull() & (sq > 0))
+
+
 def cosine_expr(a, b):
     """Cosine similarity of two float arrays, JVM-side, rounded to 4
     decimals so cross-engine float summation-order noise cannot flip a
-    comparison."""
+    comparison. Contract: an operand with no direction — the zero
+    vector, or a NULL/missing embedding — has similarity 0.0 to
+    everything (ANSI mode would otherwise DIVIDE_BY_ZERO on the first
+    zero vector a 100 TB corpus contains; 0.0 can never cross a
+    positive threshold)."""
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
     dot = F.aggregate(
@@ -425,7 +445,9 @@ def cosine_expr(a, b):
     )
     na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.round(dot / (na * nb), 4)
+    return F.when(
+        (na > 0) & (nb > 0), F.round(dot / (na * nb), 4)
+    ).otherwise(F.lit(0.0))
 
 
 def embedding_near_dups(
@@ -439,6 +461,7 @@ def embedding_near_dups(
     """Near-duplicate detection by cosine against a bounded query set:
     broadcast the query vectors, scan the corpus once, keep pairs with
     cosine >= threshold."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     q = emb.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
@@ -636,6 +659,7 @@ def embedding_near_dup_pairs(
     two dim-wide vectors attached (measured 12.4 s -> ~4 s at sf0.1;
     identical floats — the norm of the same array is bit-equal
     wherever it's computed)."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     from moloch_spark.operators.similarity import _hyperplanes, _lsh_tokens_udf
 
     planes = _hyperplanes(dim, n_tables * n_planes)
@@ -753,10 +777,13 @@ def decontaminate_semantic(
             threshold=threshold,
             dim=dim,
         )
-    ev = eval_emb.select(
+    # scoring sides take the vector-op entry contract; the ROW UNIVERSE
+    # below stays the raw train ids — an unusable train vector simply
+    # scores against nothing and comes back (NULL, NULL, false)
+    ev = usable_vectors(eval_emb, vec_col).select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("eval_vec")
     )
-    scored = train_emb.join(
+    scored = usable_vectors(train_emb, vec_col).join(
         F.broadcast(ev), F.col(id_col) != F.col("eval_id")
     ).select(
         F.col(id_col),
@@ -840,10 +867,12 @@ def decontaminate_semantic_lsh(
     vec = F.col(vec_col).cast("array<double>")
     code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
     probe_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=multiprobe)
-    tr = train_emb.select(
+    # scoring sides take the vector-op entry contract (the LSH token
+    # UDF would crash on a NULL vector); the row universe stays raw
+    tr = usable_vectors(train_emb, vec_col).select(
         F.col(id_col), F.col(vec_col), F.explode(code_fn(vec)).alias("token")
     )
-    ev = eval_emb.select(
+    ev = usable_vectors(eval_emb, vec_col).select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("eval_vec"),
         F.explode(probe_fn(vec)).alias("token"),
@@ -972,6 +1001,7 @@ def semdedup_prune(
     product (norms ride the join as scalars, the embedding_near_dup_pairs
     lesson); the near-dup groups come from connected_components over the
     surviving edge list (edge-count-bounded, eagerly checkpointed)."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     from moloch_spark.operators.graph import connected_components
 
     vec = F.col(vec_col).cast("array<double>")

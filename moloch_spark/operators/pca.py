@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from moloch_spark.operators.dedup import usable_vectors
+
 
 def gram_matrix(
     emb: DataFrame, *, vec_col: str = "embedding"
@@ -31,6 +33,7 @@ def gram_matrix(
     """-> (sum_vec, gram, n): distributed Σx and Σ x x^T (numpy
     per-partition partials, one (i,j) map-combined shuffle, dim^2-row
     driver transfer)."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding table")
@@ -113,6 +116,7 @@ def pca_project(
     """-> (id, pc array<double>): center + project each vector onto the
     fitted components — one scan, loadings broadcast into an Arrow
     matmul, values rounded to 4 decimals."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     mean = model["mean"]
     comps = model["components"]
 

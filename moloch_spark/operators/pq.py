@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from moloch_spark.operators.dedup import usable_vectors
+
 
 def pq_codebooks(dim: int, m: int, n_codes: int) -> list[list[list[float]]]:
     """Deterministic md5-seeded codebooks: m subspaces x n_codes codes
@@ -79,6 +81,7 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """-> (id, codes array<long> of length m): the compressed index."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     enc = _encode_udf(codebooks)
     return emb.select(
         F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("codes")
@@ -99,6 +102,7 @@ def pq_train(
     (sub, code, j) mean with one model-sized aggregation. Driver
     transfer per iteration = m * n_codes * sub_dim rows. Empty codes
     keep their previous centroid."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     sub = dim // m
     books = pq_codebooks(dim, m, n_codes)
     vec = F.col(vec_col).cast("array<double>")
@@ -138,6 +142,7 @@ def ann_pq_adc_topk(
     in JVM codegen, never touching the original floats — then one
     per-query top-k window. Approximate by construction; recall vs
     exact search is gated in tests/test_similarity.py."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(B)
     n_codes = B[0].shape[0]
@@ -206,6 +211,7 @@ def ann_ivf_pq_topk(
     vector. Plan: scan-side cell assign + PQ encode (zero shuffle),
     broadcast (query, probed-cell, LUT) rows, per-cell equi-join, ADC
     in codegen, salted two-phase top-k window."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     from moloch_spark.operators.similarity import (
         _argmin_cell,
         _cell_scores_udf,

@@ -24,7 +24,7 @@ import pandas as _pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from moloch_spark.operators.dedup import cosine_expr
+from moloch_spark.operators.dedup import cosine_expr, usable_vectors
 
 
 def brute_force_topk(
@@ -45,6 +45,7 @@ def brute_force_topk(
     passes corpus columns through to the result — so a consumer that
     needs per-neighbor attributes (knn_label_vote's labels) gets them
     from the ONE scoring scan instead of re-scanning the corpus."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     q = emb.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
@@ -142,6 +143,7 @@ def ann_int8_topk(
     and the plan shape is brute_force_topk's (broadcast query codes,
     one corpus scan, per-query window). Recall vs exact cosine is
     gated in test_ann_recall."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     scale = int8_quant_model(emb, vec_col=vec_col)
     codes = int8_codes(emb, scale, id_col=id_col, vec_col=vec_col)
     q = codes.filter(F.col(id_col) < query_max_id).select(
@@ -242,6 +244,7 @@ def lsh_bucket_topk(
     (the classic LSH space trade), queries are broadcast, so the only
     shuffles are the candidate dedup and final top-k — never n^2.
     """
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     planes = _hyperplanes(dim, n_tables * n_planes)
     vec = F.col(vec_col).cast("array<double>")
     code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
@@ -349,6 +352,7 @@ def ivf_assign(
     shape that survives a 100 TB corpus. Ties break to the lowest cell
     id (|v|^2 is constant per row, so the |c|^2 - 2 v.c ranking equals
     true L2 order)."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     sc = _cell_scores_udf(centroids)(F.col(vec_col).cast("array<double>"))
     return emb.withColumn("cell", _argmin_cell(sc))
 
@@ -371,6 +375,7 @@ def ann_ivf_topk(
     O(n * nprobe / n_cells); the only shuffle is the (bounded,
     broadcast) probe-list equi-join plus the final top-k window over
     candidates."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
     scorer = _cell_scores_udf(cents)
     vec = F.col(vec_col).cast("array<double>")
@@ -424,6 +429,7 @@ def ann_ivf_int8_topk(
     bandwidth cut multiply. One scan computes cell + code side by side
     (no self-join of the corpus); queries broadcast; recall vs exact
     cosine is gated in test_ann_recall."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
     scale = int8_quant_model(emb, vec_col=vec_col)
     scorer = _cell_scores_udf(cents)
@@ -540,6 +546,7 @@ def build_ann_index(
         )
         set_index_alias(alias_path, gen, spark)  # the commit point
         return gen
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
     if scale is None:
         # derived from THIS build's rows; pass an explicit scale to pin
@@ -638,6 +645,7 @@ def append_ann_index(
     (full build) when drift warrants it — the Faiss re-train cadence
     decision, not an append-time one. Contract: new ids are not already
     indexed, `buckets` matches the build."""
+    new_emb = usable_vectors(new_emb, vec_col)  # vector-op entry contract
     scale, cents = _read_model(spark, table_prefix)
     scorer = _cell_scores_udf(cents)
     vec = F.col(vec_col).cast("array<double>")
@@ -809,6 +817,7 @@ def ann_index_search(
         raise ValueError(
             "ann_index_search: pass table_prefix or alias_path"
         )
+    queries = usable_vectors(queries, vec_col)  # vector-op entry contract
     scale, cents = _read_model(spark, table_prefix)
     scorer = _cell_scores_udf(cents)
     vec = F.col(vec_col).cast("array<double>")
@@ -869,6 +878,7 @@ def kmeans_train(
     via posexplode + (cell, pos) mean. Per iteration: one scan + one
     K*dim-sized aggregation; the only driver transfer is the K*dim
     model itself. Empty cells keep their previous centroid."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     cents = ivf_centroids(dim, n_cells)
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, vec_col=vec_col)
@@ -913,6 +923,7 @@ def knn_label_vote(
     second corpus pass for the vote). At 100 TB serve the neighbors
     from the persisted IVF+SQ8 index instead: knn_label_vote_indexed
     runs the SAME vote tail over ann_index_search neighbors."""
+    emb = usable_vectors(emb, vec_col)  # vector-op entry contract
     top = brute_force_topk(
         emb, id_col=id_col, vec_col=vec_col,
         query_max_id=query_max_id, k=k,

@@ -161,7 +161,8 @@ def _cbal_sql(
     from moloch_spark.queries_llm import _ivf_cell_rank_ctes
 
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed
+               FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
     ranked AS (

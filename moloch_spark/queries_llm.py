@@ -418,8 +418,8 @@ scored AS (
            list_dot_product(q.qe, e.ed)
            / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ed, e.ed))),
          4) AS cosine
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings) e,
-       (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5) q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0) e,
+       (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0) q
   WHERE e.vec_id <> q.qid
 )
 """
@@ -455,7 +455,7 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_int8_topk",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     model AS (
       SELECT 127.0 / MAX(list_aggregate(list_transform(ed, x -> abs(x)),
                                         'max')) AS sc
@@ -520,7 +520,7 @@ def _lsh_ann_sql(n_planes: int = 8, n_tables: int = 12, dim: int = 64) -> str:
     same cosine/rank."""
     branches = _lsh_code_branches(n_planes, n_tables, dim)
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     codes AS (
       SELECT vec_id, ed, t.tbl, CASE t.tbl {branches} END AS code
       FROM b CROSS JOIN (SELECT unnest(range({n_tables})) AS tbl) t
@@ -569,7 +569,7 @@ def _lsh_pairs_sql(
 ) -> str:
     branches = _lsh_code_branches(n_planes, n_tables, dim)
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     codes AS (
       SELECT vec_id, ed, t.tbl, CASE t.tbl {branches} END AS code
       FROM b CROSS JOIN (SELECT unnest(range({n_tables})) AS tbl) t
@@ -613,7 +613,7 @@ _SEMDEDUP_SQL = """
               CASE WHEN embedding[4] > 0 THEN 4 ELSE 0 END +
               CASE WHEN embedding[5] > 0 THEN 2 ELSE 0 END +
               CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS cell
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0
     ),
     pairs AS (
       SELECT a.vec_id AS src, c.vec_id AS dst
@@ -683,7 +683,7 @@ def _ivf_cell_rank_ctes(n_cells: int, dim: int) -> str:
 
 def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, ed, cell FROM cell_rank WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, ed AS qe, cell
@@ -718,7 +718,7 @@ def _ivf_int8_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
     scoring (the codes CTE of the ann_int8 oracle): assignment on
     `ed`, candidate cosine on integer codes."""
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     model AS (
       SELECT 127.0 / MAX(list_aggregate(list_transform(ed, x -> abs(x)),
                                         'max')) AS sc
@@ -771,7 +771,7 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate_semantic",
     """
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     ev AS (SELECT vec_id AS eval_id, ed AS ev FROM b WHERE vec_id < 5),
     tr AS (SELECT vec_id, ed FROM b WHERE vec_id >= 5),
     sc AS (
@@ -786,11 +786,14 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY cos DESC, eval_id ASC) AS rn
       FROM sc
-    )
-    SELECT vec_id, cos AS max_eval_cosine, eval_id AS nearest_eval_id,
-           cos >= 0.3 AS contaminated
-    FROM ranked WHERE rn = 1
-    ORDER BY vec_id
+    ),
+    uni AS (SELECT vec_id FROM embeddings WHERE vec_id >= 5)
+    SELECT u.vec_id, r.cos AS max_eval_cosine,
+           r.eval_id AS nearest_eval_id,
+           COALESCE(r.cos >= 0.3, false) AS contaminated
+    FROM uni u
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (vec_id)
+    ORDER BY u.vec_id
     """,
 )
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -827,7 +830,7 @@ def _decon_lsh_sql(
     test_llm_ops on a planted fixture)."""
     branches = _lsh_code_branches(n_planes, n_tables, dim)
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     codes AS (
       SELECT vec_id, ed, t.tbl, CASE t.tbl {branches} END AS code
       FROM b CROSS JOIN (SELECT unnest(range({n_tables})) AS tbl) t
@@ -866,7 +869,7 @@ def _decon_lsh_sql(
     SELECT t.vec_id, r.cos AS max_eval_cosine,
            r.eval_id AS nearest_eval_id,
            COALESCE(r.cos >= {threshold}, FALSE) AS contaminated
-    FROM (SELECT vec_id FROM b WHERE vec_id >= 5) t
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 5) t
     LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (vec_id)
     ORDER BY vec_id
     """
@@ -938,9 +941,9 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_dot_product(e.ed, e.ed))),
              4) AS cosine
       FROM (SELECT vec_id, embedding::DOUBLE[] AS ed, label
-            FROM embeddings WHERE label IS NOT NULL) e,
+            FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0) e,
            (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-            FROM embeddings WHERE vec_id < 5) q
+            FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0) q
       WHERE e.vec_id <> q.qid
     ),
     ranked AS (
@@ -1012,7 +1015,7 @@ def _ann_labeled_index(spark: SparkSession, sf_dir: str) -> str:
     "knn_label_vote_indexed",
     f"""
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed, label
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     model AS (
       SELECT 127.0 / MAX(list_aggregate(list_transform(ed, x -> abs(x)),
                                         'max')) AS sc
@@ -3033,7 +3036,7 @@ def _pq_encode_sql(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
         for c in range(n_codes)
     )
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     cb(sub, code, c, c2) AS (VALUES {values}),
     sub_rank AS (
       SELECT vec_id, sub, code,
@@ -3068,7 +3071,7 @@ def _pq_adc_sql(
 ) -> str:
     sub = dim // m
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     cb(sub, code, c, c2) AS (VALUES {_pq_cb_values(dim, m, n_codes)}),
     sub_rank AS (
       SELECT vec_id, sub, code,
@@ -3123,7 +3126,7 @@ def _ivf_pq_sql(
 ) -> str:
     sub = dim // m
     return f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, cell
@@ -3445,6 +3448,7 @@ _HYBRID_RRF_SQL = f"""
     emb2 AS (
       SELECT e.vec_id, e.embedding::DOUBLE[] AS ed
       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE e.embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0
     ),
     qv AS (SELECT vec_id AS qid, ed AS qe FROM emb2 WHERE vec_id < 5),
     ds AS (

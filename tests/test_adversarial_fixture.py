@@ -89,6 +89,25 @@ def adv_ev(tmp_path_factory) -> str:
     return d
 
 
+@pytest.fixture(scope="module")
+def adv_emb(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("adv_emb"))
+    for f in os.listdir(SRC):
+        if f != "embeddings.parquet":
+            os.symlink(os.path.join(SRC, f), os.path.join(d, f))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE t AS SELECT * FROM '{SRC}/embeddings.parquet'"
+    )
+    dim = con.execute("SELECT len(embedding) FROM t LIMIT 1").fetchone()[0]
+    zeros = "[" + ",".join(["0.0"] * dim) + "]"
+    con.execute("INSERT INTO t VALUES (500, NULL, 1)")
+    con.execute(f"INSERT INTO t VALUES (501, {zeros}::FLOAT[], NULL)")
+    con.execute(f"COPY t TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
 def _gates(table: str) -> list[str]:
     osql = all_oracles()
     return sorted(
@@ -114,6 +133,26 @@ def test_gate_survives_degenerate_events(spark, name, adv_ev):
     assert canon_rows(df.toPandas()) == canon_rows(
         run_oracle(all_oracles()[name], adv_ev)
     ), f"{name}: Spark/oracle diverge on NULL-field events"
+
+
+@pytest.mark.parametrize("name", _gates("embeddings"))
+def test_gate_survives_degenerate_embeddings(spark, name, adv_emb):
+    """NULL and zero-norm vectors: excluded from every vector op by the
+    usable_vectors entry contract (a NULL embedding crashes Arrow
+    encoders; a zero vector has no direction, and ANSI mode
+    DIVIDE_BY_ZEROs the first cosine against it)."""
+    from tests.oracle_utils import canon_rows, run_oracle
+
+    df = all_queries()[name](spark, adv_emb)
+    assert canon_rows(df.toPandas()) == canon_rows(
+        run_oracle(all_oracles()[name], adv_emb)
+    ), f"{name}: Spark/oracle diverge on NULL/zero vectors"
+
+
+def test_pca_survives_degenerate_embeddings(spark, adv_emb):
+    # rows-only gate (no SQL oracle): must run, excluding the 2
+    # unusable rows rather than crashing np.stack
+    assert all_queries()["embedding_pca_whiten"](spark, adv_emb).count() == 500
 
 
 def teardown_module(module):

@@ -187,7 +187,10 @@ def unique(
         from pyspark.sql import types as T
 
         if isinstance(df.select(c.alias(name)).schema[0].dataType, T.ArrayType):
-            df2 = df.select(F.explode_outer(c).alias(name))
+            # plain explode (not explode_outer): the isNotNull filter
+            # below would drop the NULL row anyway — ES terms aggs
+            # never emit a bucket for missing values
+            df2 = df.select(F.explode(c).alias(name))
             c = F.col(name)
     out = (
         # ES terms-agg semantics: a session MISSING the field (NULL

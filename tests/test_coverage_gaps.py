@@ -193,8 +193,11 @@ def test_unique_explodes_array_valued_column_expressions(spark):
     )
     # computed array expression: concat of the array with itself filtered
     expr = F.filter(F.col("tags"), lambda x: x != "zz")
+    # ES terms-agg contract (r10): missing values are NOT a term — the
+    # row with an empty array contributes no bucket; exists/missing
+    # facets count it instead (endpoints.py unique()).
     got = {r.value: r["count"] for r in unique(df, expr).collect()}
-    assert got == {"a": 1, "b": 2, None: 1}
+    assert got == {"a": 1, "b": 2}
     # named-column path unchanged
     got2 = {r.value: r["count"] for r in unique(df, "tags").collect()}
-    assert got2 == {"a": 1, "b": 2, None: 1}
+    assert got2 == {"a": 1, "b": 2}

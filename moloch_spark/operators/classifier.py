@@ -208,7 +208,16 @@ def _gd_iterations(feats, n_examples, iterations, lr, w, gsq, spark):
             .collect()
         )
         for r in grad_rows:
-            g = r["g"] / n_examples
+            # quantize each iteration's gradient to 12 decimals: the
+            # only cross-engine nondeterminism in the whole loop is
+            # summation ORDER inside the margin/gradient aggregations
+            # (~1e-15 absolute); rounding three orders above that
+            # firewalls the drift at every iteration boundary, so an
+            # independent engine unrolling the same iterations (the
+            # DuckDB oracle) reproduces the weights BIT-exactly — the
+            # dsir "round weights before the doc sum" discipline
+            # applied to a training loop
+            g = round(r["g"] / n_examples, 12)
             gsq[r["bucket"]] = gsq.get(r["bucket"], 0.0) + g * g
             w[r["bucket"]] = w.get(r["bucket"], 0.0) - lr * g / (
                 math.sqrt(gsq[r["bucket"]]) + 1e-8
@@ -426,7 +435,9 @@ def reference_train(
                 grad[bkt] = grad.get(bkt, 0.0) + x * resid
             grad[-1] = grad.get(-1, 0.0) + resid
         for bkt, gs in grad.items():
-            g = gs / n
+            # same 12-decimal gradient quantization as _gd_iterations —
+            # the two implementations stay bit-identical by contract
+            g = round(gs / n, 12)
             gsq[bkt] = gsq.get(bkt, 0.0) + g * g
             w[bkt] = w.get(bkt, 0.0) - lr * g / (math.sqrt(gsq[bkt]) + 1e-8)
     return {k: v for k, v in w.items() if k != -1}, w.get(-1, 0.0)

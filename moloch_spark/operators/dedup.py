@@ -414,20 +414,52 @@ def ngram_jaccard(
 # ---------------------------------------------------------------------------
 
 
+USABLE_FLAG_COL = "usable"
+
+
+def usable_expr(vec_col: str | Column) -> Column:
+    """Boolean column expression of the vector-op usability contract:
+    the vector is non-NULL, every ELEMENT is non-NULL and non-NaN, and
+    the squared norm is positive. Element-level validity is part of
+    the contract (ADVICE r10): a vector with one NULL element would be
+    silently rejected by a fold-based norm on Spark (NULL-poisoned
+    sum) but kept by engines whose list aggregates skip NULLs — so the
+    exclusion is explicit and engine-independent; a NaN element
+    NaN-poisons any dot product downstream, so it is excluded too."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vd = v.cast("array<double>")
+    bad_elem = F.exists(vd, lambda x: x.isNull() | F.isnan(x))
+    sq = F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+    return v.isNotNull() & ~bad_elem & (sq > 0)
+
+
+def with_usable_flag(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Materialize the usability contract as a boolean `usable` column
+    — the INGEST-time form. At 100 TB the per-element norm fold should
+    run ONCE (at ingest or index build) and ride along as a cheap
+    boolean; every `usable_vectors` entry then reduces to a pushable
+    boolean filter instead of re-deriving a higher-order aggregate per
+    scan (VERDICT r10 perf watch)."""
+    return emb.withColumn(USABLE_FLAG_COL, usable_expr(vec_col))
+
+
 def usable_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """The vector-op entry contract: only USABLE vectors participate —
-    non-NULL with positive norm. A NULL embedding (the row was never
-    embedded) crashes the Arrow encoders; a zero vector has no
-    direction, so any cosine against it is undefined — both are
-    routine in a 100 TB corpus and both are EXCLUDED from similarity /
-    indexing / clustering, exactly like NULL-ts events are excluded
-    from sessionization. Keep the excluded rows queryable elsewhere;
-    they just aren't vectors."""
-    v = F.col(vec_col)
-    sq = F.aggregate(
-        v.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    return emb.filter(v.isNotNull() & (sq > 0))
+    non-NULL, element-valid (no NULL/NaN elements) and with positive
+    norm. A NULL embedding (the row was never embedded) crashes the
+    Arrow encoders; a zero vector has no direction, so any cosine
+    against it is undefined — both are routine in a 100 TB corpus and
+    both are EXCLUDED from similarity / indexing / clustering, exactly
+    like NULL-ts events are excluded from sessionization. Keep the
+    excluded rows queryable elsewhere; they just aren't vectors.
+
+    Fast path: when the frame carries a persisted `usable` flag
+    (written at ingest by `with_usable_flag`), the filter is a plain
+    boolean pushdown — no per-row norm recompute; the flag column is
+    dropped so downstream schemas are identical either way."""
+    if USABLE_FLAG_COL in emb.columns:
+        return emb.filter(F.col(USABLE_FLAG_COL)).drop(USABLE_FLAG_COL)
+    return emb.filter(usable_expr(vec_col))
 
 
 def cosine_expr(a, b):

@@ -163,6 +163,44 @@ def _set_stats_props(spark, table_prefix: str, n_docs: int, avgdl: float) -> Non
     )
 
 
+def _write_stats(
+    spark,
+    table_prefix: str,
+    dl_table: DataFrame,
+    *,
+    path_prefix: str | None = None,
+) -> None:
+    """The ONE way index stats are written (ADVICE r10): aggregate
+    n_docs/avgdl from the dl table, persist the 1-row stats table (the
+    durable, external-tool-readable mirror) and stamp the same values
+    into TBLPROPERTIES (the authoritative serving source — read
+    driver-side with zero executor jobs) in the same call. Three
+    writers (build, append-fold, repair) used to carry hand-rolled
+    copies of this pair; a future writer that updated the row but
+    missed the props call would leave serving silently stale — routing
+    every writer through here makes that divergence unconstructible.
+    `path_prefix` set = (re)create the table at that location
+    (build/repair); unset = overwrite-insert into the existing table
+    (append-fold)."""
+    st = dl_table.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    row = spark.createDataFrame(
+        [(st["n_docs"], st["avgdl"])], "n_docs long, avgdl double"
+    )
+    if path_prefix is not None:
+        (
+            row.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{path_prefix}_stats")
+            .saveAsTable(f"{table_prefix}_stats")
+        )
+    else:
+        row.write.insertInto(f"{table_prefix}_stats", overwrite=True)
+    _set_stats_props(spark, table_prefix, st["n_docs"], st["avgdl"])
+
+
 def _index_stats(spark, table_prefix: str) -> tuple[int, float]:
     """(n_docs, avgdl) for serving: table properties when present
     (driver-side, no job), else one collect of the 1-row stats table
@@ -260,20 +298,7 @@ def build_bm25_index(
     save(dl, "dl", id_col)
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_dfreq")  # pre-r5.2 layout
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_stats")
-    st = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ).collect()[0]
-    (
-        spark.createDataFrame(
-            [(st["n_docs"], st["avgdl"])], "n_docs long, avgdl double"
-        )
-        .write.mode("overwrite")
-        .format("parquet")
-        .option("path", f"{path_prefix}_stats")
-        .saveAsTable(f"{table_prefix}_stats")
-    )
-    _set_stats_props(spark, table_prefix, st["n_docs"], st["avgdl"])
+    _write_stats(spark, table_prefix, dl, path_prefix=path_prefix)
     return table_prefix
 
 
@@ -320,18 +345,7 @@ def append_bm25_index(
         .sortBy(id_col)
         .saveAsTable(f"{table_prefix}_dl")
     )
-    stats = (
-        spark.table(f"{table_prefix}_dl")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-        )
-        .collect()[0]
-    )
-    spark.createDataFrame(
-        [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
-    ).write.insertInto(f"{table_prefix}_stats", overwrite=True)
-    _set_stats_props(spark, table_prefix, stats["n_docs"], stats["avgdl"])
+    _write_stats(spark, table_prefix, spark.table(f"{table_prefix}_dl"))
 
 
 def append_bm25_index_stream(
@@ -459,24 +473,12 @@ def repair_bm25_index(
         .option("path", f"{dst_path_prefix}_dl")
         .saveAsTable(f"{dst_prefix}_dl")
     )
-    stats = (
-        spark.table(f"{dst_prefix}_dl")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-        )
-        .collect()[0]
+    _write_stats(
+        spark,
+        dst_prefix,
+        spark.table(f"{dst_prefix}_dl"),
+        path_prefix=dst_path_prefix,
     )
-    (
-        spark.createDataFrame(
-            [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
-        )
-        .write.mode("overwrite")
-        .format("parquet")
-        .option("path", f"{dst_path_prefix}_stats")
-        .saveAsTable(f"{dst_prefix}_stats")
-    )
-    _set_stats_props(spark, dst_prefix, stats["n_docs"], stats["avgdl"])
 
 
 def bm25_topk_indexed(

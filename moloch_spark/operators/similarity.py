@@ -87,6 +87,11 @@ def int8_quant_model(
     Faiss avoids that by decoding per-dim codes back to floats before
     the distance — pure-int scoring needs proportional codes instead.
     Returns 0.0 for an all-zero corpus (codes then all 0)."""
+    # vector-op entry contract: the model must be fit on USABLE vectors
+    # only — a single NaN element in a 100 TB corpus would otherwise
+    # poison the global max into NaN and quantize everything to garbage
+    # (callers pass raw frames here, e.g. pinned-scale rebuilds)
+    emb = usable_vectors(emb, vec_col)
     m = emb.select(
         F.max(
             F.array_max(
@@ -582,6 +587,7 @@ def build_ann_index(
         .option("path", f"{path_prefix}_model")
         .saveAsTable(f"{table_prefix}_model")
     )
+    _stamp_model_rev(spark, table_prefix)
     _drop_model_cache(table_prefix)  # in-place rebuild invalidates
     return table_prefix
 
@@ -589,16 +595,44 @@ def build_ann_index(
 _MODEL_CACHE: dict[tuple[str, str], tuple[float, list[list[float]]]] = {}
 
 
-def _model_location(spark, table_prefix: str) -> str:
-    """The model table's storage location — a catalog-metadata lookup
-    (driver-side command, no executor job). Part of the cache key so a
-    re-created table at a fresh path can never serve a stale model."""
+def _stamp_model_rev(spark, table_prefix: str) -> None:
+    """Stamp a fresh `moloch.model_rev` into the model table's
+    properties — bumped by EVERY model writer. The rev is part of the
+    read cache's key, so an in-place rebuild at the SAME path done by
+    ANOTHER process (same location, new content) still invalidates
+    this process's cache on the next read — the retrieval stats-props
+    pattern applied to cache coherence (ADVICE r10)."""
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_model SET TBLPROPERTIES ("
+        f"'moloch.model_rev' = '{_uuid.uuid4().hex}')"
+    )
+
+
+def _model_fingerprint(spark, table_prefix: str) -> str:
+    """location + rev of the model table — driver-side catalog lookups
+    only, no executor job. Raises if the catalog has no Location for
+    the table (an anonymous/managed anomaly would otherwise weaken the
+    cache key to rev-only)."""
+    loc = None
     for r in spark.sql(
         f"DESCRIBE TABLE EXTENDED {table_prefix}_model"
     ).collect():
         if r["col_name"] == "Location":
-            return r["data_type"]
-    return ""
+            loc = r["data_type"]
+            break
+    if not loc:
+        raise RuntimeError(
+            f"{table_prefix}_model has no storage Location in the "
+            "catalog — refusing to cache a model with a weak key"
+        )
+    rev = ""
+    for r in spark.sql(
+        f"SHOW TBLPROPERTIES {table_prefix}_model"
+    ).collect():
+        if r["key"] == "moloch.model_rev":
+            rev = r["value"]
+            break
+    return f"{loc}#{rev}"
 
 
 def _read_model(spark, table_prefix: str) -> tuple[float, list[list[float]]]:
@@ -610,7 +644,7 @@ def _read_model(spark, table_prefix: str) -> tuple[float, list[list[float]]]:
     writers (build_ann_index in-place path, repair_ann_index) pop
     their entry, and the location in the key re-misses when a prefix
     is re-created at a new path."""
-    key = (table_prefix, _model_location(spark, table_prefix))
+    key = (table_prefix, _model_fingerprint(spark, table_prefix))
     hit = _MODEL_CACHE.get(key)
     if hit is not None:
         return hit
@@ -776,6 +810,7 @@ def repair_ann_index(
         .option("path", f"{dst_path_prefix}_model")
         .saveAsTable(f"{dst_prefix}_model")
     )
+    _stamp_model_rev(spark, dst_prefix)
     _drop_model_cache(dst_prefix)
 
 

@@ -931,7 +931,8 @@ def q_user_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            'sessions3-' || strftime(ts, '%y%m%dh%H') AS idx_hourly,
            'sessions3-' || strftime(ts, '%y%m%d')    AS idx_daily,
-           'sessions3-' || strftime(ts, '%yw%W')     AS idx_weekly,
+           'sessions3-' || strftime(ts, '%y') || 'w' ||
+             lpad(CAST((dayofyear(ts) - 1) // 7 AS VARCHAR), 2, '0') AS idx_weekly,
            'sessions3-' || strftime(ts, '%ym%m')     AS idx_monthly
     FROM events ORDER BY event_id
     """,
@@ -963,3 +964,106 @@ def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx.monthly").alias("idx_monthly"),
     )
     return out.orderBy("event_id")
+
+
+@register(
+    "history_audit_log",
+    """
+    WITH calls AS (
+      SELECT 'u' || CAST(COUNT(*) % 7 AS VARCHAR) AS user_id,
+             '/api/sessions' AS api,
+             'etype == ' || event_type AS expression,
+             CAST(COUNT(*) % 1000 AS BIGINT) AS query_time_ms,
+             CAST(COUNT(*) AS BIGINT) AS records,
+             MAX(ts) AS ts
+      FROM events GROUP BY event_type
+    )
+    SELECT user_id, api, expression, query_time_ms, records, ts
+    FROM calls ORDER BY ts DESC, expression
+    """,
+)
+def q_history_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-API-call audit history under the driver (viewer/
+    apiHistory.js GET /api/history; was pytest-only): one audit row per
+    event_type is derived deterministically from the events table
+    (records = the type's count, ts = its last occurrence), logged
+    through the REAL append-only operator (log_api_call — the write
+    path every viewer API hit takes), then LISTED back through
+    read_history with the history view's default ordering (newest
+    first, expression as the deterministic tiebreak). The audit rows
+    are API-call metadata — inherently a bounded, driver-side stream
+    (one row per request), never data-sized."""
+    import tempfile
+
+    from moloch_spark.operators.users import log_api_call, read_history
+
+    ev = load_table(spark, "events", sf_dir)
+    calls = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("ts").alias("mts"))
+        .collect()  # bounded: one row per event_type
+    )
+    d = tempfile.mkdtemp(prefix="hist_audit_")
+    for r in sorted(calls, key=lambda r: r["event_type"]):
+        log_api_call(
+            spark,
+            d,
+            user_id=f"u{r['c'] % 7}",
+            api="/api/sessions",
+            expression=f"etype == {r['event_type']}",
+            query_time_ms=r["c"] % 1000,
+            records=r["c"],
+            ts=r["mts"],
+        )
+    return (
+        read_history(spark, d)
+        .select(
+            "user_id", "api", "expression", "query_time_ms", "records", "ts"
+        )
+        .orderBy(F.col("ts").desc(), "expression")
+    )
+
+
+@register(
+    "csv_export_sessions",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    WHERE event_type = 'error' AND event_id % 5 = 0
+    ORDER BY event_id
+    """,
+)
+def q_csv_export_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export round-trip under the driver (viewer sessions.csv
+    download; was pytest-only): a filtered/projected session list is
+    written through the REAL export_csv sink (distributed header'd CSV
+    write — no driver collect) and read BACK with an explicit schema;
+    hash-matching the oracle proves the full stringify/parse cycle
+    (timestamps pre-formatted to the second, exactly the viewer's CSV
+    column shape) loses nothing. Scale: the export is a parallel
+    file-per-partition write; reading it back here is the gate's
+    verification device, not part of the export cost."""
+    import tempfile
+
+    from moloch_spark.operators.sessions_api import export_csv
+
+    ev = load_table(spark, "events", sf_dir)
+    sel = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 5 == 0)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    d = tempfile.mkdtemp(prefix="csv_export_") + "/out"
+    export_csv(sel, d)
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, ts_str string"
+        )
+        .option("header", "true")
+        .csv(d)
+    )
+    return back.orderBy("event_id")

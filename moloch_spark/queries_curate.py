@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from moloch_spark.operators import curate as C
 from moloch_spark.registry import register
 from moloch_spark.sources.tables import load_table
+from moloch_spark.sources.tables import load_usable_embeddings as load_emb
 
 # 28-bit md5-prefix bucket, basis points (mirror of curate.split_bucket)
 _BP = (
@@ -162,7 +163,7 @@ def _cbal_sql(
 
     return f"""
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ed
-               FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
+               FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding::DOUBLE[], x -> x IS NULL OR isnan(x)), 'bool_or'), false) AND list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') > 0),
     {_ivf_cell_rank_ctes(n_cells, dim)},
     assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
     ranked AS (
@@ -192,7 +193,7 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase scheme, so no cluster ever lands on a single reducer."""
     from moloch_spark.operators import similarity as S
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_emb(spark, sf_dir)
     return C.cluster_balanced_sample(
         emb, S.ivf_centroids(64, 16), per_cluster=20
     ).orderBy("vec_id")

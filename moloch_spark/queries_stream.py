@@ -701,10 +701,18 @@ def _dedup_stream_dir(spark: SparkSession, sf_dir: str, src: str) -> str:
         part = next(
             f for f in sorted(os.listdir(dup_out)) if f.endswith(".parquet")
         )
-        shutil.copy(
-            os.path.join(dup_out, part),
-            os.path.join(d, "b_duplicates.parquet"),
-        )
+        dup_path = os.path.join(d, "b_duplicates.parquet")
+        shutil.copy(os.path.join(dup_out, part), dup_path)
+        # pin batch ORDER explicitly (ADVICE r10): FileStreamSource
+        # batches oldest-mtime-first, and the gate's cross-batch-replay
+        # semantics need the full events file strictly BEFORE the
+        # duplicates slice — don't rely on a symlink's resolved mtime
+        # racing a fresh copy's
+        base_m = os.stat(os.path.join(d, "a_events.parquet")).st_mtime
+        import time as _t
+
+        later = max(_t.time(), base_m + 60)
+        os.utime(dup_path, (later, later))
         return d
 
     def exists(d: str) -> bool:
@@ -719,7 +727,7 @@ def _dedup_stream_dir(spark: SparkSession, sf_dir: str, src: str) -> str:
     "streaming_packet_dedup",
     """
     SELECT event_id, ts, user_id, event_type
-    FROM events ORDER BY event_id
+    FROM events WHERE ts IS NOT NULL ORDER BY event_id
     """,
 )
 def q_streaming_packet_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,8 +762,14 @@ def q_streaming_packet_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     from moloch_spark.streaming.sessionizer import streaming_dedup
 
+    # NULL-ts rows cannot carry an event-time watermark — excluded on
+    # BOTH sides (the sessionization NULL-ts contract; the oracle
+    # filters identically), so the sweep's NULL-ts fixture row can
+    # never diverge the two engines here
     deduped = streaming_dedup(
-        stream.select("event_id", "ts", "user_id", "event_type"),
+        stream.select("event_id", "ts", "user_id", "event_type").filter(
+            F.col("ts").isNotNull()
+        ),
         key_cols=["event_id"],
         watermark_delay="3650 days",
     )

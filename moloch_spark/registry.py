@@ -41,105 +41,74 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# ROUND-10 rotation (the r9 verdict's ask #1 / the r9 ROUND-10 NOTE,
-# executed as written — there were no r9 reds):
-#   (a) gates NEW in r10 (driver-row them the round they land): the
-#       gzip/MIME, xor-brute and file-carve decode-stage gates, the
-#       banded-Hamming brute-force equivalence gate, the BM25 + ANN
-#       crash-repair lifecycle gates, the forced-expression/timeLimit
-#       row-level-security gate, the ES index-rotation gate, and the
-#       streaming packet-dedup gate,
-#   (b) the 30-gate block whose latest row is r6 (the pre-declared r10
-#       head), in its r6 check order,
-#   (c) the 11 oldest r7-rowed gates, in their r7 check order — with
+# ROUND-11 rotation (the r10 verdict's ask #2 / the r10 ROUND-11 NOTE,
+# executed as written — there were no r10 reds):
+#   (a) gates NEW or semantics-changed in r11:
+#       es_index_rotation (weekly convention fixed to the reference's
+#       tm_yday/7 — ADVICE r10 medium — so its r10 row is stale),
+#       usable_vector_contract (the NULL/NaN-element-extended
+#       usability contract pinned engine-vs-oracle, direct fold vs
+#       persisted flag), quality_classifier_filter (moved rows-only ->
+#       oracle-backed: the 5 Adagrad iterations are unrolled in SQL),
+#       history_audit_log and csv_export_sessions (the last two
+#       pytest-only SURVEY 2.3 rows, r10 ask #8),
+#   (b) the 39-gate r7 tail, in the pre-declared order,
+#   (c) the 6 oldest r8-rowed gates, in their r8 check order — with
 #       (a)+(b) the ~50 cap lands exactly after them,
-#   (d) past the cap: the 39 remaining r7-rowed gates (the r11 head),
-#       then the r8/r9-rowed gates in registration order — all
+#   (d) past the cap: the 43 remaining r8-rowed gates (the r12 head),
+#       then the r9/r10-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
 #       locally.
-# ROUND-11 NOTE: next head = any r10 reds, any new r11 gates, then the
-# 39-gate r7 tail of (d) (dhcp_parse_fields, irc_parse_fields,
-# socks_parse_fields,
-# radius_parse_fields, ldap_parse_fields, krb5_parse_fields,
-# mysql_parse_fields,
-# postgresql_parse_fields, tns_parse_fields,
-# bgp_parse_fields, http2_parse_fields, quic_parse_fields,
-# pcap_over_ip_reframe, multimodal_resize, multimodal_frame_sample,
-# multimodal_audio, pii_scan, repetition_signals,
-# gopher_quality_flags, quality_char_entropy, curate_mixture_sample,
-# tpch_q19_disjunctive_revenue, tpch_q20_part_supply_nation,
-# tpch_q21_waiting_supplier, tpch_q22_global_sales_opportunity,
-# streaming_sessionize_closed, dedup_ngram_jaccard,
-# embedding_near_dups, embedding_near_dup_pairs_lsh,
-# duplicate_spans_13gram, quic_v1_initial_fields, line_dedup_corpus,
-# dsir_importance_select, dedup_incremental_lsh, curation_pipeline_e2e,
-# bpe_token_counts, quic_capture_to_sni, streaming_dedup_incremental,
-# ppl_filter_stupid_backoff), then the oldest of the r8-rowed block.
-# After r11 no query's latest row should be older than r8.
+# ROUND-12 NOTE: next head = any r11 reds, any new r12 gates, then as
+# much of the r8-rowed block of (d) as fits (it is 43 gates — the cap
+# may land inside it; continue the remainder in r13), then the oldest
+# r9-rowed gates. After r12 no gate's latest row should be older than
+# r9 (or r8 if the r8 block spills).
 _CHECK_PRIORITY = (
-    # --- (a) new in r10 ---
-    "decode_pipeline_gzip_mime",    # gzip round-trip + MIME leaf walk
-                                    # (r9 ask #4; was pytest-only)
-    "banded_hamming_equivalence",   # banded == brute force on random
-                                    # md5 signatures (r9 ask #6)
-    "decode_pipeline_xor_gzip",     # xor-brute key search + inflate
-                                    # (was pytest-only)
-    "decode_carve_files",           # signature-scan carve w/ end-marker
-                                    # lengths (was pytest-only)
-    "bm25_repair_serve",            # crash-replay repair → serve ==
-                                    # clean-index oracle (was pytest-only)
-    "ann_repair_serve",             # the ANN counterpart (was pytest-only)
-    "user_forced_expression_timelimit",  # row-level security: forced
-                                         # expr + lookback clamp
-                                         # (was pytest-only)
-    "es_index_rotation",            # time-rotated index naming ×4
-                                    # (was pytest-only)
-    "streaming_packet_dedup",       # cross-batch dropDuplicates state
-                                    # (was pytest-only)
-    # --- (b) the 30-gate r6 tail (the pre-declared r10 head), in its
-    #     r6 check order ---
-    "misc_parse_fields", "multimodal_features", "pcap_export_sessions",
-    "pcap_packet_positions", "rules_tagging",
-    "session_segments_merge", "session_store_bounded_either",
-    "sessionize_chunked_rootid", "sessionize_events_30m",
-    "sessionize_per_proto_timeouts", "smb_parse_fields",
-    "smtp_parse_fields",
-    "ssh_hassh_fields", "suricata_interval_join", "tls_ja3_fields",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority", "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # --- (c) the 11 oldest r7-rowed gates, in r7 check order; the
-    #     ~50 cap lands exactly after them ---
-    "zorder_store_search", "ann_indexed_topk", "decontaminate_semantic",
-    "bm25_stream_append_serve", "curate_cluster_balanced",
-    "ann_stream_append_serve", "knn_label_vote",
-    "tunnel_decap_roundtrip", "unique_multivalue_session_types",
-    "x509_cert_fields", "yara_scan_documents",
-    # --- (d) past the ~50 cap: the 39-gate r7 tail (next head per the
-    #     ROUND-11 NOTE); unlisted gates (all r8/r9-rowed) follow in
-    #     registration order. ---
-    "dhcp_parse_fields",
-    "irc_parse_fields", "socks_parse_fields", "radius_parse_fields",
-    "ldap_parse_fields", "krb5_parse_fields", "mysql_parse_fields",
-    "postgresql_parse_fields", "tns_parse_fields", "bgp_parse_fields",
-    "http2_parse_fields", "quic_parse_fields", "pcap_over_ip_reframe",
-    "multimodal_resize", "multimodal_frame_sample", "multimodal_audio",
-    "pii_scan", "repetition_signals", "gopher_quality_flags",
-    "quality_char_entropy", "curate_mixture_sample",
+    # --- (a) new/changed in r11 ---
+    "es_index_rotation",            # weekly now tm_yday//7 (ADVICE r10)
+    "usable_vector_contract",       # element-valid + flag==fold parity
+    "quality_classifier_filter",    # Adagrad loop unrolled in oracle
+    "history_audit_log",            # audit log list (r10 ask #8)
+    "csv_export_sessions",          # CSV export round-trip (r10 ask #8)
+    # --- (b) the 39-gate r7 tail (the pre-declared r11 head) ---
+    "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
+    "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
+    "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
+    "bgp_parse_fields", "http2_parse_fields", "quic_parse_fields",
+    "pcap_over_ip_reframe", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_audio", "pii_scan", "repetition_signals",
+    "gopher_quality_flags", "quality_char_entropy", "curate_mixture_sample",
     "tpch_q19_disjunctive_revenue", "tpch_q20_part_supply_nation",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
     "streaming_sessionize_closed", "dedup_ngram_jaccard",
     "embedding_near_dups", "embedding_near_dup_pairs_lsh",
-    "duplicate_spans_13gram", "quic_v1_initial_fields",
-    "line_dedup_corpus", "dsir_importance_select",
-    "dedup_incremental_lsh", "curation_pipeline_e2e",
-    "bpe_token_counts", "quic_capture_to_sni",
+    "duplicate_spans_13gram", "quic_v1_initial_fields", "line_dedup_corpus",
+    "dsir_importance_select", "dedup_incremental_lsh",
+    "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
     "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
+    # --- (c) the 6 oldest r8-rowed gates; the ~50 cap lands after ---
+    "knn_label_vote_indexed", "bm25_alias_rebuild_serve", "image_dhash_dedup",
+    "audio_fingerprint_dedup", "bm25_topk_search", "bpe_train_and_apply",
+    # --- (d) past the cap: the 43 remaining r8-rowed gates in r8
+    #     check order (the r12 head); r9/r10 gates follow unlisted in
+    #     registration order ---
+    "ppl_lang_buckets", "embedding_pca_whiten", "pq_encode_codes",
+    "ccnet_pipeline_e2e", "warc_ingest_roundtrip", "hybrid_rrf_search",
+    "hunt_job_control", "streaming_state_cap", "tpch_q1_pricing_summary",
+    "sessions_search_events", "timeline_events_hourly",
+    "timeline_events_dense", "cardinality_fields", "multiunique_user_event",
+    "spiview_events", "spigraph_sum_metric_rank", "spigraph_event_type_daily",
+    "spigraph_hierarchy_orders", "connections_nation_graph",
+    "connections_baseline_events", "expr_bool_and_list",
+    "expr_ne_null_semantics", "expr_wildcard_date_range",
+    "expr_textfield_phrase", "expr_shortcut_semijoin",
+    "connections_components", "session_tag_update", "multies_scatter_gather",
+    "dstats_derived_rates", "sessions_page_offset", "curate_split_assign",
+    "curate_global_shuffle", "curate_pack_sequences",
+    "curate_weighted_sample", "enrich_region_rollup", "drophash_filter",
+    "asof_feed_enrich", "text_stats", "lang_id", "token_counts",
+    "doc_fingerprint", "dedup_exact", "dedup_minhash_signatures",
 )
 
 

@@ -39,8 +39,13 @@ def index_name(last_packet, *, prefix: str = "sessions3-", rotation: str = "dail
     if rotation == "daily":
         return f"{prefix}{last_packet:%y%m%d}"
     if rotation == "weekly":
-        # ISO-ish week number, reference uses weeks since epoch mod
-        return f"{prefix}{last_packet:%yw%W}"
+        # weeks since Jan 1 = C tm_yday/7 (capture/db.c:570-571;
+        # Python's tm_yday is 1-based where C's is 0-based). NOT
+        # strftime %W — Monday-based week-of-year disagrees with the
+        # reference for essentially every date (ADVICE r10): even
+        # 2024-01-01 is 24w00 here vs 24w01 under %W.
+        wk = (last_packet.timetuple().tm_yday - 1) // 7
+        return f"{prefix}{last_packet:%y}w{wk:02d}"
     if rotation == "monthly":
         return f"{prefix}{last_packet:%ym%m}"
     raise ValueError(f"unknown rotation {rotation!r}")

@@ -51,6 +51,52 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_USABLE_EMB_CACHE: dict[str, str] = {}
+
+
+def load_usable_embeddings(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """Embeddings with the vector-usability contract MATERIALIZED as a
+    persisted `usable` boolean column — the ingest-time form (VERDICT
+    r10 perf watch). At 100 TB the per-element norm fold runs once in
+    the ingest job and rides along as a pushable boolean; every
+    `usable_vectors` entry downstream then filters on the flag instead
+    of re-deriving a higher-order aggregate per scan. Locally the
+    flagged copy is built once per (process, sf_dir) into a tempdir —
+    same memoization contract as the media fixtures (immutable sf_dir
+    dirs per TESTDATA.md). Row universe and all other columns are
+    IDENTICAL to load_table(..., "embeddings"): the flag annotates, it
+    never filters."""
+    import tempfile
+
+    from moloch_spark.fixture_cache import memoized_fixture
+
+    def build() -> str:
+        from moloch_spark.operators.dedup import with_usable_flag
+
+        d = tempfile.mkdtemp(prefix="usable_emb_") + "/embeddings"
+        with_usable_flag(load_table(spark, "embeddings", sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(d)
+        return d
+
+    path = memoized_fixture(
+        _USABLE_EMB_CACHE, sf_dir, os.path.isdir, build
+    )
+    return spark.read.parquet(path)
+
+
+def load_usable_embeddings_spread(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """load_usable_embeddings + spread_small_scan (split estimate from
+    the ORIGINAL fixture file — the flagged copy is the same data)."""
+    return spread_small_scan(
+        load_usable_embeddings(spark, sf_dir), spark, "embeddings", sf_dir
+    )
+
+
 def spread_small_scan(
     df: DataFrame, spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
 ) -> DataFrame:

@@ -38,10 +38,13 @@ SRC = "/root/testdata/sf0.001"
 # sweep because the NULL-session-key and NULL-event-type fixes live in
 # the streaming sessionizer's Python state fn (r10: 'nan#...' ids,
 # mixed None/str type-set sort crash)
+# streaming_packet_dedup is KEPT too (r11): its NULL-ts exclusion
+# contract (dropDuplicatesWithinWatermark drops NULL event-times; the
+# oracle filters ts IS NOT NULL to match) is exactly what this sweep
+# exists to pin
 SKIP = {
     "streaming_state_cap",
     "streaming_dedup_incremental",
-    "streaming_packet_dedup",
 }
 
 
@@ -90,6 +93,41 @@ def adv_ev(tmp_path_factory) -> str:
 
 
 @pytest.fixture(scope="module")
+def adv_li(tmp_path_factory) -> str:
+    """lineitem with NULL-field rows (r11, VERDICT r10 ask #5): a NULL
+    ship date, NULL measures, NULL group keys and a NULL order key —
+    the TPC-H aggregation/join shapes must treat them identically on
+    both engines (date-filtered aggs drop the NULL-date row; NULL keys
+    group into their own bucket; a NULL join key matches nothing)."""
+    d = str(tmp_path_factory.mktemp("adv_li"))
+    for f in os.listdir(SRC):
+        if f != "lineitem.parquet":
+            os.symlink(os.path.join(SRC, f), os.path.join(d, f))
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t AS SELECT * FROM '{SRC}/lineitem.parquet'")
+    ok = con.execute("SELECT MAX(l_orderkey) FROM t").fetchone()[0]
+    con.execute(
+        f"INSERT INTO t VALUES ({ok}, 1, 1, 90, 1.0, 100.0, 0.05, 0.02,"
+        f" 'N', 'O', NULL)"
+    )
+    con.execute(
+        f"INSERT INTO t VALUES ({ok}, 1, 1, 91, NULL, NULL, NULL, NULL,"
+        f" 'N', 'O', TIMESTAMP '1996-03-13 00:00:00')"
+    )
+    con.execute(
+        f"INSERT INTO t VALUES ({ok}, 1, 1, 92, 2.0, 50.0, 0.0, 0.01,"
+        f" NULL, NULL, TIMESTAMP '1996-03-13 00:00:00')"
+    )
+    con.execute(
+        "INSERT INTO t VALUES (NULL, 1, 1, 93, 2.0, 50.0, 0.0, 0.01,"
+        " 'N', 'O', TIMESTAMP '1996-03-13 00:00:00')"
+    )
+    con.execute(f"COPY t TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
+@pytest.fixture(scope="module")
 def adv_emb(tmp_path_factory) -> str:
     d = str(tmp_path_factory.mktemp("adv_emb"))
     for f in os.listdir(SRC):
@@ -103,6 +141,12 @@ def adv_emb(tmp_path_factory) -> str:
     zeros = "[" + ",".join(["0.0"] * dim) + "]"
     con.execute("INSERT INTO t VALUES (500, NULL, 1)")
     con.execute(f"INSERT INTO t VALUES (501, {zeros}::FLOAT[], NULL)")
+    # element-level invalidity (ADVICE r10): one NULL element and one
+    # NaN element — both excluded by the extended usability contract
+    nulled = "[NULL" + ",1.0" * (dim - 1) + "]"
+    naned = "['nan'::FLOAT" + ",1.0" * (dim - 1) + "]"
+    con.execute(f"INSERT INTO t VALUES (502, {nulled}::FLOAT[], 0)")
+    con.execute(f"INSERT INTO t VALUES (503, {naned}::FLOAT[], 1)")
     con.execute(f"COPY t TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
     con.close()
     return d
@@ -135,9 +179,20 @@ def test_gate_survives_degenerate_events(spark, name, adv_ev):
     ), f"{name}: Spark/oracle diverge on NULL-field events"
 
 
+@pytest.mark.parametrize("name", _gates("lineitem"))
+def test_gate_survives_degenerate_lineitem(spark, name, adv_li):
+    from tests.oracle_utils import canon_rows, run_oracle
+
+    df = all_queries()[name](spark, adv_li)
+    assert canon_rows(df.toPandas()) == canon_rows(
+        run_oracle(all_oracles()[name], adv_li)
+    ), f"{name}: Spark/oracle diverge on NULL-field lineitem rows"
+
+
 @pytest.mark.parametrize("name", _gates("embeddings"))
 def test_gate_survives_degenerate_embeddings(spark, name, adv_emb):
-    """NULL and zero-norm vectors: excluded from every vector op by the
+    """NULL, zero-norm, NULL-element and NaN-element vectors: excluded
+    from every vector op by the
     usable_vectors entry contract (a NULL embedding crashes Arrow
     encoders; a zero vector has no direction, and ANSI mode
     DIVIDE_BY_ZEROs the first cosine against it)."""
@@ -150,7 +205,7 @@ def test_gate_survives_degenerate_embeddings(spark, name, adv_emb):
 
 
 def test_pca_survives_degenerate_embeddings(spark, adv_emb):
-    # rows-only gate (no SQL oracle): must run, excluding the 2
+    # rows-only gate (no SQL oracle): must run, excluding the 4
     # unusable rows rather than crashing np.stack
     assert all_queries()["embedding_pca_whiten"](spark, adv_emb).count() == 500
 

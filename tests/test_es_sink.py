@@ -14,6 +14,22 @@ def test_index_rotation_names():
     assert index_name(ts, rotation="daily") == "sessions3-240105"
     assert index_name(ts, rotation="hourly") == "sessions3-240105h13"
     assert index_name(ts, rotation="monthly") == "sessions3-24m01"
+    # weekly is weeks-since-Jan-1 (C tm_yday/7, capture/db.c:570-571),
+    # NOT strftime %W: Jan 1 is w00 (where %W says w01), Jan 5 still
+    # w00, Jan 8 w01, Dec 31 of a leap year w52
+    assert index_name(ts, rotation="weekly") == "sessions3-24w00"
+    assert (
+        index_name(dt.datetime(2024, 1, 1), rotation="weekly")
+        == "sessions3-24w00"
+    )
+    assert (
+        index_name(dt.datetime(2024, 1, 8), rotation="weekly")
+        == "sessions3-24w01"
+    )
+    assert (
+        index_name(dt.datetime(2024, 12, 31), rotation="weekly")
+        == "sessions3-24w52"
+    )
 
 
 def test_write_bulk_ndjson(spark, tmp_path):

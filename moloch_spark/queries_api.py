@@ -976,7 +976,9 @@ def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) % 1000 AS BIGINT) AS query_time_ms,
              CAST(COUNT(*) AS BIGINT) AS records,
              MAX(ts) AS ts
-      FROM events GROUP BY event_type
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type
     )
     SELECT user_id, api, expression, query_time_ms, records, ts
     FROM calls ORDER BY ts DESC, expression
@@ -999,7 +1001,12 @@ def q_history_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     calls = (
-        ev.groupBy("event_type")
+        # NULL-field contract (the terms-agg rule, pinned by the
+        # adversarial events sweep): a NULL event_type is not a
+        # queryable term and derives no audit call; NULL-ts rows
+        # carry no event time and are excluded from the derivation
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("c"), F.max("ts").alias("mts"))
         .collect()  # bounded: one row per event_type
     )

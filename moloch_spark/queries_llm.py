@@ -2930,15 +2930,142 @@ def q_bm25_repair_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_train_and_apply")
+_BPE_WORD_RE_SQL = r"'[a-z0-9]+|[^a-z0-9\s]+'"
+
+
+def _bpe_merge_pass_expr(syms: str, a: str, b: str) -> str:
+    """SQL expression: ONE leftmost-greedy full merge pass of pair
+    (a, b) over list column `syms` — 'aaa' under (a,a) yields (aa, a),
+    the _merge_pair_expr semantics. Pure list lambdas (no subquery /
+    aggregate), so it is legal inside a recursive CTE term. Greedy
+    selection is the gaps-and-islands parity rule: within each maximal
+    run of consecutive matching positions, keep every other one
+    counting from the run start."""
+    m = (f"list_transform(range(len({syms})-1), "
+         f"i -> {syms}[i+1] = {a} AND {syms}[i+2] = {b})")
+    keep = (f"list_transform(range(len({syms})-1), "
+            f"i -> ({m})[i+1] AND ((i + 1 - coalesce(list_max("
+            f"list_filter(range(1, i+1), q -> NOT ({m})[q])), 0)) % 2 = 1))")
+    return (f"flatten(list_transform(range(len({syms})), "
+            f"k -> CASE WHEN k+1 <= len({syms})-1 AND ({keep})[k+1] "
+            f"THEN [{a} || {b}] "
+            f"WHEN k >= 1 AND ({keep})[k] THEN [] "
+            f"ELSE [{syms}[k+1]] END))")
+
+
+def _bpe_sql(num_merges: int = 16, train_mod: int = 23,
+             min_pair_freq: int = 2) -> str:
+    """DuckDB replay of the FULL BPE train+apply pipeline (moves
+    bpe_train_and_apply from rows-only to a true hash gate, VERDICT r10
+    ask #4 stretch). Training: the `num_merges` Sennrich rounds are
+    UNROLLED — pair-count, argmax with the engine's exact tiebreak
+    (cnt DESC, a ASC, b ASC), then a full leftmost-greedy merge pass
+    over the vocab; a below-min_pair_freq round yields an empty merge
+    CTE and the vocab falls through unchanged (the engine's early
+    break). Apply: the priority encode (bpe_word's
+    merge-the-lowest-rank-pair-until-none loop) runs as a RECURSIVE
+    CTE over the corpus's DISTINCT words, each step picking the
+    min-rank pair present and applying one full pass of it — bounded
+    by word length, integer/string arithmetic only, so the replay is
+    EXACT with no FP tolerance at all. Every multiply-referenced CTE
+    is AS MATERIALIZED: DuckDB otherwise INLINES each reference and
+    the v0..v16 chain expands exponentially (2^16 scans froze the
+    first attempt)."""
+    rounds = []
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        merged = _bpe_merge_pass_expr("syms", "mm.a", "mm.b")
+        rounds.append(f""",
+    p{k} AS MATERIALIZED (
+      SELECT pr['pa'] AS a, pr['pb'] AS b, SUM(freq) AS cnt
+      FROM (SELECT freq, unnest(list_transform(range(len(syms)-1),
+              i -> {{'pa': syms[i+1], 'pb': syms[i+2]}})) AS pr
+            FROM v{p} WHERE len(syms) > 1)
+      GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (SELECT a, b FROM p{k} WHERE cnt >= {min_pair_freq}
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    v{k} AS MATERIALIZED (
+      SELECT v.word, {merged} AS syms, v.freq
+      FROM v{p} v, m{k} mm
+      UNION ALL
+      SELECT word, syms, freq FROM v{p}
+      WHERE NOT EXISTS (SELECT 1 FROM m{k})
+    )""")
+    ml_union = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rank, a, b FROM m{k}" for k in range(1, num_merges + 1)
+    )
+    rk = ("list_transform(range(len(syms)-1), "
+          "i -> list_min(list_filter(range(1, len(mla)+1), "
+          "p -> mla[p] = syms[i+1] AND mlb[p] = syms[i+2])))")
+    enc_merged = _bpe_merge_pass_expr("syms", "mla[rstar]", "mlb[rstar]")
+    return f"""
+    WITH RECURSIVE tw AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    {_BPE_WORD_RE_SQL})) AS word
+      FROM documents WHERE doc_id % {train_mod} = 0
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word,
+             list_transform(range(len(word)), i -> word[i+1]) AS syms,
+             COUNT(*) AS freq
+      FROM tw GROUP BY word
+    ){''.join(rounds)},
+    ml AS ({ml_union}),
+    mlt AS MATERIALIZED (
+      SELECT coalesce(list(a ORDER BY rank), []) AS mla,
+             coalesce(list(b ORDER BY rank), []) AS mlb FROM ml),
+    cw AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                             {_BPE_WORD_RE_SQL})) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT word,
+             list_transform(range(len(word)), i -> word[i+1]) AS syms,
+             mla, mlb, 0 AS it
+      FROM cw, mlt
+      UNION ALL
+      SELECT word, {enc_merged} AS syms, mla, mlb, it + 1
+      FROM (
+        SELECT word, syms, mla, mlb, it,
+               list_min({rk}) AS rstar
+        FROM enc
+      ) WHERE rstar IS NOT NULL AND it < 200
+    ),
+    encf AS MATERIALIZED (
+      SELECT word, len(syms) AS c FROM (
+        SELECT word, syms,
+               row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                            {_BPE_WORD_RE_SQL})) AS word
+      FROM documents
+    ),
+    dc AS (
+      SELECT dw.doc_id, SUM(encf.c) AS n
+      FROM dw JOIN encf USING (word) GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(dc.n, 0) AS BIGINT) AS bpe_tokens
+    FROM documents d LEFT JOIN dc USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("bpe_train_and_apply", _bpe_sql())
 def q_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer training + apply: learn 16 BPE merges from
     the doc_id % 23 == 0 slice (distributed Sennrich learn_bpe — the
     corpus collapses to a vocab-bounded word-freq table, each round
     moves ONE argmax row to the driver), then count tokens for every
-    document under the learned merge table. Rows-only gate: the merge
-    argmax loop is iterative and not SQL-expressible; exactness vs an
-    independent pure-Python trainer is pinned in tests/test_bpe.py."""
+    document under the learned merge table. Oracle-backed as of r11
+    (_bpe_sql: unrolled training rounds + recursive-CTE priority
+    encode — exact integer/string replay, no FP tolerance); exactness
+    vs an independent pure-Python trainer stays pinned in
+    tests/test_bpe.py."""
     from moloch_spark.operators.bpe import bpe_train_apply
 
     docs = load_table_spread(spark, "documents", sf_dir)
@@ -2983,20 +3110,20 @@ def _qlr_sql(iterations: int = 5, lr: float = 0.5, n_buckets: int = 4096) -> str
              CAST(COUNT(*) AS DOUBLE) AS c
       FROM grams GROUP BY 1, 2, 3
     ),
-    feat AS (
+    feat AS MATERIALIZED (
       SELECT doc_id, y, bucket,
              c / sqrt(SUM(c * c) OVER (PARTITION BY doc_id)) AS x
       FROM cnt
       UNION ALL
       SELECT doc_id, y, -1 AS bucket, 1.0 AS x FROM pool
     ),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all, SUM(y) AS n_ref FROM pool),
-    g1 AS (
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all, SUM(y) AS n_ref FROM pool),
+    g1 AS MATERIALIZED (
       SELECT bucket,
              ROUND(SUM(x * (0.5 - y)) / (SELECT n_all FROM n), 12) AS g
       FROM feat GROUP BY bucket
     ),
-    w1 AS (
+    w1 AS MATERIALIZED (
       SELECT bucket, g * g AS gsq,
              0.0 - {lr} * g / (sqrt(g * g) + 1e-8) AS wv
       FROM g1
@@ -3005,17 +3132,17 @@ def _qlr_sql(iterations: int = 5, lr: float = 0.5, n_buckets: int = 4096) -> str
     for i in range(2, iterations + 1):
         p = i - 1
         steps.append(f""",
-    m{i} AS (
+    m{i} AS MATERIALIZED (
       SELECT f.doc_id, SUM(f.x * coalesce(w.wv, 0.0)) AS m
       FROM feat f LEFT JOIN w{p} w USING (bucket) GROUP BY f.doc_id
     ),
-    g{i} AS (
+    g{i} AS MATERIALIZED (
       SELECT f.bucket,
              ROUND(SUM(f.x * (1.0 / (1.0 + exp(-m.m)) - f.y))
                    / (SELECT n_all FROM n), 12) AS g
       FROM feat f JOIN m{i} m USING (doc_id) GROUP BY f.bucket
     ),
-    w{i} AS (
+    w{i} AS MATERIALIZED (
       SELECT g.bucket,
              coalesce(w.gsq, 0.0) + g.g * g.g AS gsq,
              coalesce(w.wv, 0.0)

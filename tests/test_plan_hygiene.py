@@ -109,12 +109,11 @@ def test_no_accidental_nested_loops(spark, name):
 def test_every_query_has_oracle_or_reason():
     qs, os_ = all_queries(), all_oracles()
     missing = set(qs) - set(os_)
-    # rows-only queries: the iterative-training ops (argmax / GD loops
-    # aren't SQL-expressible; all are exactness-pinned against
-    # independent pure-Python implementations in tests instead).
-    # streaming_sessionize_closed regained its DuckDB oracle in r4.
+    # rows-only queries: only PCA's eigendecomposition remains
+    # structurally non-SQL (exactness-pinned against numpy in tests).
+    # bpe_train_and_apply and quality_classifier_filter gained full
+    # DuckDB oracles in r11 (unrolled training rounds / recursive-CTE
+    # encode); streaming_sessionize_closed regained its oracle in r4.
     assert missing == {
-        "bpe_train_and_apply",
-        "quality_classifier_filter",
         "embedding_pca_whiten",
     }, missing

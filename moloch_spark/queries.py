@@ -469,7 +469,7 @@ def q_expr_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(pred)
         .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id")
+
     )
 
 
@@ -488,7 +488,7 @@ def q_expr_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     ctx = CompileContext(catalog=events_catalog())
     pred = compile_expression("event.type != signup", ctx)
-    return ev.filter(pred).select("event_id", "event_type").orderBy("event_id")
+    return ev.filter(pred).select("event_id", "event_type")
 
 
 @register(
@@ -509,7 +509,7 @@ def q_expr_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         'event.type == p*e && event.ts >= "2024/01/10" && event.ts < "2024/01/20"',
         ctx,
     )
-    return ev.filter(pred).select("event_id", "ts", "event_type").orderBy("event_id")
+    return ev.filter(pred).select("event_id", "ts", "event_type")
 
 
 @register(
@@ -525,7 +525,7 @@ def q_expr_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     ctx = CompileContext(catalog=documents_catalog())
     pred = compile_expression('doc.text == "hash join"', ctx)
-    return docs.filter(pred).select("doc_id", "lang").orderBy("doc_id")
+    return docs.filter(pred).select("doc_id", "lang")
 
 
 @register(
@@ -546,7 +546,7 @@ def q_expr_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortcuts={"eurolangs": ("string", ["de", "fr"])},
     )
     pred = compile_expression("doc.lang == $eurolangs && doc.source == src1", ctx)
-    return docs.filter(pred).select("doc_id", "source", "lang").orderBy("doc_id")
+    return docs.filter(pred).select("doc_id", "source", "lang")
 
 
 @register(

@@ -255,7 +255,7 @@ def q_multies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.groupBy(F.col("event_type").alias("value"))
         .agg(F.count(F.lit(1)).alias("count"))
-        .orderBy(F.col("count").desc(), F.col("value").asc())
+
     )
 
 
@@ -542,7 +542,7 @@ def q_zorder_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bounded.filter(pred)
         .select("session_id", "user_id", "packets")
-        .orderBy("session_id")
+
     )
 
 
@@ -564,9 +564,7 @@ def store_search(spark: SparkSession, sf_dir: str, expression: str) -> DataFrame
     pred = compile_expression(
         expression, CompileContext(catalog=sessions_catalog())
     )
-    return stored.filter(pred).select("session_id", "user_id", "packets").orderBy(
-        "session_id"
-    )
+    return stored.filter(pred).select("session_id", "user_id", "packets")
 
 
 @register(
@@ -676,7 +674,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+
     )
 
 
@@ -760,7 +758,7 @@ def q_expr_cidr_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact.filter(pred)
         .select("event_id", "src_ip", "src_port", "dst_ip")
-        .orderBy("event_id")
+
     )
 
 
@@ -806,7 +804,7 @@ def q_expr_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             catalog=cat, now=dt.datetime(2024, 1, 15, 13, 37, 21)
         ),
     )
-    return fact.filter(pred).select("event_id", "ts").orderBy("event_id")
+    return fact.filter(pred).select("event_id", "ts")
 
 
 @register(
@@ -870,7 +868,7 @@ def q_expr_views_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact.filter(pred)
         .select("event_id", "event_type", "mac", "proto")
-        .orderBy("event_id")
+
     )
 
 
@@ -921,7 +919,7 @@ def q_user_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         constrained.filter(F.col("event_id") % 7 == 3)
         .select("event_id", "ts", "event_type")
-        .orderBy("event_id")
+
     )
 
 
@@ -963,7 +961,7 @@ def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx.weekly").alias("idx_weekly"),
         F.col("idx.monthly").alias("idx_monthly"),
     )
-    return out.orderBy("event_id")
+    return out
 
 
 @register(
@@ -1027,7 +1025,7 @@ def q_history_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "api", "expression", "query_time_ms", "records", "ts"
         )
-        .orderBy(F.col("ts").desc(), "expression")
+
     )
 
 
@@ -1073,4 +1071,4 @@ def q_csv_export_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .csv(d)
     )
-    return back.orderBy("event_id")
+    return back

@@ -148,7 +148,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = C.mixture_sample(
         docs, {"src0": 3.0, "src1": 2.0, "src2": 1.0}, total=60
     )
-    return out.select("doc_id", "source").orderBy("doc_id")
+    return out.select("doc_id", "source")
 
 
 def _cbal_sql(
@@ -196,4 +196,4 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir)
     return C.cluster_balanced_sample(
         emb, S.ivf_centroids(64, 16), per_cluster=20
-    ).orderBy("vec_id")
+    )

@@ -83,7 +83,7 @@ def q_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.array_join(F.array_sort(F.col("tags")), ",").alias("tags"),
         )
-        .orderBy("event_id")
+
     )
 
 
@@ -123,7 +123,7 @@ def q_wise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, feed, key_col="user_id", key_type="user",
         value_cols=("wise_field", "wise_value"),
     )
-    return out.select("event_id", "wise_field", "wise_value").orderBy("event_id")
+    return out.select("event_id", "wise_field", "wise_value")
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +208,7 @@ def q_drophash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, event_type string",
     )
     out = E.drop_filter(ev, drops, on=["user_id", "event_type"])
-    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+    return out.select("event_id", "user_id", "event_type")
 
 
 @register(
@@ -320,7 +320,7 @@ def q_yara(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         yara_scan(docs, _YARA_RULES, payload_col="text", out_col="yara")
         .select("doc_id", F.explode("yara").alias("rule"))
-        .orderBy("doc_id", "rule")
+
     )
 
 
@@ -383,7 +383,7 @@ def q_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         G.geo_enrich_bucketed(fact, dim, ip_num_col="ip_num")
         .select("event_id", "ip_num", "country", "as_number", "rir")
-        .orderBy("event_id")
+
     )
 
 
@@ -450,7 +450,7 @@ def q_oui_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.regexp_replace(F.col("mac"), "-", ":")).alias("mac"),
             "manufacturer",
         )
-        .orderBy("event_id")
+
     )
 
 
@@ -489,7 +489,7 @@ def q_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(F.col("payload")).cast("long").alias("byte_len"),
         F.md5(F.col("payload")).alias("decoded_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -566,7 +566,7 @@ def q_decode_pipeline_gzip_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("gz_payload")).alias("gzip_md5"),
         F.length(F.col("mime_payload")).cast("long").alias("mime_len"),
         F.md5(F.col("mime_payload")).alias("mime_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -608,7 +608,7 @@ def q_decode_pipeline_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(F.col("payload")).cast("long").alias("byte_len"),
         F.md5(F.col("payload")).alias("decoded_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -670,7 +670,7 @@ def q_decode_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hit.format").alias("format"),
             F.col("hit.length").alias("length"),
         )
-        .orderBy("doc_id", "offset")
+
     )
 
 
@@ -733,7 +733,7 @@ def q_geo6_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         G.geo6_enrich_bucketed(fact, dim, ip_col="ip6")
         .select("event_id", "ip6", "country", "as_number", "rir")
-        .orderBy("event_id")
+
     )
 
 
@@ -784,5 +784,5 @@ def q_reverse_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         E.reverse_dns(fact, ip_col="ip", resolver=resolver)
         .select("event_id", "ip", "rdns")
-        .orderBy("event_id")
+
     )

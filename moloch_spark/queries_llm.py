@@ -178,7 +178,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table_spread(spark, "documents", sf_dir),
         chunk_tokens=64,
         stride=32,
-    ).orderBy("doc_id", "chunk_seq")
+    )
 
 
 @register(
@@ -262,7 +262,7 @@ def q_cms_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_cnt",
             (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
         )
-        .orderBy("gram")
+
     )
 
 
@@ -497,9 +497,7 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ranking intact), floor(x*s+0.5) quantization shared
     bit-for-bit with the oracle, integer dot products (no FP summation
     order at all). Recall vs exact cosine gated in test_ann_recall."""
-    return S.ann_int8_topk(load_emb(spark, sf_dir)).orderBy(
-        "qid", "rank"
-    )
+    return S.ann_int8_topk(load_emb(spark, sf_dir))
 
 
 def _lsh_code_branches(n_planes: int, n_tables: int, dim: int) -> str:
@@ -654,9 +652,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "which rows does the curation pass actually drop". Oracle replays
     cells, pair generation, and the component fixpoint (recursive CTE)
     in SQL."""
-    return D.semdedup_prune(load_emb(spark, sf_dir)).orderBy(
-        "vec_id"
-    )
+    return D.semdedup_prune(load_emb(spark, sf_dir))
 
 
 def _ivf_cell_rank_ctes(n_cells: int, dim: int) -> str:
@@ -768,9 +764,7 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic. Cell assignment uses the full-precision
     vectors so the coarse quantizer is unaffected by code error; recall
     @10 vs exact cosine is gated >= 0.85 in test_ann_recall."""
-    return S.ann_ivf_int8_topk(load_emb(spark, sf_dir)).orderBy(
-        "qid", "rank"
-    )
+    return S.ann_ivf_int8_topk(load_emb(spark, sf_dir))
 
 
 @register(
@@ -816,7 +810,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 5),
         emb.filter(F.col("vec_id") < 5),
         threshold=0.3,
-    ).orderBy("vec_id")
+    )
 
 
 def _decon_lsh_sql(
@@ -896,7 +890,7 @@ def q_decontaminate_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 5),
         emb.filter(F.col("vec_id") < 5),
         threshold=0.3,
-    ).orderBy("vec_id")
+    )
 
 
 # memoized like _bm25_index, keyed on the _codes table (the ANN layout
@@ -932,7 +926,7 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir)
     return S.ann_index_search(
         spark, emb.filter(F.col("vec_id") < 5), prefix
-    ).orderBy("qid", "rank")
+    )
 
 
 @register(
@@ -987,9 +981,7 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brute_force_topk carry_cols) so the vote tail adds no second
     corpus pass; at 100 TB the neighbor source swaps to the persisted
     IVF+SQ8 index over labeled rows with the same tail."""
-    return S.knn_label_vote(load_emb(spark, sf_dir)).orderBy(
-        "qid"
-    )
+    return S.knn_label_vote(load_emb(spark, sf_dir))
 
 
 # labeled-rows-only ANN index with the label persisted as a carry
@@ -1091,7 +1083,7 @@ def q_knn_label_vote_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir)
     return S.knn_label_vote_indexed(
         spark, emb.filter(F.col("vec_id") < 5), prefix
-    ).orderBy("qid")
+    )
 
 
 _ANN_STREAM_CACHE: dict[str, str] = {}
@@ -1163,7 +1155,7 @@ def q_ann_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir)
     return S.ann_index_search(
         spark, emb.filter(F.col("vec_id") < 5), prefix
-    ).orderBy("qid", "rank")
+    )
 
 
 _ANN_REPAIR_CACHE: dict[str, str] = {}
@@ -1217,7 +1209,7 @@ def q_ann_repair_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir)
     return S.ann_index_search(
         spark, emb.filter(F.col("vec_id") < 5), prefix
-    ).orderBy("qid", "rank")
+    )
 
 
 _ANN_ALIAS_CACHE: dict[str, str] = {}
@@ -1306,7 +1298,7 @@ def q_ann_alias_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir)
     return S.ann_index_search(
         spark, emb.filter(F.col("vec_id") < 5), None, alias_path=alias
-    ).orderBy("qid", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1370,7 +1362,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.lit("text").alias("branch"), "byte_len", "digest",
         "format", "width", "height",
     )
-    return png_feats.unionByName(text_feats).orderBy("media_id", "branch")
+    return png_feats.unionByName(text_feats)
 
 
 @register(
@@ -1409,7 +1401,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_width", "target_height", "scale",
             "mean_r", "mean_g", "mean_b",
         )
-        .orderBy("media_id")
+
     )
 
 
@@ -1441,7 +1433,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_id", "frame_index", "width", "height", "chroma", "luma_mean"
         )
-        .orderBy("media_id", "frame_index")
+
     )
 
 
@@ -1473,7 +1465,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id", "sample_rate", "channels", "n_samples",
             "duration_s", "rms", "peak",
         )
-        .orderBy("media_id")
+
     )
 
 
@@ -1517,7 +1509,7 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         M.image_dup_groups(M.image_dhash(media))
         .select("media_id", "dhash", "dup_of", "is_canonical")
-        .orderBy("media_id")
+
     )
 
 
@@ -1562,7 +1554,7 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         M.hash_dup_groups(M.audio_fingerprint(media), hash_col="afp")
         .select("media_id", "afp", "dup_of", "is_canonical")
-        .orderBy("media_id")
+
     )
 
 
@@ -1741,7 +1733,7 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img_pairs.unionByName(aud_pairs)
         .unionByName(vid_pairs)
-        .orderBy("modality", "id_a", "id_b")
+
     )
 
 
@@ -1824,7 +1816,7 @@ def q_banded_hamming_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         M.banded_hamming_pairs(rows, max_hamming=6, bands=8)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+
     )
 
 
@@ -1861,7 +1853,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir)
     test = docs.filter(F.col("doc_id") % 17 == 0)
     _clean, flagged = D.decontaminate(docs, test, n=5)
-    return flagged.orderBy("doc_id")
+    return flagged
 
 
 @register(
@@ -1913,7 +1905,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL."""
     return D.duplicate_spans(
         load_table_spread(spark, "documents", sf_dir), n=13
-    ).orderBy("doc_id")
+    )
 
 
 _PIPELINE_SQL = f"""
@@ -2026,7 +2018,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
-    return curation_pipeline(corpus, eval_docs).orderBy("doc_id")
+    return curation_pipeline(corpus, eval_docs)
 
 
 _INCR_SQL = f"""
@@ -2063,7 +2055,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir)
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    return D.dedup_incremental(new, D.lsh_band_table(hist)).orderBy("doc_id")
+    return D.dedup_incremental(new, D.lsh_band_table(hist))
 
 
 _BPE_MERGES = [
@@ -2109,7 +2101,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_repeat(word, (1 + F.col("doc_id") % 7).cast("int")), " "
         ).alias("text"),
     )
-    return bpe_token_counts(built, _BPE_MERGES).orderBy("doc_id")
+    return bpe_token_counts(built, _BPE_MERGES)
 
 
 @register(
@@ -2168,7 +2160,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("all rights reserved"),
         ).alias("text"),
     )
-    return D.line_dedup(built).orderBy("doc_id")
+    return D.line_dedup(built)
 
 
 @register(
@@ -2235,9 +2227,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir).select(
         "doc_id", "text", "lang"
     )
-    return dsir_select(docs, docs.filter(F.col("lang") == "en")).orderBy(
-        "doc_id"
-    )
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"))
 
 
 # ---------------------------------------------------------------------------
@@ -2343,7 +2333,7 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "keep",
         F.md5(F.col("cleaned")).alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -2444,7 +2434,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").cast("long").alias("keep_id"),
         )
         .withColumn("is_canonical", F.col("keep_id") == F.col("doc_id"))
-        .orderBy("doc_id")
+
     )
 
 
@@ -2500,7 +2490,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_llm_ops.py). Published bounds; scan-side
     builtins only."""
     docs = load_table_spread(spark, "documents", sf_dir)
-    return TX.gopher_quality(docs).orderBy("doc_id")
+    return TX.gopher_quality(docs)
 
 
 @register(
@@ -2521,7 +2511,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local inside Arrow batches (no shuffle — the unnest+groupBy the
     oracle uses would shuffle O(total_chars) rows at scale)."""
     docs = load_table_spread(spark, "documents", sf_dir)
-    return TX.char_entropy(docs).orderBy("doc_id")
+    return TX.char_entropy(docs)
 
 
 @register(
@@ -2618,7 +2608,7 @@ def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_spread(spark, "documents", sf_dir)
     train = docs.filter(F.col("doc_id") % 7 == 0)
-    return lm.ppl_filter(docs, train).orderBy("doc_id")
+    return lm.ppl_filter(docs, train)
 
 
 _BM25_TOPK_SQL = f"""
@@ -2673,9 +2663,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moloch_spark.operators import retrieval as R
 
     docs = load_table_spread(spark, "documents", sf_dir)
-    return R.bm25_topk(docs, R.corpus_queries(docs)).orderBy(
-        "query_id", "rank"
-    )
+    return R.bm25_topk(docs, R.corpus_queries(docs))
 
 
 # durable-index fixtures: built once per (process, sf_dir), like a
@@ -2809,9 +2797,7 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefix = _bm25_index(spark, sf_dir)
     docs = load_table_spread(spark, "documents", sf_dir)
-    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs)).orderBy(
-        "query_id", "rank"
-    )
+    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs))
 
 
 @register("bm25_alias_rebuild_serve", _BM25_TOPK_SQL)
@@ -2832,7 +2818,7 @@ def q_bm25_alias_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir)
     return R.bm25_topk_indexed(
         spark, None, R.corpus_queries(docs), alias_path=alias
-    ).orderBy("query_id", "rank")
+    )
 
 
 _BM25_APPEND_CACHE: dict[str, str] = {}
@@ -2869,9 +2855,7 @@ def q_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefix = _bm25_appended_index(spark, sf_dir)
     docs = load_table_spread(spark, "documents", sf_dir)
-    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs)).orderBy(
-        "query_id", "rank"
-    )
+    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs))
 
 
 _BM25_REPAIR_CACHE: dict[str, str] = {}
@@ -2925,9 +2909,7 @@ def q_bm25_repair_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefix = _bm25_repaired_index(spark, sf_dir)
     docs = load_table_spread(spark, "documents", sf_dir)
-    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs)).orderBy(
-        "query_id", "rank"
-    )
+    return R.bm25_topk_indexed(spark, prefix, R.corpus_queries(docs))
 
 
 _BPE_WORD_RE_SQL = r"'[a-z0-9]+|[^a-z0-9\s]+'"
@@ -3071,7 +3053,7 @@ def q_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, "documents", sf_dir)
     return bpe_train_apply(
         docs, docs.filter(F.col("doc_id") % 23 == 0), num_merges=16
-    ).orderBy("doc_id")
+    )
 
 
 def _qlr_sql(iterations: int = 5, lr: float = 0.5, n_buckets: int = 4096) -> str:
@@ -3228,7 +3210,7 @@ def q_ppl_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_spread(spark, "documents", sf_dir)
     uni, bi = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 0))
-    return lm.ppl_lang_buckets(docs, uni, bi).orderBy("doc_id")
+    return lm.ppl_lang_buckets(docs, uni, bi)
 
 
 @register("embedding_pca_whiten")
@@ -3253,7 +3235,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pc")[1].alias("pc2"),
         F.col("pc")[2].alias("pc3"),
         F.col("pc")[3].alias("pc4"),
-    ).orderBy("vec_id")
+    )
 
 
 def _pq_encode_sql(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
@@ -3350,7 +3332,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moloch_spark.operators import pq as Q
 
     emb = load_emb_spread(spark, sf_dir)
-    return Q.ann_pq_adc_topk(emb, Q.pq_codebooks(64, 8, 16)).orderBy("qid", "rank")
+    return Q.ann_pq_adc_topk(emb, Q.pq_codebooks(64, 8, 16))
 
 
 def _ivf_pq_sql(
@@ -3409,7 +3391,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moloch_spark.operators import pq as Q
 
     emb = load_emb_spread(spark, sf_dir)
-    return Q.ann_ivf_pq_topk(emb, Q.pq_codebooks(64, 8, 16)).orderBy("qid", "rank")
+    return Q.ann_ivf_pq_topk(emb, Q.pq_codebooks(64, 8, 16))
 
 
 @register("pq_encode_codes", _pq_encode_sql())
@@ -3428,7 +3410,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.pq_encode(emb, Q.pq_codebooks(64, 8, 16))
         .select("vec_id", F.posexplode("codes").alias("sub", "code"))
         .select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
-        .orderBy("vec_id", "sub")
+
     )
 
 
@@ -3560,7 +3542,7 @@ def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
         "lang",
     )
-    return ccnet_pipeline(built).orderBy("doc_id")
+    return ccnet_pipeline(built)
 
 
 @register(
@@ -3629,7 +3611,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_content_type",
         F.length("body").cast("long").alias("body_len"),
         F.md5("body").alias("body_md5"),
-    ).orderBy("segment", "rec_index")
+    )
 
 
 _HYBRID_RRF_SQL = f"""
@@ -3741,9 +3723,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = S.brute_force_topk(emb_u, query_max_id=5, k=20).select(
         F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank"
     )
-    return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense]).orderBy(
-        "query_id", "rank"
-    )
+    return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense])
 
 
 # the hybrid gate's lexical corpus is documents ∩ embeddings, so the
@@ -3787,9 +3767,7 @@ def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = S.brute_force_topk(emb_u, query_max_id=5, k=20).select(
         F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank"
     )
-    return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense]).orderBy(
-        "query_id", "rank"
-    )
+    return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense])
 
 
 @register(
@@ -3843,7 +3821,7 @@ def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded collect_list per doc + a JVM filter-with-exists over the
     token array (no range join)."""
     docs = load_table_spread(spark, "documents", sf_dir)
-    return D.remove_duplicate_spans(docs, n=13).orderBy("doc_id")
+    return D.remove_duplicate_spans(docs, n=13)
 
 
 _USABLE_PRED_SQL = (
@@ -3924,5 +3902,5 @@ def q_usable_vector_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("d", F.lit(False)).alias("in_direct"),
             F.coalesce("f", F.lit(False)).alias("in_flagged"),
         )
-        .orderBy("vec_id")
+
     )

@@ -100,7 +100,7 @@ def q_pcap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "packets",
         "pcap_len",
         F.md5(F.lower(F.hex(F.col("pcap")))).alias("pcap_md5"),
-    ).orderBy("session_id")
+    )
 
 
 @register(
@@ -137,7 +137,7 @@ def q_pcap_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("payload_hex"),
     )
     out = packet_positions(pkts)
-    return out.select("event_id", "file_num", "file_offset").orderBy("event_id")
+    return out.select("event_id", "file_num", "file_offset")
 
 
 @register(
@@ -254,7 +254,7 @@ def q_dns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_dns(wire, payload_col="payload")
     return parsed.select(
         "event_id", "dns_qname", "dns_qtype", "dns_qclass", "dns_id", "dns_opcode"
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +301,7 @@ def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", "http_kind", "http_method", "http_uri", "http_host",
         "http_user_agent", "http_header_cnt",
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +342,7 @@ def q_tls_ja3(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_tls(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "tls_sni", "tls_client_version", "tls_ja3_string", "tls_ja3"
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +386,7 @@ def q_x509(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cert_serial", "cert_issuer_cn", "cert_subject_cn",
         "cert_not_before", "cert_not_after",
         F.array_join("cert_alt_names", ",").alias("cert_alt_names"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +428,7 @@ def q_ssh_hassh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "ssh_banner", "ssh_version", "ssh_software",
         "ssh_hassh_string", "ssh_hassh",
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -467,7 +467,7 @@ def q_smtp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "smtp_helo", "smtp_mail_from",
         F.element_at("smtp_rcpt_to", 1).alias("smtp_rcpt_first"),
         "smtp_subject", "smtp_has_data",
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +504,7 @@ def q_dhcp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "dhcp_msg_type", "dhcp_host", "dhcp_mac", "dhcp_oui",
         "dhcp_xid",
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +539,7 @@ def q_irc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "irc_nick",
         F.element_at("irc_channels", 1).alias("irc_channel_first"),
         F.size("irc_channels").cast("long").alias("irc_channel_cnt"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -574,7 +574,7 @@ def q_socks_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_socks_df(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "socks_version", "socks_dst_host", "socks_dst_port"
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -614,7 +614,7 @@ def q_radius_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "radius_code", "radius_user", "radius_mac",
         "radius_framed_ip", "radius_endpoint_ip",
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -648,7 +648,7 @@ def q_ldap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_ldap_df(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "ldap_msg_id", "ldap_bind_name", "ldap_auth_type"
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +681,7 @@ def q_krb5_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_krb5_df(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "krb5_msg_type", "krb5_realm", "krb5_cname", "krb5_sname"
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -723,7 +723,7 @@ def q_mysql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_mysql_df(wire)
     return parsed.select(
         "doc_id", "mysql_version", "mysql_user", "mysql_client_ssl"
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -750,7 +750,7 @@ def q_postgresql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_postgresql_df(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "pg_user", "pg_database", "pg_application"
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -782,7 +782,7 @@ def q_tns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_tns_df(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "tns_host", "tns_user", "tns_service_name"
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -813,7 +813,7 @@ def q_bgp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "bgp_msg_type", "bgp_open_version", "bgp_open_asn",
         "bgp_open_hold_time", "bgp_open_router_id",
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -857,7 +857,7 @@ def q_http2_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h2_user_agent",
         F.array_join("h2_frame_types", ",").alias("h2_frames_csv"),
         "h2_n_streams",
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -890,7 +890,7 @@ def q_quic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_quic_df(wire, payload_col="payload")
     return parsed.select(
         "doc_id", "quic_version", "quic_sni", "quic_user_agent", "quic_n_tags"
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -941,7 +941,7 @@ def q_quic_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "quic_version", "quic_dcid", "quic_pn", "quic_sni",
         "quic_alpn", "quic_ja3",
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -1048,7 +1048,7 @@ def q_smb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("smb_shares", 1).alias("smb_share"),
         F.element_at("smb_filenames", 1).alias("smb_filename"),
         F.array_join("smb_versions", ",").alias("smb_versions_csv"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1188,9 +1188,7 @@ def q_misc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_w.tds").alias("tds_payload"),
         F.col("_w.rdp").alias("rdp_payload"),
     )
-    return parse_misc_df(wire).select("doc_id", "tds_user", "rdp_user").orderBy(
-        "doc_id"
-    )
+    return parse_misc_df(wire).select("doc_id", "tds_user", "rdp_user")
 
 
 # ---------------------------------------------------------------------------
@@ -1265,7 +1263,7 @@ def q_tcp_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("payload_len"),
         "segments",
         "acked_unseen_segment",
-    ).orderBy("session_id")
+    )
 
 
 @register(
@@ -1341,7 +1339,7 @@ def q_ip_frag_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.col("payload"), "UTF-8")).alias("payload_md5"),
         "fragments",
         "complete",
-    ).orderBy("frag_id")
+    )
 
 
 @register(
@@ -1419,7 +1417,7 @@ def q_classify_first_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         proto.join(fb, "session_id")
         .select("session_id", "proto", "src_payload8", "dst_payload8")
-        .orderBy("session_id")
+
     )
 
 
@@ -1486,4 +1484,4 @@ def q_tcp_handshake_rtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "init_rtt_us",
         "ack_delay_us",
         F.array_join(F.col("tags"), ",").alias("tags"),
-    ).orderBy("session_id")
+    )

@@ -62,7 +62,7 @@ def q_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     a = hunt(docs, HuntSpec("h-ascii", "ascii", "MERGE"), payload_cols=["text"], id_col="doc_id")
     r = hunt(docs, HuntSpec("h-regex", "regex", "sc[ae]n"), payload_cols=["text"], id_col="doc_id")
-    return a.unionByName(r).orderBy("hunt_id", "doc_id")
+    return a.unionByName(r)
 
 
 @register(
@@ -103,7 +103,7 @@ def q_hunt_job_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("hunt_id", "event_id")
+    return out
 
 
 @register(
@@ -155,7 +155,7 @@ def q_hunt_node_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("node", "event_id")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +186,7 @@ def q_cron_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_cols=["event_id", "ts"],
     )
     # CSV-join for the driver canonicalizer (list cells are unhashable there)
-    return out.withColumn("tags", F.array_join("tags", ",")).orderBy("event_id")
+    return out.withColumn("tags", F.array_join("tags", ","))
 
 
 @register(
@@ -226,7 +226,7 @@ def q_cron_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from moloch_spark.streaming.cron import read_outbox
 
-    return read_outbox(spark, outbox, "west").orderBy("event_id")
+    return read_outbox(spark, outbox, "west")
 
 
 # ---------------------------------------------------------------------------
@@ -538,7 +538,7 @@ def q_pcap_over_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(conv(hex(substring(data, 1, 1)), 16, 10) AS INT)").alias(
             "first_byte"
         ),
-    ).orderBy("conn_id", "pkt_index")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +596,7 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new_unique")
         )
-        .orderBy("doc_id")
+
     )
 
 
@@ -676,7 +676,7 @@ def q_bm25_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return R.bm25_topk_indexed(
         spark, prefix, R.corpus_queries(docs)
-    ).orderBy("query_id", "rank")
+    )
 
 
 _DEDUP_STREAM_CACHE: dict[str, str] = {}
@@ -784,4 +784,4 @@ def q_streaming_packet_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _await_stream(q)
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type"
-    ).orderBy("event_id")
+    )

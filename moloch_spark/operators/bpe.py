@@ -102,39 +102,53 @@ def bpe_token_counts(
 # stays flat across rounds.
 
 
+# Symbol escaping for the string-domain merge: % first (so decode can
+# invert last), then backslash/dollar (regex + replacement metachars),
+# then NUL (the join delimiter). Symbols come from arbitrary text, so
+# none of these can be assumed absent.
+_MERGE_ESC = [("%", "%25"), ("\\", "%5C"), ("$", "%24"), ("\x00", "%00")]
+
+
 def _merge_pair_expr(sym, a: str, b: str):
-    """Left-to-right single-pair merge over a symbol array, as a JVM
-    higher-order aggregate. Tracks whether the last output symbol was
-    itself just merged so 'aaa' under (a,a) yields (aa, a) — standard
-    BPE left-to-right semantics."""
-    init = F.struct(
-        F.array().cast("array<string>").alias("res"), F.lit(False).alias("lm")
+    """Left-to-right single-pair merge over a symbol array — standard
+    BPE semantics ('aaa' under (a,a) -> (aa, a)).
+
+    Runs in the STRING domain so it is linear in the word length: the
+    escaped symbols are NUL-joined (with NUL sentinels at both ends)
+    and one anchored regexp_replace performs the merge — Java regex
+    replacement scans left-to-right and resumes after each match,
+    which is exactly the BPE merge order. The previous formulation
+    (F.aggregate with an array accumulator) copied the accumulator per
+    element, i.e. O(len^2) per word — a degenerate single-word document
+    of ~100k chars took minutes per training round."""
+    esc_a, esc_b = a, b
+    for raw, enc in _MERGE_ESC:
+        esc_a = esc_a.replace(raw, enc)
+        esc_b = esc_b.replace(raw, enc)
+
+    def esc(c):
+        for raw, enc in _MERGE_ESC:
+            c = F.replace(c, F.lit(raw), F.lit(enc))
+        return c
+
+    def unesc(c):
+        for raw, enc in reversed(_MERGE_ESC):
+            c = F.replace(c, F.lit(enc), F.lit(raw))
+        return c
+
+    joined = F.concat(
+        F.lit("\x00"), F.array_join(F.transform(sym, esc), "\x00"), F.lit("\x00")
     )
-
-    def step(acc, x):
-        hit = (
-            (~acc.lm)
-            & (F.size(acc.res) > 0)
-            & (F.element_at(acc.res, -1) == F.lit(a))
-            & (x == F.lit(b))
-        )
-        return F.when(
-            hit,
-            F.struct(
-                F.concat(
-                    F.slice(acc.res, 1, F.size(acc.res) - 1),
-                    F.array(F.lit(a + b)),
-                ).alias("res"),
-                F.lit(True).alias("lm"),
-            ),
-        ).otherwise(
-            F.struct(
-                F.concat(acc.res, F.array(x)).alias("res"),
-                F.lit(False).alias("lm"),
-            )
-        )
-
-    return F.aggregate(sym, init, step, lambda acc: acc.res)
+    # consume the leading NUL (symbol-start anchor), assert the trailing
+    # one; \Q..\E-quote the escaped pair (no backslash survives escaping,
+    # so no \E can occur inside)
+    pattern = "\x00\\Q" + esc_a + "\x00" + esc_b + "\\E(?=\x00)"
+    replaced = F.regexp_replace(joined, pattern, "\x00" + esc_a + esc_b)
+    merged = F.transform(
+        F.filter(F.split(replaced, "\x00"), lambda x: x != F.lit("")),
+        unesc,
+    )
+    return F.when(F.size(sym) <= F.lit(1), sym).otherwise(merged)
 
 
 def word_freqs(
@@ -165,9 +179,13 @@ def bpe_train(
     (freq DESC, left ASC, right ASC) — pinned against the pure-Python
     reference in tests/test_bpe.py. Stops early when no pair reaches
     min_pair_freq."""
+    # lazy checkpoints: each round's single pair-count job materializes
+    # the (tiny, vocab-bounded) table as a side effect — eager=True here
+    # doubled the round count in driver jobs (2 per merge instead of 1),
+    # and local job latency dominates training wall time
     vocab = word_freqs(corpus, text_col=text_col, min_freq=min_freq).select(
         F.split("word", "").alias("sym"), "freq"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pair_a = F.slice("sym", 1, F.size("sym") - 1)
@@ -187,7 +205,7 @@ def bpe_train(
         merges.append((a, b))
         vocab = vocab.select(
             _merge_pair_expr(F.col("sym"), a, b).alias("sym"), "freq"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

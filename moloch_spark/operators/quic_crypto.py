@@ -27,6 +27,25 @@ import hmac
 import hashlib
 import struct
 
+# Native AES provider swap seam (module docstring): the pure-Python
+# primitives below stay as the spec-pinned reference implementation
+# (vector tests exercise them directly) and as the fallback, but the
+# per-packet GCM + header-protection path routes through the
+# `cryptography` package's OpenSSL-backed AES when it is importable —
+# same bytes out, ~2 orders of magnitude faster per 1200-byte Initial.
+try:  # pragma: no cover - exercised whenever cryptography is installed
+    from cryptography.exceptions import InvalidTag as _InvalidTag
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _Cipher,
+        algorithms as _algorithms,
+        modes as _modes,
+    )
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _AESGCM
+except ImportError:  # pragma: no cover
+    _AESGCM = None
+    _InvalidTag = None
+    _Cipher = _algorithms = _modes = None
+
 # ---------------------------------------------------------------------------
 # AES-128, encrypt direction only (FIPS-197)
 # ---------------------------------------------------------------------------
@@ -195,6 +214,9 @@ def aes_gcm_encrypt(
     key: bytes, nonce: bytes, aad: bytes, plaintext: bytes
 ) -> tuple[bytes, bytes]:
     """-> (ciphertext, 16-byte tag). 96-bit nonce only (QUIC's case)."""
+    if _AESGCM is not None:
+        blob = _AESGCM(key).encrypt(nonce, plaintext, aad)
+        return blob[:-16], blob[-16:]
     rk = aes128_key_schedule(key)
     h = int.from_bytes(aes128_encrypt_block(rk, b"\x00" * 16), "big")
     j0 = nonce + b"\x00\x00\x00\x01"
@@ -208,6 +230,11 @@ def aes_gcm_decrypt(
     key: bytes, nonce: bytes, aad: bytes, ct: bytes, tag: bytes
 ) -> bytes:
     """-> plaintext; raises ValueError on tag mismatch."""
+    if _AESGCM is not None:
+        try:
+            return _AESGCM(key).decrypt(nonce, ct + tag, aad)
+        except _InvalidTag:
+            raise ValueError("GCM tag mismatch") from None
     rk = aes128_key_schedule(key)
     h = int.from_bytes(aes128_encrypt_block(rk, b"\x00" * 16), "big")
     j0 = nonce + b"\x00\x00\x00\x01"
@@ -244,6 +271,15 @@ def hkdf_expand_label(secret: bytes, label: bytes, ctx: bytes, length: int) -> b
         + bytes([len(ctx)]) + ctx
     )
     return hkdf_expand(secret, info, length)
+
+
+def _hp_mask(hp_key: bytes, sample: bytes) -> bytes:
+    """Header-protection mask: one AES-ECB block over the ciphertext
+    sample (RFC 9001 §5.4.3)."""
+    if _Cipher is not None:
+        enc = _Cipher(_algorithms.AES(hp_key), _modes.ECB()).encryptor()
+        return enc.update(sample) + enc.finalize()
+    return aes128_encrypt_block(aes128_key_schedule(hp_key), sample)
 
 
 # RFC 9001 §5.2 — fixed, public
@@ -322,9 +358,8 @@ def open_initial(datagram: bytes) -> dict:
     if pn_off + length > len(buf) or length < 20:
         raise ValueError("truncated packet body")
     key, iv, hp = initial_keys(dcid)
-    hp_rk = aes128_key_schedule(hp)
     sample = buf[pn_off + 4 : pn_off + 20]
-    mask = aes128_encrypt_block(hp_rk, sample)
+    mask = _hp_mask(hp, sample)
     first = buf[0] ^ (mask[0] & 0x0F)
     pn_len = (first & 0x03) + 1
     pn_bytes = bytes(
@@ -404,11 +439,10 @@ def seal_initial(
     ct, tag = aes_gcm_encrypt(key, nonce, hdr + pn_bytes, frames)
     body = ct + tag
     # header protection over the finished packet
-    hp_rk = aes128_key_schedule(hp)
     pn_off = len(hdr)
     pkt = bytearray(hdr + pn_bytes + body)
     sample = bytes(pkt[pn_off + 4 : pn_off + 20])
-    mask = aes128_encrypt_block(hp_rk, sample)
+    mask = _hp_mask(hp, sample)
     pkt[0] ^= mask[0] & 0x0F
     for i in range(pn_len):
         pkt[pn_off + i] ^= mask[1 + i]

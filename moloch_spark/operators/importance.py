@@ -73,10 +73,18 @@ def importance_weights(
     everything here is dimension-table sized."""
     t = target_counts.select("bucket", F.col("cnt").alias("t_cnt"))
     r = raw_counts.select("bucket", F.col("cnt").alias("r_cnt"))
-    joined = t.join(r, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
-        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+    # lazy-materialize the joined bucket table (<= n_buckets rows): it
+    # is evaluated twice (once under the totals broadcast, once in the
+    # output projection) and each evaluation re-runs BOTH corpus-wide
+    # hashed-ngram aggregations without this
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = joined.agg(
         F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")

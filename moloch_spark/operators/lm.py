@@ -51,13 +51,23 @@ def train_bigram_lm(
     pruned (they would be dominated by the backoff path anyway), which
     is what keeps the model dimension-table sized at scale."""
     toks = tokens(text_col)
-    uni = (
+    # lazy-materialize the raw unigram counts: the model table is
+    # referenced once for `totals` here and THREE more times inside
+    # perplexity() (w1 side, w2 side, the scalar N) — without the
+    # checkpoint each broadcast re-runs the full training-slice
+    # tokenize+explode+aggregate subtree (measured: ppl_lang_buckets'
+    # plan carried 58 Exchanges, most of them these repeats). The
+    # materialized table is model-sized (pruned vocab), never corpus-
+    # sized, so this is the dimension-table persist the module
+    # docstring promises, not a corpus cache.
+    uni_counts = (
         train.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    totals = uni.agg(F.sum("cnt").alias("total"))
-    uni = uni.crossJoin(F.broadcast(totals))
+    totals = uni_counts.agg(F.sum("cnt").alias("total"))
+    uni = uni_counts.crossJoin(F.broadcast(totals))
     bi = (
         train.select(F.explode(word_ngrams(toks, 2)).alias("g"))
         .groupBy("g")

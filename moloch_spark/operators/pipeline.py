@@ -22,6 +22,31 @@ from moloch_spark.operators.graph import connected_components
 from moloch_spark.operators.text import tokens
 
 
+def _checkpoint_by(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition AND sort by `key` before lazily checkpointing.
+    localCheckpoint captures the physical partitioning/ordering in the
+    LogicalRDD, so every downstream join/groupBy/window on `key` over
+    this table is satisfied with zero Exchange and zero Sort (the
+    classifier._prepartition_feats pattern). AQE must be OFF while the
+    checkpoint plan is compiled — under AdaptiveSparkPlanExec the
+    captured LogicalRDD reports Unknown partitioning and
+    EnsureRequirements re-inserts every Exchange this removes.
+    Partition count scales with the cluster (defaultParallelism), not
+    a constant tuned for either local mode or production."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = spark.sparkContext.defaultParallelism
+        return (
+            df.repartition(n, key)
+            .sortWithinPartitions(key)
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def curation_pipeline(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -50,8 +75,9 @@ def curation_pipeline(
     keep = keyed.groupBy("_k").agg(F.min(tid).alias("_keep_id"))
     # lazy-materialize the keyed pool: it feeds three subtrees (the LSH
     # edge list, pool3, and the fate join) and would otherwise re-run
-    # the scan+tokenize+group chain in each
-    keyed = keyed.join(keep, "_k").localCheckpoint(eager=False)
+    # the scan+tokenize+group chain in each; partitioned by doc id so
+    # the pool3 left-join and the fate join read it exchange-free
+    keyed = _checkpoint_by(keyed.join(keep, "_k"), id_col)
     pool2 = keyed.filter(tid == F.col("_keep_id")).select(tid, ttxt)
 
     pairs = D.lsh_candidate_pairs(
@@ -121,9 +147,15 @@ def ccnet_pipeline(
     from moloch_spark.operators.text import lang_id
 
     cleaned = line_dedup(docs, text_col=text_col, id_col=id_col)
-    cleaned = cleaned.join(
-        docs.select(F.col(id_col), F.col(lang_col)), id_col
-    ).localCheckpoint(eager=False)
+    # partition the checkpointed cleaned table by doc id: every
+    # downstream consumer (lang join, perplexity's per-doc mean, the
+    # two base joins) keys on it, so capturing hash(id)+sort removes
+    # their Exchanges/Sorts (the plan carried 82 Exchanges, most of
+    # them re-shuffles of this one table's lineage)
+    cleaned = _checkpoint_by(
+        cleaned.join(docs.select(F.col(id_col), F.col(lang_col)), id_col),
+        id_col,
+    )
 
     lang = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
         F.col(id_col), "lang_pred"

@@ -361,6 +361,10 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total"))
+        # materialized once (per-supplier rows, dimension-sized): the
+        # MAX broadcast and the tie-surfacing equi-join both read it —
+        # without this each re-runs the lineitem scan + aggregation
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total").alias("mx"))
     top = rev.join(F.broadcast(mx), rev.total == mx.mx).drop("mx")
@@ -798,6 +802,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(nat5), l.l_suppkey == nat5.s_suppkey, "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("value"))
+        # materialized once so the total really does re-aggregate the
+        # per-part result — without this the lineage under the 1-row
+        # broadcast re-runs the full lineitem semi-join + aggregation
+        .localCheckpoint(eager=False)
     )
     total = vals.agg(F.sum("value").alias("tv"))
     return (

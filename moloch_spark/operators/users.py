@@ -11,6 +11,7 @@ Reference:
 from __future__ import annotations
 
 import datetime as dt
+import os
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -75,18 +76,36 @@ def log_api_call(
     records: int,
     ts: dt.datetime | None = None,
 ) -> None:
-    """Append-only audit log (the history index)."""
-    row = [
-        (
-            ts or dt.datetime.utcnow(),
-            user_id,
-            api,
-            expression,
-            query_time_ms,
-            records,
-        )
-    ]
-    spark.createDataFrame(row, HISTORY_SCHEMA).write.mode("append").parquet(path)
+    """Append-only audit log (the history index).
+
+    Audit rows are API-call metadata — one bounded row per request,
+    never data-sized — so the append is a DRIVER-SIDE parquet write
+    (pyarrow), not a distributed job: the previous createDataFrame +
+    write.append launched a full Spark job per logged call (~0.3 s of
+    scheduler latency each; the history gate logs one call per event
+    type and paid ~15 jobs per run). read_history still reads the
+    directory through Spark, and the file carries the same
+    TIMESTAMP_MICROS(UTC) physical type Spark itself writes."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "ts": pa.array([ts or dt.datetime.utcnow()],
+                           type=pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([user_id], type=pa.string()),
+            "api": pa.array([api], type=pa.string()),
+            "expression": pa.array([expression], type=pa.string()),
+            "query_time_ms": pa.array([int(query_time_ms)], type=pa.int64()),
+            "records": pa.array([int(records)], type=pa.int64()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet")
+    )
 
 
 def read_history(spark: SparkSession, path: str) -> DataFrame:

@@ -225,5 +225,11 @@ def carve_udf(data: pd.Series) -> pd.Series:
 
 def carve_files(df: DataFrame, *, payload_col: str = "payload", out_col: str = "carved") -> DataFrame:
     """Signature-scan a payload column for embedded files — the decode.js
-    carve stage as a scan-side Arrow batch op."""
-    return df.withColumn(out_col, carve_udf(F.col(payload_col)))
+    carve stage as a scan-side Arrow batch op. asNondeterministic pins
+    one evaluation of the signature scan: the optimizer otherwise
+    duplicates it below pushed-down filters on the carved column
+    (two ArrowEvalPython nodes in the decode_carve_files plan;
+    guide §4.4). The scan is pure."""
+    return df.withColumn(
+        out_col, carve_udf.asNondeterministic()(F.col(payload_col))
+    )

@@ -292,7 +292,11 @@ def lsh_candidate_pairs(
         num_hashes=num_hashes,
         band_size=band_size,
         shingle_n=shingle_n,
-    )
+    # materialize the (id, band, bhash) proxy once: both legs of the
+    # bucket self-join otherwise re-run the full tokenize + shingle +
+    # MinHash signature subtree (the heavy per-row work; the proxy is
+    # ~24 bytes/row)
+    ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -698,11 +702,20 @@ def embedding_near_dup_pairs(
     code_fn = _lsh_tokens_udf(planes, n_tables, n_planes, probes=False)
     vec = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-    toks = emb.select(
+    # materialize the per-vector (id, vec, norm, token-array) rows ONCE,
+    # before the explode: both legs of the bucket self-join otherwise
+    # re-run the scan + the Arrow hyperplane matmul. Checkpointing
+    # pre-explode keeps the materialized RDD n-sized (one row per
+    # vector, not one per (vector, table)); the explode that fans out
+    # the L tokens is cheap JVM work either side of the join.
+    pervec = emb.select(
         F.col(id_col),
         vec.alias("_v"),
         norm.alias("_n"),
-        F.explode(code_fn(vec)).alias("token"),
+        code_fn(vec).alias("_toks"),
+    ).localCheckpoint(eager=False)
+    toks = pervec.select(
+        F.col(id_col), "_v", "_n", F.explode("_toks").alias("token")
     )
     a, b = toks.alias("a"), toks.alias("b")
     dot = F.aggregate(
@@ -1047,9 +1060,13 @@ def semdedup_prune(
         start=F.lit(0),
     ).cast("int")
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    # materialize (id, vec, norm, cell) once: the two self-join legs
+    # and the final keep-join otherwise each re-scan the table and
+    # re-run the interpreted norm fold (higher-order functions do not
+    # codegen) — three evaluations for one n-sized relation
     base = emb.select(
         F.col(id_col), vec.alias("_v"), norm.alias("_n"), cell.alias("cell")
-    )
+    ).localCheckpoint(eager=False)
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),

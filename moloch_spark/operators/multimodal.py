@@ -619,7 +619,19 @@ def banded_hamming_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    h = hashes.filter(F.col(hash_col).isNotNull())
+    # materialize the (id, hash64, *keys) PROXY rows once before the
+    # self-join: both legs of the (band, value) equi-join otherwise
+    # re-evaluate the full upstream lineage — for the media pipelines
+    # that is the whole PNG/WAV/Y4M decode MapInPandas subtree, paid
+    # TWICE per call (the near-dup gate's plan carried 24 decode
+    # nodes). The proxy is ~16 bytes/row regardless of media size —
+    # exactly the "decide with small rows" shape; the narrow select
+    # also keeps any payload columns out of the materialized RDD.
+    h = (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .select(id_col, hash_col, *extra_key_cols)
+        .localCheckpoint(eager=False)
+    )
     bands_col = F.array(
         *[
             F.struct(
@@ -751,6 +763,10 @@ def hash_dup_groups(
     """image_dup_groups generalized to any (id, signature) frame —
     exact-collision grouping to the smallest id; NULL-signature rows
     stay their own canonicals (never silently dropped)."""
+    # materialize the (id, signature) proxy once — the grouping and the
+    # join-back otherwise both re-run the upstream lineage (for media
+    # callers, the decode MapInPandas subtree)
+    hashes = hashes.select(id_col, hash_col).localCheckpoint(eager=False)
     g = (
         hashes.filter(F.col(hash_col).isNotNull())
         .groupBy(hash_col)
@@ -929,6 +945,11 @@ def video_near_dup_clips(
     Scale shape: only (id, frame_index, hash64) rows shuffle — frame
     pixel bytes never move; the per-pair aggregation is bounded by
     matched frame pairs, never clips²."""
+    # materialize the per-frame hash proxy once: `counts` and the two
+    # banded join legs otherwise each re-run the frame-decode subtree
+    frame_hashes = frame_hashes.select(
+        "media_id", "frame_index", "dhash64"
+    ).localCheckpoint(eager=False)
     counts = frame_hashes.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("_nf")
     )

@@ -70,7 +70,10 @@ def _encode_udf(codebooks: list[list[list[float]]]):
             out[:, s] = scores.argmin(axis=1)
         return pd.Series(list(out))
 
-    return encode
+    # pure function; the marker stops the optimizer duplicating the
+    # m-subspace matmul below pushed-down filters (guide §4.4 — the
+    # pq_encode_codes plan carried two ArrowEvalPython copies of it)
+    return encode.asNondeterministic()
 
 
 def pq_encode(

@@ -63,30 +63,61 @@ def bm25_topk(
     convention when queries are sampled from the corpus itself).
 
     The postings relation is materialized ONCE (eager localCheckpoint)
-    before dl / dfreq / the candidate join branch off it: without that,
+    before dl / df / the candidate join branch off it: without that,
     the three lineages each re-tokenize and re-shuffle the whole corpus
-    (measured 3x the gate cost at sf0.1). On a real cluster the
-    durable form of the same move is writing postings to a term-bucketed
-    table and reusing it across query batches — see PLANS.md §27."""
-    post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
+    (measured 3x the gate cost at sf0.1). The corpus is hash-partitioned
+    by doc id BEFORE tokenizing (corpus rows are cheaper to move than
+    exploded postings), so the tf aggregation groups with no further
+    exchange and the checkpoint captures hashpartitioning(doc)+sort —
+    every doc-keyed consumer (dl, the dl join, the per-(query,doc) score
+    aggregation) then reads it with ZERO Exchange. AQE is off while the
+    checkpoint compiles (the classifier._prepartition_feats pattern:
+    under AdaptiveSparkPlanExec the captured LogicalRDD reports Unknown
+    partitioning and every saved shuffle comes back). Document
+    frequencies are aggregated over the QUERY TERMS' postings only
+    (identical df values — the candidate relation never reads any other
+    term) and broadcast, replacing a vocabulary-wide shuffle + a
+    postings-sized term-keyed join with a query-batch-sized build side.
+    Net: ONE corpus-scale shuffle per search instead of four. On a real
+    cluster the durable form of the same move is writing postings to a
+    term-bucketed table and reusing it across query batches — see
+    PLANS.md §27."""
+    spark = corpus.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = spark.sparkContext.defaultParallelism
+        post = (
+            postings(
+                corpus.repartition(n, id_col),
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .sortWithinPartitions(id_col)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     nd = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    dfreq = post.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
     ).distinct()
+    dfq = (
+        post.join(
+            F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
     cand = (
         post.join(F.broadcast(qt), "term")
         .join(dl, id_col)
-        .join(dfreq, "term")
+        .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(nd))
     )
     return _score_and_rank(

@@ -307,7 +307,13 @@ def _cell_scores_udf(centroids: list[list[float]]):
         S = _np.round(c2[None, :] - 2.0 * (X @ C.T), 6)
         return _pd.Series(list(S))
 
-    return cell_scores
+    # asNondeterministic pins ONE evaluation: the optimizer otherwise
+    # pushes downstream filters on the derived probe/cell columns below
+    # this node while keeping the projection copy above it — two full
+    # (batch × K) matmuls per row (two ArrowEvalPython nodes in the
+    # ann_ivf_* gate plans; guide §4.4). The scorer is pure; the marker
+    # only stops the duplication.
+    return cell_scores.asNondeterministic()
 
 
 def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:

@@ -182,4 +182,10 @@ def yara_scan(
             out.append(match_rules(rules, bytes(data)))
         return pd.Series(out)
 
-    return df.withColumn(out_col, scan(F.col(payload_col)))
+    # asNondeterministic stops the optimizer pushing a downstream
+    # filter (e.g. explode's implicit size>0 pruning) BELOW the UDF
+    # while also keeping it above — which evaluates the full ruleset
+    # scan twice per row (two ArrowEvalPython nodes in the gate plan;
+    # guide §4.4). The scan is pure; the marker only pins one
+    # evaluation.
+    return df.withColumn(out_col, scan.asNondeterministic()(F.col(payload_col)))

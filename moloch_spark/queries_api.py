@@ -939,21 +939,21 @@ def q_es_index_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-rotated ES index naming under the driver (capture/db.c:
     538-577; was pytest-only): every event's lastPacket-style timestamp
     resolves to its hourly/daily/weekly/monthly index name through the
-    REAL index_name operator (Arrow-batched column form), and the
+    REAL index_name operator (JVM column form, pinned against the
+    Python scalar in test_es_sink), and the
     oracle replays the four formats with DuckDB strftime — a rotation
     boundary bug (wrong week convention, un-zero-padded hour, %y vs
     %Y) renames whole swaths of indices and flips the hash. This is
     the piece of the bulk-sink path that decides WHERE each session
     lands; the NDJSON body shape and transport are pinned in
     test_es_sink."""
-    from moloch_spark.sources.es_sink import index_names_all_udf
-    from moloch_spark.sources.tables import load_table_spread
+    from moloch_spark.sources.es_sink import index_name_cols
 
-    # single-file fixture -> one input partition; spread before the
-    # Python stage or one core does all the strftime work
-    ev = load_table_spread(spark, "events", sf_dir)
+    # JVM column form: scan -> project, no Python stage and no
+    # repartition spread (the old Arrow-batched strftime needed both)
+    ev = load_table(spark, "events", sf_dir)
     out = ev.select(
-        "event_id", index_names_all_udf()(F.col("ts")).alias("idx")
+        "event_id", index_name_cols("ts").alias("idx")
     ).select(
         "event_id",
         F.col("idx.hourly").alias("idx_hourly"),

@@ -51,10 +51,39 @@ def index_name(last_packet, *, prefix: str = "sessions3-", rotation: str = "dail
     raise ValueError(f"unknown rotation {rotation!r}")
 
 
+def index_name_cols(ts, *, prefix: str = "sessions3-"):
+    """All four rotations as ONE struct of JVM column expressions — the
+    column form of index_name, convention-identical by construction
+    (date_format's yy/MM/dd/HH match strftime %y/%m/%d/%H; weekly is the
+    same weeks-since-Jan-1 arithmetic on dayofyear). Naming a session's
+    index is a per-row strftime — pure codegen work; the previous
+    pandas_udf paid the JVM->Arrow->Python round trip plus a per-element
+    Python loop for something the JVM evaluates in-line (guide: prefer
+    built-ins over any UDF). A NULL timestamp names no index (NULL
+    struct fields), matching the scalar form's None handling.
+    test_es_sink pins column==scalar agreement across year/rotation
+    boundaries."""
+    from pyspark.sql import functions as F
+
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    p = F.lit(prefix)
+    wk = F.lpad(
+        F.floor((F.dayofyear(ts) - F.lit(1)) / F.lit(7)).cast("string"),
+        2,
+        "0",
+    )
+    return F.struct(
+        F.concat(p, F.date_format(ts, "yyMMdd'h'HH")).alias("hourly"),
+        F.concat(p, F.date_format(ts, "yyMMdd")).alias("daily"),
+        F.concat(p, F.date_format(ts, "yy"), F.lit("w"), wk).alias("weekly"),
+        F.concat(p, F.date_format(ts, "yy'm'MM")).alias("monthly"),
+    )
+
+
 def index_names_all_udf(*, prefix: str = "sessions3-"):
-    """All four rotations in ONE Arrow pass (struct column) — four
-    separate UDF columns would serialize the timestamp batch to Python
-    four times for what is one strftime walk."""
+    """Arrow-batched form of index_name_cols — kept as the reference
+    implementation the JVM column form is pinned against (and for
+    callers that hold Python datetimes, not columns)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(

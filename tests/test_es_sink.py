@@ -32,6 +32,38 @@ def test_index_rotation_names():
     )
 
 
+def test_index_name_cols_matches_scalar(spark):
+    """The JVM column form (index_name_cols) must agree with the Python
+    scalar for every rotation across year/week/month boundaries,
+    including the leap-year w52 tail and a NULL timestamp (NULL struct
+    fields, like the scalar's None handling)."""
+    from moloch_spark.sources.es_sink import index_name_cols
+
+    stamps = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 5, 13, 0, 0),
+        dt.datetime(2024, 1, 8, 9, 30, 0),
+        dt.datetime(2024, 2, 29, 23, 59, 59),
+        dt.datetime(2024, 12, 31, 12, 0, 0),
+        dt.datetime(2023, 12, 31, 23, 0, 0),
+        dt.datetime(1999, 7, 4, 4, 5, 6),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(stamps)] + [(len(stamps), None)],
+        "i int, ts timestamp",
+    )
+    got = {
+        r["i"]: r["idx"]
+        for r in df.select(
+            "i", index_name_cols("ts").alias("idx")
+        ).collect()
+    }
+    for i, t in enumerate(stamps):
+        for rot in ("hourly", "daily", "weekly", "monthly"):
+            assert got[i][rot] == index_name(t, rotation=rot), (t, rot)
+    assert tuple(got[len(stamps)]) == (None, None, None, None)
+
+
 def test_write_bulk_ndjson(spark, tmp_path):
     sess = sessionize_events(
         load_table(spark, "events", "/root/testdata/sf0.001"), idle_timeout_s=1800

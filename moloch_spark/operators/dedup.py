@@ -385,10 +385,18 @@ def ngram_jaccard(
     base = shingle_df(df, text_col=text_col, id_cols=(id_col,), n=shingle_n).filter(
         F.size("shingles") > 0
     )
-    sizes = base.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
-    expl = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # carry each doc's shingle-set size THROUGH the explode instead of
+    # joining a separate corpus-wide `sizes` relation back in at the end:
+    # sz is constant per doc, so folding it with max() in the existing
+    # intersection aggregation is free — and the corpus is scanned (and
+    # the shingle subtree evaluated) ONCE instead of twice (guide §2.4)
+    expl = base.select(
+        F.col(id_col),
+        F.size("shingles").cast("long").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
     q = expl.filter(F.col(id_col) < query_max_id).select(
-        F.col(id_col).alias("qid"), "shingle"
+        F.col(id_col).alias("qid"), F.col("sz").alias("q_sz"), "shingle"
     )
     # the query set is bounded -> broadcast its shingles; the corpus-side
     # explode then streams through a broadcast hash join with NO shuffle,
@@ -397,19 +405,17 @@ def ngram_jaccard(
         F.broadcast(q).join(expl, "shingle")
         .filter(F.col("qid") != F.col(id_col))
         .groupBy("qid", id_col)
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    qs = sizes.select(F.col(id_col).alias("qid"), F.col("sz").alias("q_sz"))
-    out = (
-        inter.join(F.broadcast(qs), "qid")
-        .join(sizes, id_col)
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("q_sz") + F.col("sz") - F.col("inter")).cast("double"),
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("q_sz").alias("q_sz"),
+            F.max("sz").alias("sz"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("q_sz") + F.col("sz") - F.col("inter")).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("qid", F.col(id_col).alias("did"), "inter", "jaccard")
 
 
@@ -537,17 +543,20 @@ def duplicate_spans(
     oracle can replay them byte-for-byte (at 100 TB you would xxhash64
     the gram to shuffle 8 bytes instead; the plan is otherwise
     identical)."""
-    toks = tokens(text_col)
     # grams travel as 60-bit md5-prefix keys, not strings: the count
     # shuffle and the semi join move 8 bytes per position instead of a
     # ~90-byte 13-gram. The oracle replays the SAME hash, so results are
     # bit-identical even in the (1e-7 at 1M grams) collision case —
     # both engines would merge the same pair.
     gkey = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    # stage the token array: without the alias, CollapseProject inlines
+    # the tokenizer into each of word_ngrams' n shifted slices and the
+    # scan runs split+filter 2n times per row (measured 26x for n=13)
     grams = (
-        df.select(
+        df.withColumn("_toks", tokens(text_col))
+        .select(
             F.col(id_col),
-            F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
+            F.posexplode(word_ngrams(F.col("_toks"), n)).alias("pos", "gram"),
         )
         .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
                 gkey.alias("gk"))
@@ -583,7 +592,9 @@ def duplicate_spans(
             F.sum("_c").alias("dup_tokens"),
         )
     )
-    totals = df.select(F.col(id_col), F.size(toks).cast("long").alias("total_tokens"))
+    totals = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("total_tokens")
+    )
     return totals.join(stats, id_col, "left").select(
         F.col(id_col),
         F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
@@ -975,12 +986,15 @@ def remove_duplicate_spans(
     count) joined back to the corpus scan, and a JVM-side
     filter-with-exists over the token array — no range join, no second
     shuffle of token rows; the rebuild rides the scan."""
-    toks = tokens(text_col)
     gkey = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    # stage the token array: without the alias, CollapseProject inlines
+    # the tokenizer into each of word_ngrams' n shifted slices and the
+    # scan runs split+filter 2n times per row (measured 26x for n=13)
     grams = (
-        df.select(
+        df.withColumn("_toks", tokens(text_col))
+        .select(
             F.col(id_col),
-            F.posexplode(word_ngrams(toks, n)).alias("pos", "gram"),
+            F.posexplode(word_ngrams(F.col("_toks"), n)).alias("pos", "gram"),
         )
         .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
                 gkey.alias("gk"))
@@ -996,7 +1010,7 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_hits"))
     )
-    joined = df.select(F.col(id_col), toks.alias("_t")).join(
+    joined = df.select(F.col(id_col), tokens(text_col).alias("_t")).join(
         starts, id_col, "left"
     )
     hits = F.coalesce("_hits", F.array().cast("array<long>"))

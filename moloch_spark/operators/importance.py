@@ -39,9 +39,14 @@ def _bucket(gram: F.Column, *, n_buckets: int, seed: str) -> F.Column:
 
 def _grams(df: DataFrame, *, text_col: str, id_cols: tuple[str, ...]) -> DataFrame:
     """Unigram + bigram stream per doc (DSIR's feature space)."""
-    toks = tokens(text_col)
-    both = F.concat(word_ngrams(toks, 1), word_ngrams(toks, 2))
-    return df.select(*id_cols, F.explode(both).alias("gram"))
+    # staged token column: the unigram leg + the bigram leg's two
+    # slices would otherwise re-tokenize 3x per row
+    both = F.concat(
+        word_ngrams(F.col("_toks"), 1), word_ngrams(F.col("_toks"), 2)
+    )
+    return df.withColumn("_toks", tokens(text_col)).select(
+        *id_cols, F.explode(both).alias("gram")
+    )
 
 
 def hashed_ngram_counts(

@@ -69,7 +69,11 @@ def train_bigram_lm(
     totals = uni_counts.agg(F.sum("cnt").alias("total"))
     uni = uni_counts.crossJoin(F.broadcast(totals))
     bi = (
-        train.select(F.explode(word_ngrams(toks, 2)).alias("g"))
+        # stage the token array so word_ngrams' two shifted slices read
+        # a column instead of re-tokenizing (CollapseProject keeps a
+        # multiply-referenced non-cheap alias as its own Project)
+        train.withColumn("_toks", toks)
+        .select(F.explode(word_ngrams(F.col("_toks"), 2)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
@@ -89,9 +93,9 @@ def perplexity(
     log10 Stupid-Backoff bigram probability and the log10-perplexity
     (= -avg_logprob; kept in log domain so the oracle hash never sees a
     10**x overflow). Documents with < 2 tokens score NULL."""
-    toks = tokens(text_col)
-    pairs = df.select(
-        F.col(id_col), F.explode(word_ngrams(toks, 2)).alias("g")
+    # staged token column: see train_bigram_lm
+    pairs = df.withColumn("_toks", tokens(text_col)).select(
+        F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("g")
     ).select(
         F.col(id_col),
         F.col("g"),

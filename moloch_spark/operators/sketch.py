@@ -49,7 +49,11 @@ def cms_build(
     depth*width cells. One scan; the shuffle carries <= depth*width
     keys per task after map-side combine, independent of vocabulary
     size — the whole point at 100 TB."""
-    g = df.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+    # staged token column: word_ngrams' shifted slices read the alias,
+    # not n re-runs of split+filter (CollapseProject keeps it)
+    g = df.withColumn("_toks", tokens(text_col)).select(
+        F.explode(word_ngrams(F.col("_toks"), n)).alias("gram")
+    )
     pairs = g.select(
         F.posexplode(
             _row_buckets(F.col("gram"), depth=depth, width=width, seed=seed)

@@ -88,38 +88,48 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     punctuation ratio, stopword ratio, and a composite quality score in
     [0,1] (heuristics in the C4/Gopher-rules spirit).
     """
-    toks = tokens(text_col)
+    # stage the token array (and the three counts read more than once)
+    # through aliased columns — CollapseProject keeps a non-cheap alias
+    # with multiple consumers as its own Project, so the tokenize runs
+    # once per row instead of once per metric (guide §1.2; same pattern
+    # as lang_id)
     text = F.col(text_col)
-    n_chars = F.length(text).cast("long")
-    n_tokens = F.size(toks).cast("long")
-    tok_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    punct = (
-        n_chars
-        - F.length(F.regexp_replace(text, r"[.,;:!?'\"()]", ""))
-    ).cast("long")
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    n_stop = F.size(
-        F.filter(toks, lambda x: x.isin(all_stop))
-    ).cast("long")
+    staged = df.withColumn("_toks", tokens(text_col)).select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("_n_chars"),
+        F.size("_toks").cast("long").alias("_n_tokens"),
+        F.aggregate(
+            F.col("_toks"), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("_tok_chars"),
+        (
+            F.length(text).cast("long")
+            - F.length(F.regexp_replace(text, r"[.,;:!?'\"()]", ""))
+        ).alias("_punct"),
+        F.size(
+            F.filter(F.col("_toks"), lambda x: x.isin(all_stop))
+        ).cast("long").alias("_n_stop"),
+    )
+    n_chars = F.col("_n_chars")
+    n_tokens = F.col("_n_tokens")
     nz = F.when(n_tokens > 0, n_tokens.cast("double"))
-    avg_token_len = F.when(n_tokens > 0, tok_chars.cast("double") / nz).otherwise(
-        F.lit(0.0)
-    )
-    stopword_ratio = F.when(n_tokens > 0, n_stop.cast("double") / nz).otherwise(
-        F.lit(0.0)
-    )
-    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double")).otherwise(
-        F.lit(0.0)
-    )
+    avg_token_len = F.when(
+        n_tokens > 0, F.col("_tok_chars").cast("double") / nz
+    ).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n_tokens > 0, F.col("_n_stop").cast("double") / nz
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.col("_punct").cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
     # composite score: in-range token count and avg length, low punct
     quality = (
         F.when((n_tokens >= 10) & (n_tokens <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when((avg_token_len >= 3.0) & (avg_token_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
@@ -136,12 +146,24 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Deterministic argmax with fixed tie order en > de > fr > es; docs
     with zero stopword hits are 'und' (undetermined).
     """
-    toks = tokens(text_col)
-    scores = {
-        lang: F.size(F.filter(toks, lambda x: x.isin(ws))).cast("long")
-        for lang, ws in STOPWORDS.items()
-    }
-    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    # Stage the token array and the four score counts through aliased
+    # columns instead of inlining `tokens(text)` into every score and
+    # every CASE branch: CollapseProject keeps an alias referenced more
+    # than once by non-cheap consumers as its own Project, so the
+    # split+lower+filter runs ONCE per row (inlined, the composed ccnet
+    # plan carried ~20 copies of it inside one CASE — guide §1.2 "don't
+    # compute things you throw away", and a much smaller codegen unit).
+    staged = df.withColumn("_toks", tokens(text_col))
+    staged = staged.select(
+        "*",
+        *[
+            F.size(F.filter(F.col("_toks"), lambda x: x.isin(ws)))
+            .cast("long")
+            .alias(f"_sc_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    en, de, fr, es = (F.col(f"_sc_{c}") for c in ("en", "de", "fr", "es"))
     pred = (
         F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), "en")
         .when((de > 0) & (de >= fr) & (de >= es), "de")
@@ -149,7 +171,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         .when(es > 0, "es")
         .otherwise("und")
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.col("lang").alias("lang_label"),
         en.alias("score_en"),
@@ -264,18 +286,29 @@ def repetition_signals(
     word 2-gram. High values mark boilerplate/spammy documents. All
     array builtins — scan-side, no shuffle. NULL text ≡ ''."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    # stage lines / tokens / grams through aliased columns: each is read
+    # by several consumers below, and inlined they would re-split (and
+    # re-sort!) per consumer — CollapseProject keeps multiply-referenced
+    # non-cheap aliases as their own Project (the lang_id pattern)
+    df = df.withColumn(
+        "_lines", F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    ).withColumn("_toks", tokens(text))
+    lines = F.col("_lines")
     dup_line_frac = F.when(
         F.size(lines) > 0,
         1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
     ).otherwise(0.0)
-    toks = tokens(text)
+    toks = F.col("_toks")
     # NON-distinct 2-grams (word_shingles dedups; frequency needs all)
     cnt = F.greatest(F.size(toks) - 1, F.lit(0))
-    grams = F.transform(
-        F.arrays_zip(F.slice(toks, 1, cnt), F.slice(toks, 2, cnt)),
-        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    df = df.withColumn(
+        "_grams",
+        F.transform(
+            F.arrays_zip(F.slice(toks, 1, cnt), F.slice(toks, 2, cnt)),
+            lambda s: F.concat_ws(" ", s["0"], s["1"]),
+        ),
     )
+    grams = F.col("_grams")
     # mode frequency = longest equal-run in the SORTED gram array — O(n)
     # per doc (the distinct x filter formulation is O(n^2) and dies on
     # long documents)
@@ -315,7 +348,11 @@ def gopher_quality(
     fractions, and the combined pass flag. All array/string builtins —
     scan-side, no shuffle, whole-stage codegen. NULL text ≡ ''."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text)
+    # staged token/line columns (see repetition_signals / lang_id)
+    df = df.withColumn("_toks", tokens(text)).withColumn(
+        "_lines", F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    )
+    toks = F.col("_toks")
     n_words = F.size(toks)
     nzw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_word_len = F.when(
@@ -333,7 +370,7 @@ def gopher_quality(
         / F.lit(3)
     )
     symbol_ratio = n_symbols.cast("double") / nzw
-    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    lines = F.col("_lines")
     nzl = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(F.filter(lines, lambda x: F.trim(x).rlike("^[-*•]")))
@@ -414,9 +451,15 @@ def corpus_ngram_stats(
     already-combined rows, and top-k compiles to TakeOrderedAndProject
     (no global sort). At 100 TB nothing materializes beyond the
     aggregation maps."""
-    grams = word_ngrams(tokens(F.col(text_col)), n)
+    # stage the token array so the n shifted slices inside word_ngrams
+    # read a column instead of re-running split+filter n times per row
+    # (CollapseProject keeps a multiply-referenced non-cheap alias)
     per_doc = (
-        df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("ngram"))
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(word_ngrams(F.col("_toks"), n)).alias("ngram"),
+        )
         .groupBy("ngram", "_doc")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )

@@ -242,12 +242,13 @@ def q_cms_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = SK.cms_build(docs, n=2, depth=4, width=1024)
     qgrams = (
         docs.filter(F.col("doc_id") % 101 == 0)
-        .select(F.explode(TX.word_ngrams(TX.tokens("text"), 2)).alias("gram"))
+        .withColumn("_toks", TX.tokens("text"))
+        .select(F.explode(TX.word_ngrams(F.col("_toks"), 2)).alias("gram"))
         .distinct()
     )
     est = SK.cms_estimate(cms, qgrams, depth=4, width=1024)
-    corpus_grams = docs.select(
-        F.explode(TX.word_ngrams(TX.tokens("text"), 2)).alias("gram")
+    corpus_grams = docs.withColumn("_toks", TX.tokens("text")).select(
+        F.explode(TX.word_ngrams(F.col("_toks"), 2)).alias("gram")
     )
     exact = (
         corpus_grams.join(F.broadcast(qgrams), "gram", "left_semi")

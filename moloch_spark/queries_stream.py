@@ -483,11 +483,14 @@ def q_streaming_state_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully in the sink at that point; the 3600s TTL cannot fire here)
     import time as _time
 
+    # 50ms poll: the coarse 0.5s tick added up to half a second of pure
+    # wait per run to a gate whose real work is ~1s (the progress list
+    # is a driver-local read — polling it tighter costs nothing)
     deadline = _time.time() + 180
     while _time.time() < deadline:
         if any(p["numInputRows"] > 0 for p in q.recentProgress):
             break
-        _time.sleep(0.5)
+        _time.sleep(0.05)
     q.stop()
     q.awaitTermination(60)
     return spark.table(name).select(

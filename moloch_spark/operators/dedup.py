@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from moloch_spark.operators.text import (
     shingle_df,
+    shingle_explode,
     tokens,
     word_ngrams,
     word_shingles,
@@ -88,8 +89,14 @@ def minhash_signatures(
     MIN aggregations that combine map-side; the only shuffle is the
     per-doc hash agg.
     """
-    shd = shingle_df(df, text_col=text_col, id_cols=(id_col,), n=shingle_n)
-    expl = shd.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # explode the shingle EXPRESSION, not a staged array attribute:
+    # InferFiltersFromGenerate + pushdown otherwise re-inline the whole
+    # tokenize+zip subtree as a size()>0 Filter below the staging
+    # project (one extra full evaluation per input row; see
+    # text.shingle_explode)
+    expl = shingle_explode(
+        df, text_col=text_col, id_cols=(id_col,), n=shingle_n
+    )
     # 28-bit base hash from the md5 prefix: exact in int64 everywhere
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
     withh = expl.select(F.col(id_col), base.alias("h"))
@@ -382,18 +389,21 @@ def ngram_jaccard(
     shingle (the only shuffle), count intersections, then
     J = |A∩B| / (|A| + |B| - |A∩B|) exactly in integers.
     """
-    base = shingle_df(df, text_col=text_col, id_cols=(id_col,), n=shingle_n).filter(
-        F.size("shingles") > 0
-    )
     # carry each doc's shingle-set size THROUGH the explode instead of
     # joining a separate corpus-wide `sizes` relation back in at the end:
     # sz is constant per doc, so folding it with max() in the existing
     # intersection aggregation is free — and the corpus is scanned (and
-    # the shingle subtree evaluated) ONCE instead of twice (guide §2.4)
-    expl = base.select(
-        F.col(id_col),
-        F.size("shingles").cast("long").alias("sz"),
-        F.explode("shingles").alias("shingle"),
+    # the shingle subtree evaluated) ONCE instead of twice (guide §2.4).
+    # The former explicit size(shingles) > 0 pre-filter is gone: the
+    # non-outer explode drops empty-shingle rows by itself, and the
+    # filter's only plan effect was a pushed-down re-inline of the full
+    # shingle subtree at the scan (see text.shingle_explode)
+    expl = shingle_explode(
+        df,
+        text_col=text_col,
+        id_cols=(id_col,),
+        n=shingle_n,
+        with_size="sz",
     )
     q = expl.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("qid"), F.col("sz").alias("q_sz"), "shingle"
@@ -768,16 +778,20 @@ def decontaminate(
     the rewrite is one broadcast anti-join — the train corpus is never
     shuffled.
     """
-    from moloch_spark.operators.text import shingle_df
+    from moloch_spark.operators.text import shingle_explode
 
-    tr = shingle_df(train, text_col=text_col, id_cols=(id_col,), n=n)
+    # exploded-expression shape on BOTH sides: exploding a staged
+    # `shingles` attribute lets InferFiltersFromGenerate + pushdown
+    # re-inline the 13-gram subtree as a Filter below the staging
+    # project — the train scan then tokenized every row TWICE (the
+    # curation_pipeline plan carried 26 split+lower copies per side;
+    # see text.shingle_explode)
     test_grams = (
-        shingle_df(test, text_col=text_col, id_cols=(id_col,), n=n)
-        .select(F.explode("shingles").alias("gram"))
+        shingle_explode(test, text_col=text_col, id_cols=(), n=n, out="gram")
         .distinct()
     )
     flagged = (
-        tr.select(F.col(id_col), F.explode("shingles").alias("gram"))
+        shingle_explode(train, text_col=text_col, id_cols=(id_col,), n=n, out="gram")
         .join(F.broadcast(test_grams), "gram", "left_semi")
         .select(id_col)
         .distinct()

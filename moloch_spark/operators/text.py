@@ -75,10 +75,66 @@ def shingle_df(
     n: int = 3,
     out: str = "shingles",
 ) -> DataFrame:
-    """(ids..., distinct word n-gram array) helper for dedup pipelines."""
+    """(ids..., distinct word n-gram array) helper for dedup pipelines.
+
+    Consumers that EXPLODE the shingles should use shingle_explode
+    instead of exploding this frame's `out` column: Generate over a
+    staged array ATTRIBUTE makes InferFiltersFromGenerate add a
+    size(attr) > 0 filter, and predicate pushdown then substitutes the
+    alias back in below the staging project — the full tokenize+zip
+    subtree lands inlined in a Filter and runs once more per input row
+    (measured: 7 split+lower copies in the plan vs 1)."""
     ids = [F.col(c) for c in id_cols]
     tok = df.select(*ids, tokens(text_col).alias("__toks"))
     return tok.select(*ids, word_shingles(F.col("__toks"), n).alias(out))
+
+
+def shingle_explode(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    n: int = 3,
+    out: str = "shingle",
+    with_size: str | None = None,
+) -> DataFrame:
+    """One row per (ids..., distinct word n-gram) — the explode-safe
+    twin of shingle_df. The generator input is the shingle EXPRESSION
+    over a staged token attribute, not a staged array attribute:
+    InferFiltersFromGenerate only infers its size(e) > 0 filter for
+    attribute inputs, so nothing gets re-inlined below the token
+    staging and the tokenizer runs exactly once per row (the
+    duplicate_spans pattern; non-outer explode already drops
+    empty-shingle rows, so the inferred filter was pure overhead).
+    `with_size` additionally emits the doc's shingle-set size under
+    that name. The size CANNOT ride as a sibling expression of the
+    explode: Catalyst places non-generator select expressions in the
+    Project ABOVE the Generate, so `size(<shingle expr>)` would be
+    re-evaluated once per EXPLODED row (~|shingles|× the zip/distinct
+    work per doc — measured 1.4 s → 23 s on the jaccard gate). Instead
+    the shingle array is let-bound exactly once per input row via
+    `transform(array(sh), a -> struct(size(a), a))` — the lambda
+    variable is the EVALUATED array — and the staged struct attribute
+    feeds both the (cheap field-access) size and the explode; the
+    generator input is a struct field, not an attribute, so
+    InferFiltersFromGenerate still stays out."""
+    ids = [F.col(c) for c in id_cols]
+    staged = df.withColumn("__toks", tokens(text_col))
+    sh = word_shingles(F.col("__toks"), n)
+    if with_size is None:
+        return staged.select(*ids, F.explode(sh).alias(out))
+    wrapped = F.transform(
+        F.array(sh),
+        lambda a: F.struct(
+            F.size(a).cast("long").alias("sz"), a.alias("arr")
+        ),
+    )[0]
+    st = staged.select(*ids, wrapped.alias("__sh"))
+    return st.select(
+        *ids,
+        F.col("__sh.sz").alias(with_size),
+        F.explode(F.col("__sh.arr")).alias(out),
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -140,21 +196,17 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-profile language ID (n-gram-heuristic class).
-
-    Deterministic argmax with fixed tie order en > de > fr > es; docs
-    with zero stopword hits are 'und' (undetermined).
-    """
-    # Stage the token array and the four score counts through aliased
-    # columns instead of inlining `tokens(text)` into every score and
-    # every CASE branch: CollapseProject keeps an alias referenced more
-    # than once by non-cheap consumers as its own Project, so the
-    # split+lower+filter runs ONCE per row (inlined, the composed ccnet
-    # plan carried ~20 copies of it inside one CASE — guide §1.2 "don't
-    # compute things you throw away", and a much smaller codegen unit).
+def with_lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Stage the token array and the four per-language stopword counts
+    (_toks, _sc_en/_sc_de/_sc_fr/_sc_es) as aliased columns — the
+    shared scan-side half of lang_id, reused by composed pipelines that
+    need lang_pred INLINE on a wider row (ccnet) instead of as a
+    separate relation to join back. Staging matters: inlined, the CASE
+    in lang_pred_expr re-evaluates the tokenizer per branch
+    (CollapseProject keeps a multiply-referenced non-cheap alias as its
+    own Project — guide §1.2)."""
     staged = df.withColumn("_toks", tokens(text_col))
-    staged = staged.select(
+    return staged.select(
         "*",
         *[
             F.size(F.filter(F.col("_toks"), lambda x: x.isin(ws)))
@@ -163,14 +215,31 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             for lang, ws in STOPWORDS.items()
         ],
     )
+
+
+def lang_pred_expr() -> Column:
+    """Deterministic stopword-profile argmax over the _sc_* columns
+    staged by with_lang_scores (fixed tie order en > de > fr > es;
+    zero hits -> 'und')."""
     en, de, fr, es = (F.col(f"_sc_{c}") for c in ("en", "de", "fr", "es"))
-    pred = (
+    return (
         F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), "en")
         .when((de > 0) & (de >= fr) & (de >= es), "de")
         .when((fr > 0) & (fr >= es), "fr")
         .when(es > 0, "es")
         .otherwise("und")
     )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic class).
+
+    Deterministic argmax with fixed tie order en > de > fr > es; docs
+    with zero stopword hits are 'und' (undetermined).
+    """
+    staged = with_lang_scores(df, text_col)
+    en, de, fr, es = (F.col(f"_sc_{c}") for c in ("en", "de", "fr", "es"))
+    pred = lang_pred_expr()
     return staged.select(
         F.col(id_col),
         F.col("lang").alias("lang_label"),

@@ -1061,9 +1061,11 @@ def test_bm25_crash_inside_fold_recovery_story(spark, tmp_path):
         R.build_bm25_index(spark, corpus.filter("doc_id < 30"), broken,
                            str(tmp_path / "b"), buckets=8)
         batch = corpus.filter("doc_id >= 30")
-        # the crash: ONLY the postings append of the fold completes
+        # the crash: ONLY the postings append of the fold completes —
+        # forged with the same denormalized (doc, term, tf, dl) rows
+        # the real fold writes (retrieval._postings_with_dl)
         (
-            R.postings(batch)
+            R._postings_with_dl(batch, text_col="text", id_col="doc_id")
             .write.mode("append")
             .format("parquet")
             .bucketBy(8, "term")
@@ -1199,3 +1201,57 @@ def test_decontaminate_semantic_row_universe_parity(spark):
     assert set(got1) == set(range(6))
     assert got1[3] == (None, None, False)
     assert all(v[1] == 3 and v[2] for i, v in got1.items() if i != 3)
+
+
+def test_shingle_explode_plan_and_rows(spark):
+    """shingle_explode (r12): the generator input is the shingle
+    EXPRESSION over a staged token attribute, so (a) the tokenizer
+    appears exactly once in the plan — exploding a staged `shingles`
+    attribute lets InferFiltersFromGenerate + pushdown re-inline the
+    whole subtree as a size()>0 Filter (7 copies measured) — and (b)
+    rows match the shingle_df + explode formulation exactly."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators.text import shingle_df, shingle_explode
+    from moloch_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = shingle_explode(df, n=3, with_size="sz")
+    plan = formatted_plan(out)
+    assert plan.count("split(lower") == 1, plan
+    legacy = (
+        shingle_df(df, n=3)
+        .select(
+            "doc_id",
+            F.size("shingles").cast("long").alias("sz"),
+            F.explode("shingles").alias("shingle"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )
+
+
+def test_postings_carry_dl(spark):
+    """_postings_with_dl (r12): the denormalized dl column equals the
+    per-doc sum-of-tf the dl table holds, on every postings row — the
+    invariant that lets every serve skip the doc-keyed dl join."""
+    from pyspark.sql import functions as F
+
+    from moloch_spark.operators import retrieval as R
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i % 3} shared body body {i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    post = R._postings_with_dl(corpus, text_col="text", id_col="doc_id")
+    plain = R.postings(corpus)
+    dl = plain.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    want = sorted(map(tuple, plain.join(dl, "doc_id").select(
+        "doc_id", "term", "tf", "dl").collect()))
+    got = sorted(map(tuple, post.select(
+        "doc_id", "term", "tf", "dl").collect()))
+    assert got == want

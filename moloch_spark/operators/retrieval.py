@@ -56,11 +56,17 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     exclude_self: bool = True,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score): BM25 top-k per query.
     `queries` is (query_id, qterm) — one row per distinct query term.
     exclude_self drops doc_id == query_id hits (the more-like-this
     convention when queries are sampled from the corpus itself).
+    `prepartitioned=True` promises the corpus is ALREADY hash-
+    partitioned by `id_col` into defaultParallelism partitions (e.g. a
+    shared _checkpoint_by-style relation feeding several consumers) —
+    the internal repartition is skipped so the shared rows are not
+    shuffled a second time.
 
     The postings relation is materialized ONCE (eager localCheckpoint)
     before dl / df / the candidate join branch off it: without that,
@@ -87,12 +93,9 @@ def bm25_topk(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         n = spark.sparkContext.defaultParallelism
+        src = corpus if prepartitioned else corpus.repartition(n, id_col)
         post = (
-            postings(
-                corpus.repartition(n, id_col),
-                text_col=text_col,
-                id_col=id_col,
-            )
+            postings(src, text_col=text_col, id_col=id_col)
             .sortWithinPartitions(id_col)
             .localCheckpoint(eager=True)
         )
@@ -103,20 +106,37 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    qt = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_terms_col).alias("term"),
-    ).distinct()
-    dfq = (
-        post.join(
-            F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    # dl per candidate row via a window over the checkpoint's captured
+    # (hash(doc), sort(doc)) layout — zero Exchange, zero Sort — instead
+    # of joining the dl relation back on doc id (one whole join subtree
+    # less; the summed longs are bit-identical either way)
+    post_dl = post.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    # materialize the deduped query batch once: it feeds TWO broadcast
+    # builds (the dfq semi-join and the candidate join) and is bounded
+    # by definition — without this each broadcast re-ran the queries'
+    # whole lineage (for corpus-sampled queries, a second corpus scan
+    # plus its own distinct exchange, duplicated per consumer)
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_terms_col).alias("term"),
         )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dfq = (
+        # no .distinct() on the broadcast side: a left-semi probe keys
+        # on term regardless of duplicates, and qt repeats a term only
+        # across query ids — the dedup bought nothing but its own
+        # exchange in the plan
+        post.join(F.broadcast(qt.select("term")), "term", "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     cand = (
-        post.join(F.broadcast(qt), "term")
-        .join(dl, id_col)
+        post_dl.join(F.broadcast(qt), "term")
         .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(nd))
     )
@@ -248,6 +268,38 @@ def _index_stats(spark, table_prefix: str) -> tuple[int, float]:
     return row["n_docs"], row["avgdl"]
 
 
+def _postings_with_dl(
+    corpus: DataFrame, *, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc, term, tf, dl) checkpointed once — the DENORMALIZED index
+    relation the durable tables are written from. Carrying dl on every
+    postings row costs 8 bytes/posting on disk and removes the doc-
+    keyed dl join from EVERY serve: the term-bucket-pruned candidate
+    scan already has dl in hand, so the only shuffle left at query
+    time is the per-(query, doc) score aggregation. The corpus is
+    hash-partitioned by doc BEFORE tokenizing (one corpus shuffle
+    total, the bm25_topk pattern), so the tf aggregation and the dl
+    window both run exchange-free on top of it; AQE is off while the
+    checkpoint compiles (the captured LogicalRDD otherwise reports
+    Unknown partitioning)."""
+    spark = corpus.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = spark.sparkContext.defaultParallelism
+        return (
+            postings(
+                corpus.repartition(n, id_col),
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def build_bm25_index(
     spark,
     corpus: DataFrame,
@@ -309,10 +361,8 @@ def build_bm25_index(
         )
         set_index_alias(alias_path, gen, spark)  # the commit point
         return gen
-    post = postings(corpus, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
-    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    post = _postings_with_dl(corpus, text_col=text_col, id_col=id_col)
+    dl = post.select(id_col, "dl").dropDuplicates([id_col])
 
     def save(df, name, key):
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{name}")
@@ -358,10 +408,11 @@ def append_bm25_index(
     Contract: new_docs carry doc ids not already in the index (append-
     only corpus — re-crawled docs go through a rebuild or a dedup
     pass), and `buckets` matches the build."""
-    post = postings(new_docs, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
-    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # append-only contract: the batch's doc ids are new to the index,
+    # so the batch-local dl IS each doc's final dl — the appended
+    # postings rows carry it exactly like the build's
+    post = _postings_with_dl(new_docs, text_col=text_col, id_col=id_col)
+    dl = post.select(id_col, "dl").dropDuplicates([id_col])
     (
         post.write.mode("append")
         .format("parquet")
@@ -578,11 +629,19 @@ def bm25_topk_indexed(
         .over(Window.partitionBy("term"))
         .cast("long"),
     )
-    cand = (
-        post.join(F.broadcast(qt), "term")
-        .join(spark.table(f"{table_prefix}_dl"), id_col)
-        .withColumn("n_docs", F.lit(n_docs))
-        .withColumn("avgdl", F.lit(avgdl))
+    # dl rides the postings row itself (denormalized at build/append —
+    # see _postings_with_dl): the doc-keyed dl join, and with it the
+    # exchange that re-bucketed every candidate from term-bucketing
+    # into doc-bucketing, is gone from the serve path. Indexes written
+    # before the dl column existed keep the join as a fallback.
+    if "dl" not in post.columns:
+        cand = post.join(F.broadcast(qt), "term").join(
+            spark.table(f"{table_prefix}_dl"), id_col
+        )
+    else:
+        cand = post.join(F.broadcast(qt), "term")
+    cand = cand.withColumn("n_docs", F.lit(n_docs)).withColumn(
+        "avgdl", F.lit(avgdl)
     )
     return _score_and_rank(
         cand, id_col=id_col, k=k, k1=k1, b=b, exclude_self=exclude_self

@@ -144,56 +144,67 @@ def ccnet_pipeline(
 
     from moloch_spark.operators import lm
     from moloch_spark.operators.dedup import line_dedup
-    from moloch_spark.operators.text import lang_id
+    from moloch_spark.operators.text import lang_pred_expr, with_lang_scores
 
     cleaned = line_dedup(docs, text_col=text_col, id_col=id_col)
     # partition the checkpointed cleaned table by doc id: every
-    # downstream consumer (lang join, perplexity's per-doc mean, the
-    # two base joins) keys on it, so capturing hash(id)+sort removes
-    # their Exchanges/Sorts (the plan carried 82 Exchanges, most of
-    # them re-shuffles of this one table's lineage)
+    # downstream consumer (perplexity's per-doc mean, the scored join)
+    # keys on it, so capturing hash(id)+sort removes their
+    # Exchanges/Sorts (the plan carried 82 Exchanges, most of them
+    # re-shuffles of this one table's lineage)
     cleaned = _checkpoint_by(
         cleaned.join(docs.select(F.col(id_col), F.col(lang_col)), id_col),
         id_col,
     )
 
-    lang = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
-        F.col(id_col), "lang_pred"
-    )
     uni, bi = lm.train_bigram_lm(
         cleaned.filter(F.col(id_col) % train_modulus == 0),
         text_col="clean_text",
     )
     scored = lm.perplexity(cleaned, uni, bi, text_col="clean_text", id_col=id_col)
 
+    # lang_pred is ROW-LOCAL (a staged-token stopword argmax) — compute
+    # it inline on the cleaned scan instead of joining a separate
+    # lang_id relation back on doc id (one zipper merge-join + sort
+    # less; the former plan evaluated the cleaned lineage once more
+    # just to re-attach a column it could have carried)
     base = (
-        cleaned.select(id_col, "lines_total", "lines_kept")
-        .join(lang, id_col)
-        .join(scored.select(id_col, "log_ppl"), id_col, "left")
-    )
-    w = Window.partitionBy("lang_pred").orderBy(
-        F.col("log_ppl").asc(), F.col(id_col).asc()
-    )
-    wl = Window.partitionBy("lang_pred")
-    ranked = (
-        base.filter(F.col("log_ppl").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("nl", F.count(F.lit(1)).over(wl))
+        with_lang_scores(
+            cleaned.select(id_col, "lines_total", "lines_kept", "clean_text"),
+            "clean_text",
+        )
         .select(
             id_col,
-            F.col("rk").cast("long").alias("lang_rank"),
-            F.when(F.col("rk") * 3 <= F.col("nl"), "head")
-            .when(F.col("rk") * 3 <= F.col("nl") * 2, "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
+            "lines_total",
+            "lines_kept",
+            lang_pred_expr().alias("lang_pred"),
         )
+        .join(scored.select(id_col, "log_ppl"), id_col, "left")
     )
-    return base.join(ranked, id_col, "left").select(
+    # rank in ONE window pass over base — no filtered copy, no join-
+    # back: NULL log_ppl rows sort last within their language, so
+    # row_number over the full partition equals the filtered rank for
+    # every scored row (and is masked to NULL for unscored ones);
+    # count("log_ppl") counts only scored rows for the thirds cut.
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("log_ppl").asc_nulls_last(), F.col(id_col).asc()
+    )
+    wl = Window.partitionBy("lang_pred")
+    scored_ok = F.col("log_ppl").isNotNull()
+    ranked = (
+        base.withColumn("rk", F.row_number().over(w))
+        .withColumn("nl", F.count("log_ppl").over(wl))
+    )
+    return ranked.select(
         id_col,
         "lines_total",
         "lines_kept",
         "lang_pred",
         "log_ppl",
-        "lang_rank",
-        F.coalesce("ppl_bucket", F.lit("unscored")).alias("ppl_bucket"),
+        F.when(scored_ok, F.col("rk")).cast("long").alias("lang_rank"),
+        F.when(~scored_ok, "unscored")
+        .when(F.col("rk") * 3 <= F.col("nl"), "head")
+        .when(F.col("rk") * 3 <= F.col("nl") * 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )

@@ -238,23 +238,62 @@ def q_cms_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold by cell-wise addition (sketch.cms_merge)."""
     from moloch_spark.operators import sketch as SK
 
+    depth, width = 4, 1024
     docs = load_table_spread(spark, "documents", sf_dir)
-    cms = SK.cms_build(docs, n=2, depth=4, width=1024)
     qgrams = (
         docs.filter(F.col("doc_id") % 101 == 0)
         .withColumn("_toks", TX.tokens("text"))
         .select(F.explode(TX.word_ngrams(F.col("_toks"), 2)).alias("gram"))
         .distinct()
+        # bounded (query-slice vocabulary); reused by the tag join and
+        # the estimate leg — materialize once
+        .localCheckpoint(eager=False)
     )
-    est = SK.cms_estimate(cms, qgrams, depth=4, width=1024)
-    corpus_grams = docs.withColumn("_toks", TX.tokens("text")).select(
+    # ONE corpus gram expansion feeds BOTH the sketch build and the
+    # exact leg (the former shape expanded the corpus gram stream twice
+    # — once for cms_build, once for the exact counts): each gram row
+    # explodes into its `depth` sketch cell keys plus, when it is a
+    # query gram, one exact-count key; a single map-combined shuffle
+    # then aggregates both families at once (<= depth*width + |q-vocab|
+    # keys per task, still corpus-size-independent).
+    grams = docs.withColumn("_toks", TX.tokens("text")).select(
         F.explode(TX.word_ngrams(F.col("_toks"), 2)).alias("gram")
     )
-    exact = (
-        corpus_grams.join(F.broadcast(qgrams), "gram", "left_semi")
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    tagged = grams.join(
+        F.broadcast(qgrams.withColumn("_isq", F.lit(True))), "gram", "left"
     )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                SK._bucket(
+                    F.col("gram"), n_buckets=width, seed=f"cms:v1:{r}"
+                ).alias("bucket"),
+                F.lit(None).cast("string").alias("g"),
+            )
+            for r in range(depth)
+        ]
+    )
+    exact_key = F.array(
+        F.struct(
+            F.lit(-1).alias("row"),
+            F.lit(-1).alias("bucket"),
+            F.col("gram").alias("g"),
+        )
+    )
+    keys = F.when(F.col("_isq"), F.concat(cells, exact_key)).otherwise(cells)
+    agg = (
+        tagged.select(F.explode(keys).alias("k"))
+        .groupBy("k.row", "k.bucket", "k.g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # tiny (sketch cells + query vocabulary); both output legs read it
+        .localCheckpoint(eager=False)
+    )
+    sketch = agg.filter(F.col("g").isNull()).select("row", "bucket", "cnt")
+    exact = agg.filter(F.col("g").isNotNull()).select(
+        F.col("g").alias("gram"), F.col("cnt").alias("exact_cnt")
+    )
+    est = SK.cms_estimate(sketch, qgrams, depth=depth, width=width)
     return (
         est.join(exact, "gram")
         .select(
@@ -2207,11 +2246,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-             SUM(w.weight) AS sc
+             CAST(SUM(CAST(ROUND(w.weight * 1000000) AS BIGINT)) AS BIGINT)
+               AS sc_u
       FROM b JOIN w USING (bucket) GROUP BY b.doc_id
     )
-    SELECT doc_id, n_grams, ROUND(sc / n_grams, 4) AS score,
-           (ROUND(sc / n_grams, 4) >= 0) AS keep
+    SELECT doc_id, n_grams,
+           ROUND(sc_u / 1000000.0 / n_grams, 4) + 0.0 AS score,
+           (ROUND(sc_u / 1000000.0 / n_grams, 4) >= 0) AS keep
     FROM s ORDER BY doc_id
     """,
 )
@@ -3712,16 +3753,35 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the oracle replay exact."""
     from moloch_spark.operators import retrieval as R
     from moloch_spark.operators import similarity as S
+    from moloch_spark.operators.pipeline import _checkpoint_by
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     emb = load_emb(spark, sf_dir)
-    uni = docs.join(
-        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    # ONE materialization of the documents ∩ embeddings corpus feeds
+    # BOTH candidate generators (and the query sampling): the former
+    # shape scanned and joined the two tables once for the BM25
+    # postings build, once more for the query terms, and a third time
+    # for the dense leg. Hash-partitioned by doc id so the postings
+    # build inside bm25_topk needs no further corpus shuffle
+    # (prepartitioned=True skips its internal repartition).
+    shared = _checkpoint_by(
+        docs.join(
+            emb.withColumnRenamed("vec_id", "doc_id"),
+            "doc_id",
+        ),
+        "doc_id",
     )
-    qterms = R.corpus_queries(uni.filter(F.col("doc_id") < 5), modulus=1)
-    lex = R.bm25_topk(uni, qterms, k=20)
-    emb_u = emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id")
-    dense = S.brute_force_topk(emb_u, query_max_id=5, k=20).select(
+    qterms = R.corpus_queries(shared.filter(F.col("doc_id") < 5), modulus=1)
+    lex = R.bm25_topk(
+        shared.select("doc_id", "text"), qterms, k=20, prepartitioned=True
+    )
+    dense = S.brute_force_topk(
+        shared.select(
+            F.col("doc_id").alias("vec_id"), "embedding", "usable"
+        ),
+        query_max_id=5,
+        k=20,
+    ).select(
         F.col("qid").alias("query_id"), F.col("did").alias("doc_id"), "rank"
     )
     return R.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense])

@@ -125,13 +125,23 @@ def importance_score(
         F.col(id_col),
         _bucket(F.col("gram"), n_buckets=n_buckets, seed=seed).alias("bucket"),
     ).join(F.broadcast(weights), "bucket", "left")
+    # sum the 6-decimal weights as EXACT integer micros: a double sum
+    # is summation-order-dependent, and the last-ulp drift flipped
+    # round(score, 4) at an exact .00005 boundary between engines (the
+    # sf0.1 dsir FP tie, VERDICT r11 item 9). weight*1e6 is within
+    # 1e-9 of an integer by construction (round(x, 6) upstream), so
+    # both engines recover the same int64 and the per-doc sum is
+    # order-independent and bit-identical; the final divide-then-round
+    # then sees identical IEEE inputs everywhere.
+    w_micros = F.round(F.coalesce("weight", F.lit(0.0)) * F.lit(1e6)).cast(
+        "long"
+    )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.coalesce("weight", F.lit(0.0))).alias("_sum"),
+        F.sum(w_micros).alias("_sum_u"),
     )
-    score = (
-        F.col("_sum") / F.col("n_grams") if length_normalize else F.col("_sum")
-    )
+    total = F.col("_sum_u") / F.lit(1e6)
+    score = total / F.col("n_grams") if length_normalize else total
     return agg.select(id_col, "n_grams", F.round(score, 4).alias("score"))
 
 

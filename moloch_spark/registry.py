@@ -41,58 +41,30 @@ def _load_registrants() -> None:
 
 # The driver's correctness harness checks only the FIRST ~50 declared
 # queries per round, so ordering decides what gets a CORRECTNESS row.
-# ROUND-11 rotation (the r10 verdict's ask #2 / the r10 ROUND-11 NOTE,
-# executed as written — there were no r10 reds):
-#   (a) gates NEW or semantics-changed in r11:
-#       es_index_rotation (weekly convention fixed to the reference's
-#       tm_yday/7 — ADVICE r10 medium — so its r10 row is stale),
-#       usable_vector_contract (the NULL/NaN-element-extended
-#       usability contract pinned engine-vs-oracle, direct fold vs
-#       persisted flag), quality_classifier_filter (moved rows-only ->
-#       oracle-backed: the 5 Adagrad iterations are unrolled in SQL),
-#       history_audit_log and csv_export_sessions (the last two
-#       pytest-only SURVEY 2.3 rows, r10 ask #8),
-#   (b) the 39-gate r7 tail, in the pre-declared order,
-#   (c) the 6 oldest r8-rowed gates, in their r8 check order — with
-#       (a)+(b) the ~50 cap lands exactly after them,
-#   (d) past the cap: the 43 remaining r8-rowed gates (the r12 head),
-#       then the r9/r10-rowed gates in registration order — all
+# ROUND-12 rotation (the r11 ROUND-12 NOTE, executed as written —
+# there were no r11 reds and no new r12 gates):
+#   (a) gates whose SEMANTICS were refreshed in r12:
+#       dsir_importance_select (per-doc weight sum moved to exact
+#       integer micros + the oracle's ROUND normalized for IEEE -0.0,
+#       closing the sf0.1-only FP-tie divergence — VERDICT r11 item 9;
+#       its r11 row predates the change),
+#   (b) the full 43-gate r8-rowed block, in r8 check order (the r11
+#       registry's section (d), pre-declared as the r12 head),
+#   (c) the 6 oldest r9-rowed gates, in their r9 check order — with
+#       (a)+(b) the ~50 cap lands exactly after them.
+#   (d) past the cap: the 44 remaining r9-rowed gates (the r13 head),
+#       then the r10/r11-rowed gates in registration order — all
 #       hash-green at their latest driver row and pytest-oracle-green
-#       locally.
-# ROUND-12 NOTE: next head = any r11 reds, any new r12 gates, then as
-# much of the r8-rowed block of (d) as fits (it is 43 gates — the cap
-# may land inside it; continue the remainder in r13), then the oldest
-# r9-rowed gates. After r12 no gate's latest row should be older than
-# r9 (or r8 if the r8 block spills).
+#       locally this round.
+# After r12 no gate's latest row is older than r9.
+# ROUND-13 NOTE: next head = any r12 reds, any new r13 gates, then the
+# 44 remaining r9-rowed gates in r9 check order (CORRECTNESS_r09.json
+# order, minus the 6 rotated here); the cap lands inside it — continue
+# the remainder in r14, then the oldest r10-rowed gates.
 _CHECK_PRIORITY = (
-    # --- (a) new/changed in r11 ---
-    "es_index_rotation",            # weekly now tm_yday//7 (ADVICE r10)
-    "usable_vector_contract",       # element-valid + flag==fold parity
-    "quality_classifier_filter",    # Adagrad loop unrolled in oracle
-    "history_audit_log",            # audit log list (r10 ask #8)
-    "csv_export_sessions",          # CSV export round-trip (r10 ask #8)
-    # --- (b) the 39-gate r7 tail (the pre-declared r11 head) ---
-    "dhcp_parse_fields", "irc_parse_fields", "socks_parse_fields",
-    "radius_parse_fields", "ldap_parse_fields", "krb5_parse_fields",
-    "mysql_parse_fields", "postgresql_parse_fields", "tns_parse_fields",
-    "bgp_parse_fields", "http2_parse_fields", "quic_parse_fields",
-    "pcap_over_ip_reframe", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_audio", "pii_scan", "repetition_signals",
-    "gopher_quality_flags", "quality_char_entropy", "curate_mixture_sample",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_part_supply_nation",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    "streaming_sessionize_closed", "dedup_ngram_jaccard",
-    "embedding_near_dups", "embedding_near_dup_pairs_lsh",
-    "duplicate_spans_13gram", "quic_v1_initial_fields", "line_dedup_corpus",
-    "dsir_importance_select", "dedup_incremental_lsh",
-    "curation_pipeline_e2e", "bpe_token_counts", "quic_capture_to_sni",
-    "streaming_dedup_incremental", "ppl_filter_stupid_backoff",
-    # --- (c) the 6 oldest r8-rowed gates; the ~50 cap lands after ---
-    "knn_label_vote_indexed", "bm25_alias_rebuild_serve", "image_dhash_dedup",
-    "audio_fingerprint_dedup", "bm25_topk_search", "bpe_train_and_apply",
-    # --- (d) past the cap: the 43 remaining r8-rowed gates in r8
-    #     check order (the r12 head); r9/r10 gates follow unlisted in
-    #     registration order ---
+    # --- (a) semantics refreshed in r12 ---
+    "dsir_importance_select",       # integer-micros sum + -0.0 fix
+    # --- (b) the 43-gate r8-rowed block (pre-declared r12 head) ---
     "ppl_lang_buckets", "embedding_pca_whiten", "pq_encode_codes",
     "ccnet_pipeline_e2e", "warc_ingest_roundtrip", "hybrid_rrf_search",
     "hunt_job_control", "streaming_state_cap", "tpch_q1_pricing_summary",
@@ -109,6 +81,10 @@ _CHECK_PRIORITY = (
     "curate_weighted_sample", "enrich_region_rollup", "drophash_filter",
     "asof_feed_enrich", "text_stats", "lang_id", "token_counts",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_signatures",
+    # --- (c) the 6 oldest r9-rowed gates; the ~50 cap lands after ---
+    "multimodal_near_dup", "ann_alias_rebuild_serve",
+    "decontaminate_semantic_lsh", "geo_enrich_range_join",
+    "oui_enrich_mac_prefix", "decode_pipeline_http_b64",
 )
 
 

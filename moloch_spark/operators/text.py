@@ -205,6 +205,13 @@ def with_lang_scores(df: DataFrame, text_col: str) -> DataFrame:
     in lang_pred_expr re-evaluates the tokenizer per branch
     (CollapseProject keeps a multiply-referenced non-cheap alias as its
     own Project — guide §1.2)."""
+    clash = {"_toks", *(f"_sc_{lang}" for lang in STOPWORDS)} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE a same-named caller column
+        # (ADVICE r11) — fail loud instead
+        raise ValueError(
+            f"with_lang_scores: staging columns already present: {sorted(clash)}"
+        )
     staged = df.withColumn("_toks", tokens(text_col))
     return staged.select(
         "*",

@@ -622,8 +622,11 @@ def test_vacuum_hot_store_reclaims_behind_horizon(tmp_path):
     got_snaps = sum(r.startswith("_manifest.v") for r in removed)
     got_gens = sum(r.startswith("_gen") for r in removed)
     # ~20 of 30 generations sit behind the 1s horizon (allow scheduler
-    # slop either way); the starved-forever failure mode is 0
-    assert 15 <= got_snaps <= 28, removed
+    # slop either way); the starved-forever failure mode is 0, and the
+    # later head-retention asserts keep versions n-3..n, so at most 26
+    # of the 30 snapshots are ever removable (ADVICE r11: a 28 bound
+    # was unreachable and documented nothing)
+    assert 15 <= got_snaps <= 26, removed
     assert got_gens == got_snaps, removed
     # the head of the chain — current state and the freshest history —
     # is untouched
@@ -639,8 +642,14 @@ def test_vacuum_hot_store_reclaims_behind_horizon(tmp_path):
     # loaded box can make the first vacuum itself take seconds — a
     # fixed <=4 here flaked at suite scale under full-box load)
     second = vacuum_store(path, retain_s=1.0)
+    # drift is measured from t0 THROUGH both runs (plus +2 slop), so no
+    # extra safety factor is needed (ADVICE r11: the old 2x let a
+    # moderate over-reclaim regression hide behind the slop)
     drift_budget = int((_time.time() - t0) / 0.1) + 2
-    assert len(second) <= 2 * drift_budget, (second, drift_budget)
+    assert len(second) <= drift_budget, (second, drift_budget)
+    # and the head of the chain survives the second run too
+    assert manifest_versions(path)[-1] == n
+    assert set(manifest_versions(path)) >= {n - 3, n - 2, n - 1, n}
 
 
 def test_snapshot_version_claim_collision_keeps_both(tmp_path, spark):

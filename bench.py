@@ -110,10 +110,14 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # persist the full result next to the repo so per-query timings stay
-    # reviewable even when the driver artifact truncates stdout
+    # reviewable even when the driver artifact truncates stdout; a
+    # SUBSET probe records to its own file so it can never clobber the
+    # full-run bookkeeping record
     try:
-        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_LOCAL.json")
+        local = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_LOCAL_subset.json" if subset else "BENCH_LOCAL.json",
+        )
         with open(local, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:
